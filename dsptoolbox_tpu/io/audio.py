@@ -1,0 +1,30 @@
+"""Format-dispatching audio read/write."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .wav import read_wav, write_wav
+
+
+def read_audio(path: str) -> tuple[np.ndarray, int]:
+    """Read an audio file → (float64 (samples,) or (samples, channels), fs)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        return read_wav(path)
+    if ext == ".flac":
+        from .flac import read_flac
+
+        return read_flac(path)
+    raise ValueError(f"Unsupported audio format: {ext}")
+
+
+def write_audio(
+    path: str, data: np.ndarray, sampling_rate_hz: int, subtype: str = "PCM_16"
+) -> None:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        return write_wav(path, data, sampling_rate_hz, subtype)
+    raise ValueError(f"Unsupported audio format for writing: {ext}")

@@ -1,0 +1,216 @@
+"""Parity tests: ops.spectral vs the reference's private backends."""
+
+import numpy as np
+import pytest
+
+from dsptoolbox_tpu.ops import spectral as sp
+from dsptoolbox_tpu.standard.enums import SpectrumScaling, Window
+
+from conftest import assert_close
+
+RNG = np.random.default_rng(42)
+FS = 48_000
+X2 = RNG.standard_normal((FS, 2)) * 0.3  # (T, C) reference convention
+X1 = X2[:, 0]
+Y2 = RNG.standard_normal((FS, 2)) * 0.3
+
+
+def _ref_welch(ref, x, y, **kw):
+    from dsptoolbox.standard._spectral_methods import _welch
+
+    return _welch(x, y, FS, **kw)
+
+
+@pytest.mark.parametrize("average", ["mean", "median"])
+@pytest.mark.parametrize(
+    "scaling",
+    [
+        SpectrumScaling.PowerSpectralDensity,
+        SpectrumScaling.AmplitudeSpectrum,
+        SpectrumScaling.FFTBackward,
+        SpectrumScaling.FFTOrthogonal,
+    ],
+)
+def test_welch_auto(ref, average, scaling):
+    ref_scaling = ref.SpectrumScaling[scaling.name]
+    want = _ref_welch(
+        ref,
+        X2,
+        None,
+        window_type=ref.Window.Hann,
+        window_length_samples=1024,
+        overlap_percent=50,
+        detrend=True,
+        average=average,
+        scaling=ref_scaling,
+    )
+    got = sp.welch(
+        X2.T,
+        None,
+        sampling_rate_hz=FS,
+        window_length_samples=1024,
+        window_type=Window.Hann,
+        overlap_percent=50,
+        detrend=True,
+        average=average,
+        scaling=scaling,
+    )
+    assert_close(np.asarray(got).T, want, tol=5e-5, name=f"welch-{average}-{scaling}")
+
+
+@pytest.mark.parametrize("average", ["mean", "median"])
+def test_welch_cross(ref, average):
+    want = _ref_welch(
+        ref,
+        X2,
+        Y2,
+        window_type=ref.Window.Hann,
+        window_length_samples=512,
+        overlap_percent=75,
+        detrend=False,
+        average=average,
+        scaling=ref.SpectrumScaling.PowerSpectralDensity,
+    )
+    got = sp.welch(
+        X2.T,
+        Y2.T,
+        sampling_rate_hz=FS,
+        window_length_samples=512,
+        window_type=Window.Hann,
+        overlap_percent=75,
+        detrend=False,
+        average=average,
+        scaling=SpectrumScaling.PowerSpectralDensity,
+    )
+    assert_close(np.asarray(got).T, want, tol=5e-5, name=f"welch-cross-{average}")
+
+
+@pytest.mark.parametrize("window_type", [Window.Hann, Window.Flattop])
+@pytest.mark.parametrize(
+    "scaling",
+    [
+        SpectrumScaling.FFTBackward,
+        SpectrumScaling.AmplitudeSpectrum,
+        SpectrumScaling.PowerSpectralDensity,
+    ],
+)
+def test_stft(ref, window_type, scaling):
+    from dsptoolbox.standard._spectral_methods import _stft
+
+    import warnings
+
+    kw = dict(
+        window_length_samples=512,
+        overlap_percent=50,
+        fft_length_samples=1024,
+        detrend=False,
+        padding=True,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        t_ref, f_ref, S_ref = _stft(
+            X2,
+            FS,
+            window_type=ref.Window[window_type.name],
+            scaling=ref.SpectrumScaling[scaling.name],
+            **kw,
+        )
+        t, f, S = sp.stft(
+            X2.T,
+            sampling_rate_hz=FS,
+            window_type=window_type,
+            scaling=scaling,
+            **kw,
+        )
+    np.testing.assert_allclose(t, t_ref, rtol=1e-12)
+    np.testing.assert_allclose(f, f_ref, rtol=1e-12)
+    # ours: (C, n_frames, F) → reference (F, n_frames, C)
+    got = np.transpose(np.asarray(S), (2, 1, 0))
+    assert_close(got, S_ref, tol=5e-5, name=f"stft-{window_type}-{scaling}")
+
+
+@pytest.mark.parametrize("average", ["mean", "median"])
+@pytest.mark.parametrize(
+    "scaling",
+    [SpectrumScaling.PowerSpectralDensity, SpectrumScaling.AmplitudeSpectrum],
+)
+def test_csm_welch(ref, average, scaling):
+    from dsptoolbox.standard._spectral_methods import _csm_welch
+
+    x = RNG.standard_normal((16384, 3)) * 0.2
+    f_ref, csm_ref = _csm_welch(
+        x,
+        FS,
+        window_length_samples=512,
+        window_type=ref.Window.Hann,
+        overlap_percent=50,
+        detrend=True,
+        average=average,
+        scaling=ref.SpectrumScaling[scaling.name],
+    )
+    f, csm = sp.csm_welch(
+        x.T,
+        sampling_rate_hz=FS,
+        window_length_samples=512,
+        window_type=Window.Hann,
+        overlap_percent=50,
+        detrend=True,
+        average=average,
+        scaling=scaling,
+    )
+    np.testing.assert_allclose(f, f_ref, rtol=1e-12)
+    assert_close(np.asarray(csm), csm_ref, tol=5e-5, name=f"csm-{average}-{scaling}")
+
+
+@pytest.mark.parametrize(
+    "scaling",
+    [
+        SpectrumScaling.FFTBackward,
+        SpectrumScaling.PowerSpectrum,
+        SpectrumScaling.AmplitudeSpectralDensity,
+    ],
+)
+def test_csm_from_spectrum(ref, scaling):
+    from dsptoolbox.standard._spectral_methods import _csm_fft
+
+    spec = np.fft.rfft(RNG.standard_normal((4096, 3)), axis=0)
+    want = _csm_fft(spec, ref.SpectrumScaling[scaling.name], None, FS)
+    got = sp.csm_from_spectrum(spec, scaling, None, FS)
+    assert_close(np.asarray(got), want, tol=5e-5, name=f"csmfft-{scaling}")
+
+
+def test_framing_roundtrip():
+    import jax.numpy as jnp
+
+    from dsptoolbox_tpu.ops import frame_signal, reconstruct_framed_signal
+    from dsptoolbox_tpu.ops.windows import get_window
+
+    x = RNG.standard_normal((2, 10_000)).astype(np.float32)
+    w = get_window(Window.Hann, 512, symmetric=False)
+    frames = frame_signal(jnp.asarray(x), 512, 256) * jnp.asarray(
+        w, dtype=jnp.float32
+    )
+    rec = reconstruct_framed_signal(
+        frames, 256, window=w, original_signal_length=10_000
+    )
+    # COLA window² reconstruction is exact away from the un-padded edges
+    assert_close(
+        np.asarray(rec)[:, 512:-1024], x[:, 512:-1024], tol=1e-5, name="ola"
+    )
+
+
+def test_wav_reader_against_scipy():
+    import scipy.io.wavfile as wavfile
+
+    from dsptoolbox_tpu.io import read_wav
+
+    for name in ["rir.wav", "chirp.wav", "fuer_elise.wav", "chirp_stereo.wav"]:
+        path = f"/root/reference/example_data/{name}"
+        fs_ref, data_ref = wavfile.read(path)
+        if data_ref.dtype == np.int16:
+            data_ref = data_ref / 2.0**15
+        elif data_ref.dtype == np.int32:
+            data_ref = data_ref / 2.0**31
+        data, fs = read_wav(path)
+        assert fs == fs_ref
+        np.testing.assert_allclose(data, data_ref, atol=0)
