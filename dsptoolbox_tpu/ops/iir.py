@@ -30,10 +30,20 @@ from .._config import default_float
 
 
 def _affine_combine(a, b):
-    """Compose affine maps s -> M s + v: fn(earlier, later) returns later∘earlier."""
+    """Compose affine maps s -> M s + v: fn(earlier, later) returns later∘earlier.
+
+    The tiny matrix products are forced to full fp32 precision: with the TPU
+    default, XLA would route them through the MXU at bf16 inputs, which
+    destroys parity with scipy (observed ~1e-2 relative error).
+    """
     Ma, va = a
     Mb, vb = b
-    return jnp.matmul(Mb, Ma), jnp.einsum("...ij,...j->...i", Mb, va) + vb
+    M = jnp.matmul(Mb, Ma, precision=jax.lax.Precision.HIGHEST)
+    v = (
+        jnp.einsum("...ij,...j->...i", Mb, va, precision=jax.lax.Precision.HIGHEST)
+        + vb
+    )
+    return M, v
 
 
 def linear_recurrence(
@@ -55,7 +65,9 @@ def linear_recurrence(
     M = jnp.broadcast_to(A, (T,) + Bx.shape[1:] + (A.shape[-1],))
     Ms, vs = jax.lax.associative_scan(_affine_combine, (M, Bx), axis=0)
     if zi is not None:
-        vs = vs + jnp.einsum("t...ij,...j->t...i", Ms, zi)
+        vs = vs + jnp.einsum(
+            "t...ij,...j->t...i", Ms, zi, precision=jax.lax.Precision.HIGHEST
+        )
     return vs
 
 
@@ -125,7 +137,23 @@ def lfilter(
 
     Numerically matches ``scipy.signal.lfilter(b, a, x, zi=zi)`` (TDF2 state
     convention). Returns ``(y, zf)`` where ``zf (..., N)`` is the final state.
+
+    For order > 2 with zero initial state, the filter is applied as a cascade
+    of second-order sections (identical transfer function, designed host-side
+    via ``tf2sos``): a high-order direct-form recursion amplifies fp32
+    rounding beyond the 1e-5 parity budget, the biquad cascade does not. The
+    direct form is kept for the streaming (``zi``) path, whose state layout
+    is the scipy TDF2 convention.
     """
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    order = max(len(a), len(b)) - 1
+    if zi is None and order > 2 and len(a) > 1:
+        from scipy.signal import tf2sos
+
+        y, _ = sosfilt(tf2sos(b, a), x)
+        zf = jnp.zeros(x.shape[:-1] + (order,), dtype=x.dtype)
+        return y, zf
     A, Bvec, b0 = _tdf2_system(b, a)
     y, zf = _apply_tdf2(x, A, Bvec, b0, zi)
     return y, zf
