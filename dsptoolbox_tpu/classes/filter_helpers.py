@@ -1,0 +1,219 @@
+"""Filter design helpers and Signal-level application glue.
+
+Behavioral reference: `dsptoolbox/classes/filter_helpers.py`. Coefficient
+design is host-side numpy (static given parameters); application dispatches
+to the TPU kernels in `ops.iir` / `ops.fft_conv` with channels-first layout.
+"""
+
+from __future__ import annotations
+
+from warnings import warn
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fft_conv import fft_convolve
+from ..ops.iir import filtfilt_ba, lfilter, sosfilt, sosfiltfilt
+from ..standard.enums import BiquadEqType
+
+
+def biquad_coefficients(
+    eq_type: BiquadEqType,
+    fs_hz: int,
+    frequency_hz: float,
+    gain_db: float,
+    q: float,
+):
+    """RBJ audio-EQ-cookbook biquad coefficients.
+
+    parity: like the reference (`classes/filter_helpers.py:30-44`), the
+    linear gain ``A`` multiplies the numerator of *every* eq type (not only
+    peak/shelf, where the cookbook defines it as 10^(G/40)).
+    """
+    shelf_like = eq_type in (
+        BiquadEqType.Peaking,
+        BiquadEqType.Lowshelf,
+        BiquadEqType.Highshelf,
+    )
+    A = 10 ** (gain_db / 40) if shelf_like else 10 ** (gain_db / 20)
+    Omega = 2.0 * np.pi * (frequency_hz / fs_hz)
+    sn, cs = np.sin(Omega), np.cos(Omega)
+    alpha = sn / (2.0 * q)
+    sqA = np.sqrt(A)
+    b = np.zeros(3)
+    a = np.zeros(3)
+    if eq_type == BiquadEqType.Peaking:
+        b[:] = 1 + alpha * A, -2 * cs, 1 - alpha * A
+        a[:] = 1 + alpha / A, -2 * cs, 1 - alpha / A
+    elif eq_type == BiquadEqType.Lowpass:
+        b[:] = (1 - cs) / 2 * A, (1 - cs) * A, (1 - cs) / 2 * A
+        a[:] = 1 + alpha, -2 * cs, 1 - alpha
+    elif eq_type == BiquadEqType.Highpass:
+        b[:] = (1 + cs) / 2 * A, -(1 + cs) * A, (1 + cs) / 2 * A
+        a[:] = 1 + alpha, -2 * cs, 1 - alpha
+    elif eq_type == BiquadEqType.BandpassSkirt:
+        b[:] = sn / 2 * A, 0.0, -sn / 2 * A
+        a[:] = 1 + alpha, -2 * cs, 1 - alpha
+    elif eq_type == BiquadEqType.BandpassPeak:
+        b[:] = alpha * A, 0.0, -alpha * A
+        a[:] = 1 + alpha, -2 * cs, 1 - alpha
+    elif eq_type == BiquadEqType.Notch:
+        b[:] = A, -2 * cs * A, A
+        a[:] = 1 + alpha, -2 * cs, 1 - alpha
+    elif eq_type == BiquadEqType.Allpass:
+        b[:] = (1 - alpha) * A, -2 * cs * A, (1 + alpha) * A
+        a[:] = 1 + alpha, -2 * cs, 1 - alpha
+    elif eq_type == BiquadEqType.Lowshelf:
+        b[:] = (
+            A * ((A + 1) - (A - 1) * cs + 2 * sqA * alpha),
+            2 * A * ((A - 1) - (A + 1) * cs),
+            A * ((A + 1) - (A - 1) * cs - 2 * sqA * alpha),
+        )
+        a[:] = (
+            (A + 1) + (A - 1) * cs + 2 * sqA * alpha,
+            -2 * ((A - 1) + (A + 1) * cs),
+            (A + 1) + (A - 1) * cs - 2 * sqA * alpha,
+        )
+    elif eq_type == BiquadEqType.Highshelf:
+        b[:] = (
+            A * ((A + 1) + (A - 1) * cs + 2 * sqA * alpha),
+            -2 * A * ((A - 1) + (A + 1) * cs),
+            A * ((A + 1) + (A - 1) * cs - 2 * sqA * alpha),
+        )
+        a[:] = (
+            (A + 1) - (A - 1) * cs + 2 * sqA * alpha,
+            2 * ((A - 1) - (A + 1) * cs),
+            (A + 1) - (A - 1) * cs - 2 * sqA * alpha,
+        )
+    elif eq_type == BiquadEqType.LowpassFirstOrder:
+        K = 1.0 / np.tan(Omega / 2.0)
+        b[:] = A, A, 0.0
+        a[:] = 1.0 + K, 1.0 - K, 0.0
+    elif eq_type == BiquadEqType.HighpassFirstOrder:
+        K = 1.0 / np.tan(Omega / 2.0)
+        b[:] = K * A, -K * A, 0.0
+        a[:] = 1.0 + K, 1.0 - K, 0.0
+    elif eq_type == BiquadEqType.AllpassFirstOrder:
+        K = 1.0 / np.tan(Omega / 2.0)
+        b[:] = (1.0 - K) * A, (1.0 + K) * A, 0.0
+        a[:] = 1.0 + K, 1.0 - K, 0.0
+    elif eq_type == BiquadEqType.Inverter:
+        b[:] = A, 0.0, 0.0
+        a[:] = 1.0, 0.0, 0.0
+    else:
+        raise ValueError("eq_type not supported")
+    return b, a
+
+
+def impulse(length_samples: int = 512, delay_samples: int = 0) -> np.ndarray:
+    """Unit impulse (`classes/filter_helpers.py:145-164`)."""
+    imp = np.zeros(length_samples)
+    imp[delay_samples] = 1
+    return imp
+
+
+def group_delay_filter(ba, length_samples: int = 512, fs_hz: int = 48000):
+    """Group delay of a filter from ba via ramped-coefficient polynomial
+    evaluation (`classes/filter_helpers.py:166-205`). Static host math —
+    designs are tiny."""
+    omega = np.linspace(0, np.pi, length_samples)
+    c = np.convolve(ba[0], np.conjugate(ba[1][::-1]))
+    cr = c * np.arange(len(c))
+    z = np.exp(1j * omega)
+    num = np.polyval(cr, z)
+    denum = np.polyval(c, z)
+    gd = np.real(num / denum) - len(ba[1]) + 1
+    gd[~np.isfinite(gd)] = 0
+    f = omega / np.pi * (fs_hz / 2)
+    return f, gd / fs_hz
+
+
+def _replace_channels(signal, y: jnp.ndarray, channels, warn_complex: bool):
+    """Insert filtered channels ``y (T, len(channels))`` back into a copy of
+    ``signal``; complex output goes to time_data_imaginary with a warning."""
+    new_td = jnp.asarray(signal.time_data)
+    if jnp.iscomplexobj(y):
+        if warn_complex:
+            warn(
+                "Filter output is complex. Imaginary part is saved in "
+                "Signal as time_data_imaginary"
+            )
+        new_td = new_td.astype(y.dtype)
+    new_td = new_td.at[:, jnp.asarray(channels)].set(y)
+    return signal.copy_with_new_time_data(np.asarray(new_td))
+
+
+def filter_on_signal(
+    signal,
+    sos: np.ndarray,
+    channels=None,
+    zi=None,
+    zero_phase: bool = False,
+    warning_on_complex_output: bool = True,
+):
+    """SOS filtering of selected channels of a Signal
+    (`classes/filter_helpers.py:208-286`). Returns (new_signal, zi_new)."""
+    if channels is None:
+        channels = np.arange(signal.number_of_channels)
+    x = signal.time_data_jax[:, jnp.asarray(channels)].T  # (C_sel, T)
+    if zi is not None:
+        zi_arr = jnp.asarray(np.stack(zi, axis=0))  # (C_all, S, 2)
+        zi_sel = zi_arr[jnp.asarray(channels)]
+        y, zf = sosfilt(sos, x, zi=zi_sel)
+        zi_arr = zi_arr.at[jnp.asarray(channels)].set(zf)
+        zi_new = [np.asarray(zi_arr[c]) for c in range(zi_arr.shape[0])]
+    else:
+        zi_new = None
+        if zero_phase:
+            y = sosfiltfilt(sos, x)
+        else:
+            y, _ = sosfilt(sos, x)
+    new_signal = _replace_channels(
+        signal, y.T, channels, warning_on_complex_output
+    )
+    return new_signal, zi_new
+
+
+def filter_on_signal_ba(
+    signal,
+    ba,
+    channels=None,
+    zi=None,
+    zero_phase: bool = False,
+    is_fir: bool = False,
+    warning_on_complex_output: bool = True,
+):
+    """ba filtering of selected channels (`classes/filter_helpers.py:288-380`).
+
+    FIR without state → FFT convolution truncated to the signal length (the
+    TPU replacement for the reference's `_lfilter_fir`/oaconvolve path).
+    Returns (new_signal, zi_new)."""
+    b, a = np.atleast_1d(ba[0]), np.atleast_1d(ba[1])
+    if channels is None:
+        channels = np.arange(signal.number_of_channels)
+    x = signal.time_data_jax[:, jnp.asarray(channels)].T  # (C_sel, T)
+    T = x.shape[-1]
+    if zi is not None:
+        zi_arr = jnp.asarray(np.stack(zi, axis=0))  # (C_all, N)
+        zi_sel = zi_arr[jnp.asarray(channels)]
+        y, zf = lfilter(b, a, x, zi=zi_sel)
+        zi_arr = zi_arr.at[jnp.asarray(channels)].set(zf)
+        zi_new = [np.asarray(zi_arr[c]) for c in range(zi_arr.shape[0])]
+    else:
+        zi_new = None
+        if zero_phase:
+            if is_fir:
+                h = jnp.asarray(b, dtype=x.real.dtype)
+                y = fft_convolve(x, h)[..., :T]
+                y = jnp.flip(fft_convolve(jnp.flip(y, -1), h)[..., :T], -1)
+            else:
+                y = filtfilt_ba(b, a, x)
+        else:
+            if is_fir:
+                y = fft_convolve(x, jnp.asarray(b, dtype=x.real.dtype))[..., :T]
+            else:
+                y, _ = lfilter(b, a, x)
+    new_signal = _replace_channels(
+        signal, y.T, channels, warning_on_complex_output
+    )
+    return new_signal, zi_new

@@ -1,0 +1,420 @@
+"""FilterBank: ordered list of Filters with Parallel/Sequential/Summed modes.
+
+Behavioral reference: `dsptoolbox/classes/filterbank.py`.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from pickle import HIGHEST_PROTOCOL, dump
+
+import numpy as np
+
+from ..helpers.other import check_format_in_path
+from ..standard.enums import FilterBankMode
+from .filter import Filter
+from .multibandsignal import MultiBandSignal
+from .signal import Signal
+
+
+def filterbank_on_signal(
+    signal: Signal,
+    filters: list[Filter],
+    mode: FilterBankMode,
+    activate_zi: bool = False,
+    zero_phase: bool = False,
+    same_sampling_rate: bool = True,
+):
+    """Apply a list of filters in the selected mode
+    (`classes/filter_helpers.py:385-451`)."""
+    n_filt = len(filters)
+    if mode == FilterBankMode.Parallel:
+        bands = [
+            filters[n].filter_signal(
+                signal, activate_zi=activate_zi, zero_phase=zero_phase
+            )
+            for n in range(n_filt)
+        ]
+        return MultiBandSignal(bands, same_sampling_rate=same_sampling_rate)
+    if mode == FilterBankMode.Sequential:
+        out_sig = signal.copy()
+        for n in range(n_filt):
+            out_sig = filters[n].filter_signal(
+                out_sig, activate_zi=activate_zi, zero_phase=zero_phase
+            )
+        return out_sig
+    if mode == FilterBankMode.Summed:
+        total = None
+        for n in range(n_filt):
+            s = filters[n].filter_signal(
+                signal, activate_zi=activate_zi, zero_phase=zero_phase
+            )
+            total = s.time_data if total is None else total + s.time_data
+        return signal.copy_with_new_time_data(total)
+    raise ValueError("Invalid filter bank apply mode")
+
+
+class FilterBank:
+    def __init__(
+        self,
+        filters: list | None = None,
+        same_sampling_rate: bool = True,
+        info: dict | None = None,
+    ):
+        """Bank of filters applied in parallel, sequentially or summed
+        (`classes/filterbank.py:36-72`)."""
+        if info is None:
+            info = {}
+        self.same_sampling_rate = same_sampling_rate
+        self.filters = filters if filters is not None else []
+        self.info: dict = info
+
+    # ======== Properties ====================================================
+    @property
+    def filters(self) -> list[Filter]:
+        return self.__filters
+
+    @filters.setter
+    def filters(self, new_filters):
+        if new_filters is None:
+            new_filters = []
+        if isinstance(new_filters, tuple):
+            new_filters = list(new_filters)
+        assert isinstance(new_filters, list), "filters must be a list"
+        if new_filters:
+            for f in new_filters:
+                assert isinstance(f, Filter), (
+                    f"{type(f)} is not a valid filter type. Use Filter "
+                    "objects"
+                )
+            if self.same_sampling_rate:
+                self.sampling_rate_hz = new_filters[0].sampling_rate_hz
+                for f in new_filters:
+                    assert f.sampling_rate_hz == self.sampling_rate_hz, (
+                        "Not all filters have the same sampling rate. For "
+                        "a multirate bank set same_sampling_rate to False"
+                    )
+            else:
+                self.sampling_rate_hz = [
+                    f.sampling_rate_hz for f in new_filters
+                ]
+        self.__filters = new_filters
+
+    @property
+    def same_sampling_rate(self) -> bool:
+        return self.__same_sampling_rate
+
+    @same_sampling_rate.setter
+    def same_sampling_rate(self, new_same):
+        assert isinstance(new_same, bool)
+        self.__same_sampling_rate = new_same
+
+    @property
+    def sampling_rate_hz(self):
+        return self.__sampling_rate_hz
+
+    @sampling_rate_hz.setter
+    def sampling_rate_hz(self, new_sampling_rate_hz):
+        if self.same_sampling_rate:
+            self.__sampling_rate_hz = int(np.squeeze(new_sampling_rate_hz))
+        else:
+            self.__sampling_rate_hz = [
+                int(s) for s in np.atleast_1d(new_sampling_rate_hz)
+            ]
+
+    @property
+    def number_of_filters(self) -> int:
+        return len(self.filters)
+
+    def __len__(self):
+        return self.number_of_filters
+
+    def __iter__(self):
+        return iter(self.filters)
+
+    def __str__(self):
+        return self.metadata_str
+
+    @property
+    def metadata(self) -> dict:
+        info = {
+            "number_of_filters": self.number_of_filters,
+            "same_sampling_rate": self.same_sampling_rate,
+        }
+        if self.same_sampling_rate and self.filters:
+            info["sampling_rate_hz"] = self.sampling_rate_hz
+        info["types_of_filters"] = tuple(
+            set(f.metadata["filter_type"] for f in self.filters)
+        )
+        return info
+
+    @property
+    def metadata_str(self) -> str:
+        txt = "Filter bank:"
+        for k, v in (self.metadata | self.info).items():
+            txt += f" | {str(k).replace('_', ' ').capitalize()}: {v}"
+        txt += "\n" + "–" * len(txt)
+        for ind, f in enumerate(self.filters):
+            txt += f"\nFilter {ind}:"
+            for kf, vf in f.metadata.items():
+                txt += f" | {str(kf).replace('_', ' ').capitalize()}: {vf}"
+        return txt
+
+    # ======== Filter management =============================================
+    def add_filter(self, filt: Filter, index: int = -1) -> "FilterBank":
+        filters = self.filters
+        if index == -1:
+            filters = filters + [filt]
+        else:
+            filters = filters[:index] + [filt] + filters[index:]
+        self.filters = filters
+        return self
+
+    def remove_filter(self, index: int = -1, return_filter: bool = False):
+        assert self.filters, "There are no filters to remove"
+        filters = list(self.filters)
+        f = filters.pop(index)
+        self.filters = filters
+        if return_filter:
+            return self, f
+        return self
+
+    def swap_filters(self, new_order) -> "FilterBank":
+        new_order = np.atleast_1d(np.asarray(new_order).squeeze())
+        assert len(new_order) == self.number_of_filters, (
+            "The number of filters does not match"
+        )
+        assert all(new_order < self.number_of_filters) and all(
+            new_order >= 0
+        ), (
+            "Indexes of new filters have to be in "
+            f"[0, {self.number_of_filters - 1}]"
+        )
+        assert len(np.unique(new_order)) == len(new_order), (
+            "There are repeated indexes in the new order vector"
+        )
+        self.filters = [self.filters[i] for i in new_order]
+        return self
+
+    def initialize_zi(self, number_of_channels: int = 1) -> "FilterBank":
+        for f in self.filters:
+            f.initialize_zi(number_of_channels)
+        return self
+
+    # ======== Filtering =====================================================
+    def filter_signal(
+        self,
+        signal: Signal,
+        mode: FilterBankMode,
+        activate_zi: bool = False,
+        zero_phase: bool = False,
+    ):
+        """Apply the bank (`classes/filterbank.py:396-478`): Parallel →
+        MultiBandSignal, Sequential/Summed → Signal."""
+        if isinstance(signal, MultiBandSignal):
+            raise TypeError(
+                "This method only supports Signal objects. Use "
+                "filter_multiband_signal() for multirate parallel filtering"
+            )
+        if mode in (FilterBankMode.Sequential, FilterBankMode.Summed):
+            assert self.same_sampling_rate, (
+                "Multirate filtering is not valid for sequential or summed "
+                "filtering"
+            )
+        assert np.all(signal.sampling_rate_hz == self.sampling_rate_hz), (
+            "Sampling rates do not match"
+        )
+        if zero_phase:
+            assert not activate_zi, (
+                "Zero-phase filtering and zi cannot be used at the same time"
+            )
+        if activate_zi:
+            if not hasattr(self.filters[0], "zi") or len(
+                self.filters[0].zi
+            ) != signal.number_of_channels:
+                self.initialize_zi(signal.number_of_channels)
+        return filterbank_on_signal(
+            signal,
+            self.filters,
+            mode=mode,
+            activate_zi=activate_zi,
+            zero_phase=zero_phase,
+            same_sampling_rate=self.same_sampling_rate,
+        )
+
+    def filter_multiband_signal(
+        self,
+        mbsignal: MultiBandSignal,
+        activate_zi: bool = False,
+        zero_phase: bool = False,
+    ) -> MultiBandSignal:
+        """Per-band parallel filtering of a MultiBandSignal
+        (`classes/filterbank.py:479-533`)."""
+        assert np.all(mbsignal.sampling_rate_hz == self.sampling_rate_hz), (
+            "Sampling rates do not match"
+        )
+        if zero_phase:
+            assert not activate_zi, (
+                "Zero-phase filtering and zi cannot be used at the same time"
+            )
+        if activate_zi:
+            if not hasattr(self.filters[0], "zi") or len(
+                self.filters[0].zi
+            ) != mbsignal.number_of_channels:
+                self.initialize_zi(mbsignal.number_of_channels)
+        new_sig = mbsignal.copy()
+        for n in range(mbsignal.number_of_bands):
+            new_sig.bands[n] = self.filters[n].filter_signal(
+                mbsignal.bands[n],
+                channels=None,
+                activate_zi=activate_zi,
+                zero_phase=zero_phase,
+            )
+        return new_sig
+
+    # ======== Getters =======================================================
+    def get_ir(
+        self,
+        mode: FilterBankMode = FilterBankMode.Parallel,
+        length_samples: int = 1024,
+        zero_phase: bool = False,
+    ):
+        """Impulse responses of the bank (`classes/filterbank.py:534-600`)."""
+        from .filter_helpers import impulse
+        from .impulse_response import ImpulseResponse
+
+        d = ImpulseResponse(
+            None,
+            impulse(length_samples),
+            (
+                self.sampling_rate_hz
+                if self.same_sampling_rate
+                else self.sampling_rate_hz[0]
+            ),
+            constrain_amplitude=False,
+        )
+        return self.filter_signal(d, mode, zero_phase=zero_phase)
+
+    # ======== Plots =========================================================
+    def plot_magnitude(
+        self,
+        mode: FilterBankMode = FilterBankMode.Parallel,
+        range_hz=[20, 20e3],
+        length_samples: int = 1024,
+        test_zi: bool = False,
+    ):
+        """Magnitude responses of all bands
+        (`classes/filterbank.py:662-770`)."""
+        from ..helpers.gain_and_level import to_db
+        from ..plots import general_plot
+
+        d = self.get_ir(
+            FilterBankMode.Parallel, length_samples=length_samples
+        )
+        fs = (
+            self.sampling_rate_hz
+            if self.same_sampling_rate
+            else self.sampling_rate_hz[0]
+        )
+        f = np.fft.rfftfreq(length_samples, 1 / fs)
+        specs = []
+        for b in d.bands:
+            sp = np.fft.rfft(b.time_data[:, 0])
+            specs.append(np.asarray(to_db(sp, True)))
+        mat = np.stack(specs, axis=1)
+        if mode == FilterBankMode.Summed:
+            total = np.sum(
+                np.stack([b.time_data[:, 0] for b in d.bands], 1), axis=1
+            )
+            mat = np.asarray(to_db(np.fft.rfft(total), True))[:, None]
+        labels = [f"Filter {n}" for n in range(mat.shape[1])]
+        return general_plot(
+            f, mat, range_hz, ylabel="Magnitude / dB", labels=labels
+        )
+
+    def plot_phase(
+        self,
+        mode: FilterBankMode = FilterBankMode.Parallel,
+        range_hz=[20, 20e3],
+        length_samples: int = 1024,
+        unwrap: bool = False,
+    ):
+        """Phase responses (`classes/filterbank.py:771-870`)."""
+        from ..plots import general_plot
+
+        d = self.get_ir(FilterBankMode.Parallel, length_samples=length_samples)
+        fs = (
+            self.sampling_rate_hz
+            if self.same_sampling_rate
+            else self.sampling_rate_hz[0]
+        )
+        f = np.fft.rfftfreq(length_samples, 1 / fs)
+        phases = []
+        for b in d.bands:
+            ph = np.angle(np.fft.rfft(b.time_data[:, 0]))
+            if unwrap:
+                ph = np.unwrap(ph)
+            phases.append(ph)
+        mat = np.stack(phases, axis=1)
+        if mode == FilterBankMode.Summed:
+            total = np.sum(
+                np.stack([b.time_data[:, 0] for b in d.bands], 1), axis=1
+            )
+            ph = np.angle(np.fft.rfft(total))
+            mat = (np.unwrap(ph) if unwrap else ph)[:, None]
+        return general_plot(
+            f,
+            mat,
+            range_hz,
+            ylabel="Phase / rad",
+            labels=[f"Filter {n}" for n in range(mat.shape[1])],
+        )
+
+    def plot_group_delay(
+        self,
+        mode: FilterBankMode = FilterBankMode.Parallel,
+        range_hz=[20, 20e3],
+        length_samples: int = 1024,
+    ):
+        """Group delays (`classes/filterbank.py:871-1008`)."""
+        import jax.numpy as jnp
+
+        from ..plots import general_plot
+        from ..standard.backend import group_delay_direct
+
+        d = self.get_ir(FilterBankMode.Parallel, length_samples=length_samples)
+        fs = (
+            self.sampling_rate_hz
+            if self.same_sampling_rate
+            else self.sampling_rate_hz[0]
+        )
+        f = np.fft.rfftfreq(length_samples, 1 / fs)
+        gds = []
+        for b in d.bands:
+            sp = np.fft.rfft(b.time_data[:, 0])
+            gd = np.asarray(
+                group_delay_direct(jnp.asarray(np.angle(sp)), f[1] - f[0])
+            )
+            gds.append(gd * 1e3)
+        mat = np.stack(gds, axis=1)
+        return general_plot(
+            f,
+            mat,
+            range_hz,
+            ylabel="Group delay / ms",
+            labels=[f"Filter {n}" for n in range(mat.shape[1])],
+        )
+
+    # ======== Saving / copying ==============================================
+    def save_filterbank(self, path: str):
+        path = check_format_in_path(path, "pkl")
+        with open(path, "wb") as data_file:
+            dump(self, data_file, HIGHEST_PROTOCOL)
+        return self
+
+    def copy(self) -> "FilterBank":
+        return deepcopy(self)
+
+    def show_info(self):
+        print(self.metadata_str)
+        return self

@@ -1,0 +1,821 @@
+"""Signal: the central time-series container.
+
+Behavioral reference: `dsptoolbox/classes/signal.py` (API surface, data
+conventions, amplitude constraining, spectrum/CSM/spectrogram parameter
+handling). TPU redesign:
+
+- ``time_data`` lives as a jax device array ``(T, C)``; all heavy getters
+  (`get_spectrum`, `get_csm`, `get_spectrogram`) dispatch to the functional
+  ops in `dsptoolbox_tpu.ops` (channels-first kernels, jitted & cached by
+  static config) and transpose at this boundary.
+- No hidden mutable cache flags: a monotonic state counter keys a small memo
+  per getter (equivalent observable behavior to the reference's
+  ``activate_cache`` logic, `classes/signal.py:163-171`).
+- IO and plotting stay host-side.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from pickle import HIGHEST_PROTOCOL, dump
+from warnings import warn
+
+import jax.numpy as jnp
+import numpy as np
+
+from .._config import default_float
+from ..helpers.other import check_format_in_path
+from ..helpers.spectrum_utilities import get_normalized_spectrum, wrap_phase
+from ..ops.pad_trim import pad_trim_axis
+from ..ops.spectral import csm_from_spectrum, csm_welch, stft, welch
+from ..ops.windows import get_window
+from ..standard.enums import (
+    MagnitudeNormalization,
+    SpectrumMethod,
+    SpectrumScaling,
+    Window,
+)
+from ._multichannel import MultichannelData
+
+
+class Signal(MultichannelData):
+    """General multichannel audio signal container backed by a device array.
+
+    Time data is stored as ``(time samples, channels)`` like the reference
+    (`classes/signal.py:209-222`), in the package default float (fp32 on
+    TPU).
+    """
+
+    # ======== Constructor ===================================================
+    def __init__(
+        self,
+        path: str | None = None,
+        time_data=None,
+        sampling_rate_hz: int | None = None,
+        constrain_amplitude: bool = False,
+        activate_cache: bool = False,
+    ):
+        self.constrain_amplitude = constrain_amplitude
+        self.calibrated_signal = False
+        self.activate_cache = activate_cache
+        self._state_counter = 0
+        self._cache: dict = {}
+        if path is not None:
+            assert time_data is None, (
+                "Constructor cannot take a path and a vector at the same time"
+            )
+            assert sampling_rate_hz is None, (
+                "Constructor cannot take a path and a sampling rate at the "
+                "same time"
+            )
+            from ..io import read_audio
+
+            time_data, sampling_rate_hz = read_audio(path)
+        else:
+            assert time_data is not None, (
+                "Either a path to an audio file or a time vector has to be "
+                "passed"
+            )
+            assert sampling_rate_hz is not None, (
+                "A sampling rate should be passed!"
+            )
+        self.sampling_rate_hz = sampling_rate_hz
+        self.time_data = time_data
+        self.set_spectrum_parameters()
+        self.set_spectrogram_parameters()
+
+    @staticmethod
+    def from_file(path: str) -> "Signal":
+        return Signal(path)
+
+    @staticmethod
+    def from_time_data(
+        time_data,
+        sampling_rate_hz: int,
+        constrain_amplitude: bool = True,
+    ) -> "Signal":
+        return Signal(None, time_data, sampling_rate_hz, constrain_amplitude)
+
+    # ======== State =========================================================
+    def __update_state(self):
+        self._state_counter += 1
+        self._cache.clear()
+
+    # ======== Properties ====================================================
+    @property
+    def time_data(self) -> np.ndarray:
+        """Time data ``(T, C)`` as host numpy (API parity with the
+        reference). Use ``time_data_jax`` for the device array."""
+        return np.asarray(self._time_data)
+
+    @property
+    def time_data_jax(self) -> jnp.ndarray:
+        """Time data ``(T, C)`` as the underlying jax device array."""
+        return self._time_data
+
+    @time_data.setter
+    def time_data(self, new_time_data):
+        td = np.atleast_2d(np.asarray(new_time_data)).squeeze()
+        assert td.ndim <= 2, (
+            f"{td.ndim} are too many dimensions for time data. Dimensions "
+            "should be [time samples, channels]"
+        )
+        if td.ndim < 2:
+            td = td[..., None]
+        if td.shape[1] > td.shape[0]:
+            td = td.T
+        if np.iscomplexobj(td):
+            td_imag = np.imag(td)
+            td = np.real(td)
+        else:
+            td_imag = None
+        if self.constrain_amplitude:
+            td_max = np.max(np.abs(td))
+            if td_imag is not None:
+                td_max = max(td_max, np.max(np.abs(td_imag)))
+            if td_max > 1.0:
+                td = td / td_max
+                warn(
+                    "Signal was over 0 dBFS, normalizing to 0 dBFS "
+                    "peak level was triggered"
+                )
+                if td_imag is not None:
+                    td_imag = td_imag / td_max
+                self.__amplitude_scale_factor = 1.0 / td_max
+            else:
+                self.__amplitude_scale_factor = 1.0
+        else:
+            self.__amplitude_scale_factor = 1.0
+        self._time_data = jnp.asarray(td, dtype=default_float())
+        self._time_data_imag = (
+            jnp.asarray(td_imag, dtype=default_float())
+            if td_imag is not None
+            else None
+        )
+        self.clear_time_window()
+        self.__update_state()
+
+    @property
+    def time_data_imaginary(self) -> np.ndarray | None:
+        if self._time_data_imag is None:
+            return None
+        return np.asarray(self._time_data_imag)
+
+    @time_data_imaginary.setter
+    def time_data_imaginary(self, new_imag):
+        if new_imag is None:
+            self._time_data_imag = None
+        else:
+            new_imag = np.atleast_2d(np.asarray(new_imag))
+            if new_imag.shape[0] < new_imag.shape[1]:
+                new_imag = new_imag.T
+            assert new_imag.shape == self._time_data.shape, (
+                "Imaginary part must match time data shape"
+            )
+            self._time_data_imag = jnp.asarray(new_imag, dtype=default_float())
+        self.__update_state()
+
+    @property
+    def is_complex_signal(self) -> bool:
+        return self._time_data_imag is not None
+
+    @property
+    def amplitude_scale_factor(self) -> float:
+        return self.__amplitude_scale_factor
+
+    @property
+    def sampling_rate_hz(self) -> int:
+        return self.__sampling_rate_hz
+
+    @sampling_rate_hz.setter
+    def sampling_rate_hz(self, new_sampling_rate_hz):
+        assert new_sampling_rate_hz is not None
+        self.__sampling_rate_hz = int(new_sampling_rate_hz)
+
+    @property
+    def length_samples(self) -> int:
+        return self._time_data.shape[0]
+
+    @property
+    def length_seconds(self) -> float:
+        return self.length_samples / self.sampling_rate_hz
+
+    @property
+    def time_vector_s(self) -> np.ndarray:
+        return np.linspace(
+            0,
+            self.length_samples / self.sampling_rate_hz,
+            self.length_samples,
+        )
+
+    @property
+    def constrain_amplitude(self) -> bool:
+        return self.__constrain_amplitude
+
+    @constrain_amplitude.setter
+    def constrain_amplitude(self, nca):
+        assert isinstance(nca, bool)
+        self.__constrain_amplitude = nca
+
+    @property
+    def calibrated_signal(self) -> bool:
+        return self.__calibrated_signal
+
+    @calibrated_signal.setter
+    def calibrated_signal(self, ncs):
+        assert isinstance(ncs, bool)
+        self.__calibrated_signal = ncs
+
+    @property
+    def metadata(self) -> dict:
+        return {
+            "sampling_rate_hz": self.sampling_rate_hz,
+            "number_of_channels": self.number_of_channels,
+            "signal_length_samples": self.length_samples,
+            "signal_length_seconds": self.length_seconds,
+            "constrain_amplitude": self.constrain_amplitude,
+            "amplitude_scale_factor": self.amplitude_scale_factor,
+            "is_complex_signal": self.is_complex_signal,
+        }
+
+    @property
+    def metadata_str(self) -> str:
+        txt = "\n"
+        for k, v in self.metadata.items():
+            txt += f"{str(k).replace('_', ' ').capitalize()}: {v}\n"
+        return txt
+
+    def __str__(self):
+        return self.metadata_str
+
+    def __iter__(self):
+        return iter(
+            self.get_channels(ch) for ch in range(self.number_of_channels)
+        )
+
+    # ======== Spectrum configuration ========================================
+    def set_spectrum_parameters(
+        self,
+        method: SpectrumMethod = SpectrumMethod.WelchPeriodogram,
+        smoothing: int = 0,
+        pad_to_fast_length: bool = True,
+        window_length_samples: int = 1024,
+        window_type: Window = Window.Hann,
+        overlap_percent: float = 50,
+        detrend: bool = True,
+        average: str = "mean",
+        scaling: SpectrumScaling = SpectrumScaling.FFTBackward,
+    ) -> "Signal":
+        """Configure `get_spectrum` (defaults match the reference,
+        `classes/signal.py:497-588`)."""
+        new = dict(
+            method=method,
+            smoothing=smoothing,
+            pad_to_fast_length=pad_to_fast_length,
+            window_length_samples=window_length_samples,
+            window_type=window_type,
+            overlap_percent=overlap_percent,
+            detrend=detrend,
+            average=average,
+            scaling=scaling,
+        )
+        if getattr(self, "_spectrum_parameters", None) != new:
+            self._spectrum_parameters = new
+            self._cache.pop("spectrum", None)
+            self._cache.pop("csm", None)
+        return self
+
+    @property
+    def spectrum_method(self) -> SpectrumMethod:
+        return self._spectrum_parameters["method"]
+
+    @spectrum_method.setter
+    def spectrum_method(self, new_method: SpectrumMethod):
+        assert isinstance(new_method, SpectrumMethod)
+        self._spectrum_parameters["method"] = new_method
+        self._cache.pop("spectrum", None)
+        self._cache.pop("csm", None)
+
+    @property
+    def spectrum_scaling(self) -> SpectrumScaling:
+        return self._spectrum_parameters["scaling"]
+
+    @spectrum_scaling.setter
+    def spectrum_scaling(self, new_scaling: SpectrumScaling):
+        assert isinstance(new_scaling, SpectrumScaling)
+        self._spectrum_parameters["scaling"] = new_scaling
+        self._cache.pop("spectrum", None)
+        self._cache.pop("csm", None)
+
+    @property
+    def spectrum_smoothing(self) -> int:
+        return self._spectrum_parameters["smoothing"]
+
+    @spectrum_smoothing.setter
+    def spectrum_smoothing(self, new_smoothing):
+        self._spectrum_parameters["smoothing"] = new_smoothing
+        self._cache.pop("spectrum", None)
+
+    def set_spectrogram_parameters(
+        self,
+        window_length_samples: int = 1024,
+        window_type: Window = Window.Hann,
+        overlap_percent: float = 50.0,
+        fft_length_samples: int | None = None,
+        detrend: bool = False,
+        padding: bool = True,
+        scaling: SpectrumScaling = SpectrumScaling.FFTBackward,
+    ) -> "Signal":
+        """Configure `get_spectrogram` (defaults as in
+        `classes/signal.py:706-773`)."""
+        new = dict(
+            window_length_samples=window_length_samples,
+            window_type=window_type,
+            overlap_percent=overlap_percent,
+            fft_length_samples=fft_length_samples,
+            detrend=detrend,
+            padding=padding,
+            scaling=scaling,
+        )
+        if getattr(self, "_spectrogram_parameters", None) != new:
+            self._spectrogram_parameters = new
+            self._cache.pop("spectrogram", None)
+        return self
+
+    # ======== Channels ======================================================
+    def add_channel(
+        self,
+        path: str | None = None,
+        new_time_data=None,
+        sampling_rate_hz: int | None = None,
+        allow_padding_trimming: bool = True,
+    ) -> "Signal":
+        """Append channels from a file or an array
+        (`classes/signal.py:776-852`)."""
+        if path is not None:
+            assert new_time_data is None, (
+                "Only path or new time data is accepted, not both."
+            )
+            from ..io import read_audio
+
+            new_time_data, sampling_rate_hz = read_audio(path)
+        assert sampling_rate_hz == self.sampling_rate_hz, (
+            f"{sampling_rate_hz} does not match {self.sampling_rate_hz} "
+            "as the sampling rate"
+        )
+        td = np.asarray(new_time_data)
+        if td.ndim > 2:
+            td = td.squeeze()
+        assert td.ndim <= 2, "Too many dimensions for time data"
+        if td.ndim < 2:
+            td = td[..., None]
+        if td.shape[1] > td.shape[0]:
+            td = td.T
+        diff = td.shape[0] - self.length_samples
+        if diff != 0:
+            txt = "Padding" if diff < 0 else "Trimming"
+            if allow_padding_trimming:
+                td = np.asarray(
+                    pad_trim_axis(jnp.asarray(td), self.length_samples, axis=0)
+                )
+                warn(
+                    f"{txt} has been performed on the end of the new signal "
+                    "to match original one."
+                )
+            else:
+                raise AttributeError(
+                    f"{td.shape[0]} does not match {self.length_samples}. "
+                    "Activate allow_padding_trimming for allowing this "
+                    "channel to be added"
+                )
+        self.time_data = np.concatenate([self.time_data, td], axis=1)
+        return self
+
+    def clear_time_window(self) -> "Signal":
+        if hasattr(self, "window"):
+            del self.window
+        return self
+
+    # ======== Heavy getters (device compute) ================================
+    def get_spectrum(self, force_computation=False):
+        """(freqs, spectrum ``(F, C)``) per the stored parameters.
+
+        Welch → real spectrum; FFT → complex backward-normalized rfft with
+        optional smoothing/physical scaling (`classes/signal.py:861-946`).
+        """
+        if not force_computation and "spectrum" in self._cache:
+            f, sp = self._cache["spectrum"]
+            return f.copy(), sp.copy()
+        p = self._spectrum_parameters
+        if self.spectrum_method == SpectrumMethod.WelchPeriodogram:
+            sp = welch(
+                self._time_data.T,
+                None,
+                sampling_rate_hz=self.sampling_rate_hz,
+                window_length_samples=p["window_length_samples"],
+                window_type=p["window_type"],
+                overlap_percent=p["overlap_percent"],
+                detrend=p["detrend"],
+                average=p["average"],
+                scaling=p["scaling"],
+            ).T
+            fft_length = p["window_length_samples"]
+        else:
+            from scipy.fft import next_fast_len
+
+            fft_length = (
+                next_fast_len(self.length_samples, True)
+                if p["pad_to_fast_length"]
+                else self.length_samples
+            )
+            sp = jnp.fft.rfft(
+                self._complex_time_data_or_real().T,
+                axis=-1,
+                norm=self.spectrum_scaling.fft_norm(),
+                n=fft_length,
+            ).T
+            if p["smoothing"] != 0:
+                from ..helpers.smoothing import fractional_octave_smoothing
+
+                mag = fractional_octave_smoothing(
+                    jnp.abs(sp), None, p["smoothing"], clip_values=True
+                )
+                ph = fractional_octave_smoothing(
+                    jnp.unwrap(jnp.angle(sp), axis=0), None, p["smoothing"]
+                )
+                sp = mag * jnp.exp(1j * ph)
+            if self.spectrum_scaling.has_physical_units():
+                from ..helpers.spectrum_utilities import scale_spectrum
+
+                sp = scale_spectrum(
+                    sp,
+                    self.spectrum_scaling,
+                    fft_length,
+                    self.sampling_rate_hz,
+                    getattr(self, "window", None),
+                )
+        freqs = np.fft.rfftfreq(fft_length, 1 / self.sampling_rate_hz)
+        if self.activate_cache:
+            self._cache["spectrum"] = (freqs, sp)
+        return freqs, sp
+
+    def _complex_time_data_or_real(self) -> jnp.ndarray:
+        if self.is_complex_signal:
+            return self._time_data + 1j * self._time_data_imag
+        return self._time_data
+
+    def get_csm(self, force_computation=False):
+        """(freqs, csm ``(F, C, C)``) — one batched einsum on device
+        (`classes/signal.py:948-1007`; kernel `ops/spectral.py`)."""
+        assert self.number_of_channels > 1, (
+            "Cross spectral matrix can only be computed when at least two "
+            "channels are available"
+        )
+        if not force_computation and "csm" in self._cache:
+            f, csm = self._cache["csm"]
+            return f.copy(), csm.copy()
+        p = self._spectrum_parameters
+        if self.spectrum_method == SpectrumMethod.WelchPeriodogram:
+            f, csm = csm_welch(
+                self._time_data.T,
+                sampling_rate_hz=self.sampling_rate_hz,
+                window_length_samples=p["window_length_samples"],
+                window_type=p["window_type"],
+                overlap_percent=p["overlap_percent"],
+                detrend=p["detrend"],
+                average=p["average"],
+                scaling=p["scaling"],
+            )
+        else:
+            old_scaling = self.spectrum_scaling
+            self._spectrum_parameters["scaling"] = SpectrumScaling.FFTBackward
+            self._cache.pop("spectrum", None)
+            f, sp = self.get_spectrum()
+            self._spectrum_parameters["scaling"] = old_scaling
+            self._cache.pop("spectrum", None)
+            csm = csm_from_spectrum(
+                sp,
+                old_scaling,
+                getattr(self, "window", None),
+                self.sampling_rate_hz,
+            )
+        if self.activate_cache:
+            self._cache["csm"] = (f, csm)
+        return f, csm
+
+    def get_spectrogram(self, force_computation: bool = False):
+        """(t, f, stft ``(F, n_frames, C)``) (`classes/signal.py:1009-1057`)."""
+        if not force_computation and "spectrogram" in self._cache:
+            t, f, S = self._cache["spectrogram"]
+            return t.copy(), f.copy(), S.copy()
+        p = self._spectrogram_parameters
+        t, f, S = stft(
+            self._time_data.T,
+            sampling_rate_hz=self.sampling_rate_hz,
+            window_length_samples=p["window_length_samples"],
+            window_type=p["window_type"],
+            overlap_percent=p["overlap_percent"],
+            fft_length_samples=p["fft_length_samples"],
+            detrend=p["detrend"],
+            padding=p["padding"],
+            scaling=p["scaling"],
+        )
+        S = jnp.transpose(S, (2, 1, 0))  # (C, frames, F) -> (F, frames, C)
+        if self.activate_cache:
+            self._cache["spectrogram"] = (t, f, S)
+        return t, f, S
+
+    # ======== Plots =========================================================
+    def plot_magnitude(
+        self,
+        range_hz=[20.0, 20e3],
+        normalize: MagnitudeNormalization = MagnitudeNormalization.NoNormalization,
+        range_db=None,
+        smoothing: int = 0,
+        show_info_box: bool = False,
+    ):
+        """Magnitude spectrum plot (`classes/signal.py:1059-1161`)."""
+        from ..plots import general_plot
+
+        prior = self._spectrum_parameters["smoothing"]
+        self._spectrum_parameters["smoothing"] = 0
+        f, sp = self.get_spectrum()
+        self._spectrum_parameters["smoothing"] = prior
+        f, mag_db = get_normalized_spectrum(
+            f=f,
+            spectra=sp,
+            is_amplitude_scaling=self.spectrum_scaling.is_amplitude_scaling(),
+            f_range_hz=range_hz,
+            normalize=normalize,
+            smoothing=smoothing,
+            phase=False,
+            calibrated_data=self.calibrated_signal,
+        )
+        txt = None
+        if show_info_box:
+            txt = (
+                f"Info\nMode: {self._spectrum_parameters['method']}"
+                f"\nRange: {range_hz}\nNormalized: {normalize}"
+                f"\nSmoothing: {smoothing}"
+            )
+        suffix = {
+            MagnitudeNormalization.NoNormalization: (
+                "" if self.calibrated_signal else "FS"
+            ),
+            MagnitudeNormalization.OneKhz: " (normalized @ 1 kHz)",
+            MagnitudeNormalization.OneKhzFirstChannel: (
+                " (normalized @ 1 kHz for first channel)"
+            ),
+            MagnitudeNormalization.Max: " (normalized @ peak)",
+            MagnitudeNormalization.MaxFirstChannel: (
+                " (normalized @ peak for first channel)"
+            ),
+            MagnitudeNormalization.Energy: " (normalized with average energy)",
+            MagnitudeNormalization.EnergyFirstChannel: (
+                " (normalized with average energy of first channel)"
+            ),
+        }[normalize]
+        return general_plot(
+            f,
+            np.asarray(mag_db),
+            range_hz,
+            range_y=range_db,
+            ylabel="Magnitude / dB" + suffix,
+            info_box=txt,
+            labels=[f"Channel {n}" for n in range(self.number_of_channels)],
+        )
+
+    def plot_time(self):
+        """Per-channel waveform plot (`classes/signal.py:1163-1192`)."""
+        from ..plots import general_subplots_line
+
+        td = self.time_data
+        fig, ax = general_subplots_line(
+            self.time_vector_s,
+            td,
+            sharex=True,
+            ylabels=[f"Channel {n}" for n in range(self.number_of_channels)],
+            xlabels="Time / s",
+        )
+        td_im = self.time_data_imaginary
+        for n in range(self.number_of_channels):
+            mx = np.max(np.abs(td[:, n])) * 1.1 if td.size else 1.0
+            if td_im is not None:
+                ax[n].plot(
+                    self.time_vector_s, td_im[:, n], alpha=0.9, linestyle="dotted"
+                )
+            if mx > 0:
+                ax[n].set_ylim([-mx, mx])
+        return fig, ax
+
+    def plot_spl(
+        self,
+        normalize_at_peak: bool = False,
+        dynamic_range_db: float | None = 100.0,
+        window_length_s: float = 0.0,
+    ):
+        """Momentary SPL (dB / dBFS / dB(Pa)) per channel
+        (`classes/signal.py:1194-1294`)."""
+        from ..helpers.gain_and_level import to_db
+        from ..helpers.smoothing import time_smoothing
+        from ..plots import general_subplots_line
+
+        td = self._time_data
+        p0 = 20e-6 if self.calibrated_signal and not normalize_at_peak else 1.0
+        x = td / p0
+        if normalize_at_peak:
+            x = x / jnp.max(jnp.abs(x))
+        power = x**2
+        if window_length_s > 0:
+            power = time_smoothing(
+                power.T, self.sampling_rate_hz, window_length_s
+            ).T
+        spl = np.asarray(to_db(power, False))
+        if dynamic_range_db is not None:
+            spl = np.clip(spl, np.max(spl) - abs(dynamic_range_db), None)
+        unit = (
+            "dBFS"
+            if not self.calibrated_signal or normalize_at_peak
+            else "dB SPL"
+        )
+        fig, ax = general_subplots_line(
+            self.time_vector_s,
+            spl,
+            sharex=True,
+            ylabels=[
+                f"Channel {n} / {unit}"
+                for n in range(self.number_of_channels)
+            ],
+            xlabels="Time / s",
+        )
+        return fig, ax
+
+    def plot_group_delay(self, range_hz=[20.0, 20e3], smoothing: int = 0):
+        """Group delay plot (FFT spectrum, -dφ/dω;
+        `classes/signal.py:1296-1382`)."""
+        from ..plots import general_plot
+        from ..standard.backend import group_delay_direct
+
+        prior = self._spectrum_parameters.copy()
+        self.set_spectrum_parameters(
+            method=SpectrumMethod.FFT,
+            scaling=SpectrumScaling.FFTBackward,
+            pad_to_fast_length=False,
+        )
+        f, sp = self.get_spectrum(force_computation=True)
+        self._spectrum_parameters = prior
+        self._cache.pop("spectrum", None)
+        gd = group_delay_direct(jnp.angle(sp), f[1] - f[0], axis=0)
+        if smoothing != 0:
+            from ..helpers.smoothing import fractional_octave_smoothing
+
+            gd = fractional_octave_smoothing(gd, None, smoothing)
+        return general_plot(
+            f,
+            np.asarray(gd) * 1e3,
+            range_hz,
+            ylabel="Group delay / ms",
+            labels=[f"Channel {n}" for n in range(self.number_of_channels)],
+        )
+
+    def plot_spectrogram(
+        self, channel_number: int = 0, logfreqs: bool = True, dynamic_range_db=50
+    ):
+        """Spectrogram heatmap of one channel
+        (`classes/signal.py:1384-1449`)."""
+        from ..plots import general_matrix_plot
+
+        t, f, S = self.get_spectrogram()
+        mag = np.abs(np.asarray(S[..., channel_number]))
+        eps = np.finfo(np.float64).eps
+        mag_db = 20 * np.log10(mag + eps)
+        fig, ax = general_matrix_plot(
+            mag_db,
+            range_x=(t[0], t[-1]),
+            range_y=(max(f[0], 1.0), f[-1]),
+            range_z=dynamic_range_db,
+            xlabel="Time / s",
+            ylabel="Frequency / Hz",
+            zlabel="Magnitude / dB",
+            ylog=logfreqs,
+        )
+        return fig, ax
+
+    def plot_phase(
+        self,
+        range_hz=[20.0, 20e3],
+        unwrap: bool = False,
+        smoothing: int = 0,
+        remove_ir_latency: bool = False,
+    ):
+        """Phase plot; requires an FFT-type spectrum
+        (`classes/signal.py:1451-1545`)."""
+        from ..plots import general_plot
+
+        assert self.spectrum_method == SpectrumMethod.FFT, (
+            "Phase cannot be plotted since the spectrum is not complex. Set "
+            "the spectrum method to FFT"
+        )
+        f, sp = self.get_spectrum()
+        ph = jnp.angle(sp)
+        if remove_ir_latency:
+            from ..helpers.latency import (
+                get_fractional_impulse_peak_index,
+                remove_ir_latency_from_phase,
+            )
+
+            lat = get_fractional_impulse_peak_index(self.time_data)
+            ph = remove_ir_latency_from_phase(
+                f, ph, lat, self.sampling_rate_hz
+            )
+        if smoothing != 0:
+            from ..helpers.smoothing import fractional_octave_smoothing
+
+            ph = wrap_phase(
+                fractional_octave_smoothing(
+                    jnp.unwrap(ph, axis=0), None, smoothing
+                )
+            )
+        if unwrap:
+            ph = jnp.unwrap(ph, axis=0)
+        return general_plot(
+            f,
+            np.asarray(ph),
+            range_hz,
+            ylabel="Phase / rad",
+            labels=[f"Channel {n}" for n in range(self.number_of_channels)],
+        )
+
+    def plot_csm(self, range_hz=[20.0, 20e3], logx: bool = True, with_phase=True):
+        """Lower-triangle CSM magnitude (+phase) matrix plot
+        (`classes/signal.py:1547-1569`, `classes/plots.py:_csm_plot`)."""
+        from ._plots import csm_plot
+
+        f, csm = self.get_csm()
+        return csm_plot(f, np.asarray(csm), range_hz, logx, with_phase)
+
+    # ======== Saving / copying ==============================================
+    def save_signal(self, path: str, mode: str = "wav", bit_depth: int = 32):
+        """Save as wav (our RIFF writer) or pickle
+        (`classes/signal.py:1572-1611`)."""
+        mode = mode.lower()
+        path = check_format_in_path(path, mode)
+        if mode == "wav":
+            from ..io import write_wav
+
+            subtype = {
+                16: "PCM_16",
+                24: "PCM_24",
+                32: "FLOAT",
+                64: "DOUBLE",
+            }.get(bit_depth)
+            if subtype is None:
+                raise ValueError(
+                    "Selected bit depth is not valid. Use either 16, 24, 32 "
+                    "or 64"
+                )
+            write_wav(path, self.time_data, self.sampling_rate_hz, subtype)
+        elif mode == "pkl":
+            with open(path, "wb") as data_file:
+                dump(self, data_file, HIGHEST_PROTOCOL)
+        else:
+            raise ValueError(
+                f"{mode} is not a supported saving mode. Use wav or pkl"
+            )
+        return self
+
+    def copy(self) -> "Signal":
+        return deepcopy(self)
+
+    def copy_with_new_time_data(self, new_time_data) -> "Signal":
+        new_signal = Signal.from_time_data(
+            np.asarray(new_time_data),
+            self.sampling_rate_hz,
+            self.constrain_amplitude,
+        )
+        new_signal.calibrated_signal = self.calibrated_signal
+        new_signal.activate_cache = self.activate_cache
+        new_signal._spectrum_parameters = deepcopy(self._spectrum_parameters)
+        new_signal._spectrogram_parameters = deepcopy(
+            self._spectrogram_parameters
+        )
+        return new_signal
+
+    # ======== MultichannelData hooks ========================================
+    def _get_data(self) -> jnp.ndarray:
+        if self.is_complex_signal:
+            return self._time_data + 1j * self._time_data_imag
+        return self._time_data
+
+    def _set_data(self, data) -> None:
+        self.time_data = np.asarray(data)
+
+    def _create_copy_with_new_data(self, data) -> "Signal":
+        return self.copy_with_new_time_data(np.asarray(data))
+
+    def _update_state(self) -> None:
+        self.__update_state()
+
+    def show_info(self):
+        print(self.metadata_str)
+        return self

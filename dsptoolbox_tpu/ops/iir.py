@@ -148,12 +148,18 @@ def lfilter(
     b = np.atleast_1d(np.asarray(b, dtype=np.float64))
     a = np.atleast_1d(np.asarray(a, dtype=np.float64))
     order = max(len(a), len(b)) - 1
-    if zi is None and order > 2 and len(a) > 1:
-        from scipy.signal import tf2sos
+    if len(a) == 1 and zi is None and order > 2:
+        # pure FIR without state: one FFT convolution
+        from .fft_conv import fft_convolve
 
-        y, _ = sosfilt(tf2sos(b, a), x)
-        zf = jnp.zeros(x.shape[:-1] + (order,), dtype=x.dtype)
-        return y, zf
+        h = jnp.asarray(b / a[0], dtype=x.dtype)
+        y = fft_convolve(x, h)[..., : x.shape[-1]]
+        return y, jnp.zeros(x.shape[:-1] + (order,), dtype=x.dtype)
+    if order <= 2 or zi is None:
+        from .iir_block import lfilter_block
+
+        return lfilter_block(b, a, x, zi=zi)
+    # high-order stateful path: associative scan on the TDF2 companion form
     A, Bvec, b0 = _tdf2_system(b, a)
     y, zf = _apply_tdf2(x, A, Bvec, b0, zi)
     return y, zf
@@ -168,9 +174,24 @@ def sosfilt(
 
     Mirrors ``scipy.signal.sosfilt``: ``sos (S, 6)`` static host-side
     coefficients; ``zi (..., S, 2)`` optional initial state. Returns
-    ``(y, zf)``. Each section is one associative scan; the cascade is a short
-    Python loop (static S) over sections.
+    ``(y, zf)``.
+
+    Dispatches to the blocked MXU formulation (`ops.iir_block`) — exact block
+    processing via `lax.scan` + static matmuls, which compiles orders of
+    magnitude faster than the associative scan and runs on the MXU. The
+    associative-scan variant is kept as `sosfilt_assoc` for reference.
     """
+    from .iir_block import sosfilt_block
+
+    return sosfilt_block(sos, x, zi=zi)
+
+
+def sosfilt_assoc(
+    sos: np.ndarray,
+    x: jnp.ndarray,
+    zi: jnp.ndarray | None = None,
+):
+    """Associative-scan sosfilt (log-depth parallel prefix per section)."""
     sos = np.asarray(sos, dtype=np.float64)
     if sos.ndim != 2 or sos.shape[1] != 6:
         raise ValueError(f"sos must be (S, 6), got {sos.shape}")

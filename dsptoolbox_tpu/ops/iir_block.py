@@ -1,0 +1,212 @@
+"""Blocked IIR filtering: the TPU fast path for sosfilt/lfilter.
+
+A per-sample IIR recursion maps badly onto the TPU, and even the log-depth
+associative scan (see `ops.iir`) compiles to hundreds of small kernels. The
+formulation here is *exact block processing*: for an LTI system in state-space
+form (A, B, C, D),
+
+    y[n]  = sum_{k<=n} h[n-k] x[k]  +  C A^n s_prev          (within a block)
+    s_end = A^L s_prev + sum_k A^{L-1-k} B x[k]
+
+so a whole block of L samples is two MXU matmuls against *static* matrices
+(the L×L lower-triangular Toeplitz of the impulse response — exact within the
+block, no truncation — plus the state propagation/injection operators), and
+the sequence of blocks is one `lax.scan` carrying the N-dim state. One
+compiled while loop, a few matmuls per step: seconds to compile, runs at
+matmul speed on the MXU.
+
+The SOS cascade is composed host-side (float64) into one state-space whose
+state vector is the concatenation of the per-section scipy TDF2 states, so
+``zi``/``zf`` keep scipy's ``(S, 2)`` layout exactly.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _tdf2_abcd(b: np.ndarray, a: np.ndarray):
+    """Transposed direct-form II state-space (A, B, C, D) of normalized ba —
+    the state convention of scipy's ``lfilter``/``sosfilt`` zi."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if a[0] != 1.0:
+        b = b / a[0]
+        a = a / a[0]
+    N = max(len(a), len(b)) - 1
+    bp = np.zeros(N + 1)
+    ap = np.zeros(N + 1)
+    bp[: len(b)] = b
+    ap[: len(a)] = a
+    A = np.zeros((N, N))
+    A[:, 0] = -ap[1:]
+    A[: N - 1, 1:] = np.eye(N - 1)
+    B = (bp[1:] - ap[1:] * bp[0])[:, None]
+    C = np.zeros((1, N))
+    C[0, 0] = 1.0
+    D = np.array([[bp[0]]])
+    return A, B, C, D
+
+
+def _series_compose(systems):
+    """Series-connect state-space systems, preserving member state order in
+    the concatenated state vector."""
+    A_c, B_c, C_c, D_c = systems[0]
+    for A2, B2, C2, D2 in systems[1:]:
+        n1 = A_c.shape[0]
+        n2 = A2.shape[0]
+        A_new = np.zeros((n1 + n2, n1 + n2))
+        A_new[:n1, :n1] = A_c
+        A_new[n1:, n1:] = A2
+        A_new[n1:, :n1] = B2 @ C_c
+        B_new = np.vstack([B_c, B2 @ D_c])
+        C_new = np.hstack([D2 @ C_c, C2])
+        D_new = D2 @ D_c
+        A_c, B_c, C_c, D_c = A_new, B_new, C_new, D_new
+    return A_c, B_c, C_c, D_c
+
+
+def _sos_abcd(sos: np.ndarray):
+    return _series_compose([_tdf2_abcd(sec[:3], sec[3:]) for sec in sos])
+
+
+@lru_cache(maxsize=256)
+def _block_operators(sos_key: tuple, L: int):
+    """Static (HmatT (L,L), GyT (N,L), ALT (N,N), MT (L,N)) in float64:
+    y_blk = x_blk @ HmatT + s @ GyT ;  s' = s @ ALT + x_blk @ MT."""
+    sos = np.asarray(sos_key, dtype=np.float64).reshape(-1, 6)
+    A, B, C, D = _sos_abcd(sos)
+    N = A.shape[0]
+    powers = np.empty((L + 1, N, N))
+    powers[0] = np.eye(N)
+    for i in range(1, L + 1):
+        powers[i] = powers[i - 1] @ A
+    h = np.empty(L)
+    h[0] = D[0, 0]
+    for m in range(1, L):
+        h[m] = (C @ powers[m - 1] @ B)[0, 0]
+    Hmat = np.zeros((L, L))
+    for m in range(L):
+        np.fill_diagonal(Hmat[m:, : L - m], h[m])
+    Gy = np.stack([(C @ powers[n])[0] for n in range(L)], axis=0)
+    AL = powers[L]
+    M = np.stack([(powers[L - 1 - k] @ B)[:, 0] for k in range(L)], axis=1)
+    return Hmat.T, Gy.T, AL.T, M.T
+
+
+def _pick_block(T: int) -> int:
+    if T <= 128:
+        return max(8, T)
+    return 256 if T >= 2048 else 128
+
+
+def sosfilt_block(
+    sos: np.ndarray,
+    x: jnp.ndarray,
+    zi: jnp.ndarray | None = None,
+    block_size: int | None = None,
+):
+    """Blocked ``sosfilt`` over the last axis of ``x (..., T)``.
+
+    Matches ``scipy.signal.sosfilt`` numerically, including the ``zi``/``zf``
+    state layout ``(..., S, 2)``. Returns ``(y, zf)``.
+    """
+    sos = np.asarray(sos, dtype=np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (S, 6), got {sos.shape}")
+    S = sos.shape[0]
+    N = 2 * S
+    T = x.shape[-1]
+    L = block_size or _pick_block(T)
+    L = min(L, T)
+    key = tuple(sos.reshape(-1).tolist())
+    HmatT, GyT, ALT, MT = (
+        jnp.asarray(m, x.dtype) for m in _block_operators(key, L)
+    )
+
+    n_full = T // L
+    rem = T - n_full * L
+    lead = x[..., : n_full * L]
+    xb = jnp.moveaxis(
+        lead.reshape(x.shape[:-1] + (n_full, L)), -2, 0
+    )  # (n_full, ..., L)
+
+    if zi is not None:
+        s0 = jnp.asarray(zi, x.dtype).reshape(x.shape[:-1] + (N,))
+    else:
+        s0 = jnp.zeros(x.shape[:-1] + (N,), x.dtype)
+
+    def step(s, x_blk):
+        y = jnp.dot(x_blk, HmatT, precision=_HIGH) + jnp.dot(
+            s, GyT, precision=_HIGH
+        )
+        s_next = jnp.dot(s, ALT, precision=_HIGH) + jnp.dot(
+            x_blk, MT, precision=_HIGH
+        )
+        return s_next, y
+
+    if n_full > 0:
+        s_end, yb = jax.lax.scan(step, s0, xb)
+        y = jnp.moveaxis(yb, 0, -2).reshape(x.shape[:-1] + (n_full * L,))
+    else:
+        s_end = s0
+        y = jnp.zeros(x.shape[:-1] + (0,), x.dtype)
+
+    if rem:
+        Hr, Gr, Ar, Mr = (
+            jnp.asarray(m, x.dtype) for m in _block_operators(key, rem)
+        )
+        x_tail = x[..., n_full * L :]
+        y_tail = jnp.dot(x_tail, Hr, precision=_HIGH) + jnp.dot(
+            s_end, Gr, precision=_HIGH
+        )
+        s_end = jnp.dot(s_end, Ar, precision=_HIGH) + jnp.dot(
+            x_tail, Mr, precision=_HIGH
+        )
+        y = jnp.concatenate([y, y_tail], axis=-1)
+
+    zf = s_end.reshape(x.shape[:-1] + (S, 2))
+    return y, zf
+
+
+def lfilter_block(
+    b: np.ndarray,
+    a: np.ndarray,
+    x: jnp.ndarray,
+    zi: jnp.ndarray | None = None,
+    block_size: int | None = None,
+):
+    """Blocked ``lfilter`` (TDF2 state ``(..., N)``), same machinery with the
+    single (b, a) system expressed as one pseudo-section when order ≤ 2, or
+    a cascade via tf2sos otherwise (zi path requires order ≤ 2)."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    order = max(len(a), len(b)) - 1
+    if order <= 2:
+        bp = np.zeros(3)
+        ap = np.zeros(3)
+        bp[: len(b)] = b
+        ap[: len(a)] = a
+        sos = np.concatenate([bp, ap])[None, :]
+        zi2 = None
+        if zi is not None:
+            zi2 = jnp.zeros(x.shape[:-1] + (1, 2), x.dtype)
+            zi2 = zi2.at[..., 0, :order].set(jnp.asarray(zi, x.dtype))
+        y, zf = sosfilt_block(sos, x, zi=zi2, block_size=block_size)
+        return y, zf[..., 0, :order]
+    if zi is not None:
+        raise NotImplementedError(
+            "Blocked lfilter with initial state is limited to order <= 2; "
+            "use ops.iir.lfilter for higher-order stateful filtering."
+        )
+    from scipy.signal import tf2sos
+
+    y, _ = sosfilt_block(tf2sos(b, a), x, block_size=block_size)
+    zf = jnp.zeros(x.shape[:-1] + (order,), x.dtype)
+    return y, zf

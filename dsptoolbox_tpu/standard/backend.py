@@ -1,0 +1,223 @@
+"""Array-level backend for the `standard` module.
+
+Behavioral reference: `dsptoolbox/standard/_standard_backend.py`. Device-side
+bulk math (group delay, minimum phase, thresholds); static designs
+(fractional-octave grids, Kaiser fractional-delay windows) host-side.
+
+Convention: frequency/time on the FIRST axis for the functions consumed by
+the class layer (matching the reference), channels after.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import iv as bessel_first_mod
+
+from ..helpers.gain_and_level import from_db
+from ..helpers.spectrum_utilities import wrap_phase
+from ..ops.fft_conv import fft_correlate
+
+
+def latency_integer(in1: np.ndarray, in2: np.ndarray | None, *_):
+    """Integer-sample latency via the correlation peak
+    (`_standard_backend.py:14-35`). ``in1/in2 (T, C)``; device FFT
+    correlation, host argmax readout."""
+    if in2 is None:
+        xcorr = fft_correlate(
+            jnp.asarray(in1[:, :1].T), jnp.asarray(in1[:, 1:].T)
+        )
+        peak_inds = np.argmax(np.abs(np.asarray(xcorr)), axis=-1)
+    else:
+        xcorr = fft_correlate(jnp.asarray(in2.T), jnp.asarray(in1.T))
+        peak_inds = np.argmax(np.abs(np.asarray(xcorr)), axis=-1)
+    return in1.shape[0] - peak_inds - 1
+
+
+def group_delay_direct(
+    phase: jnp.ndarray, delta_f: float = 1, axis: int = 0
+) -> jnp.ndarray:
+    """Group delay as -dφ/dω via central differences on the unwrapped phase
+    (`_standard_backend.py:37-64`; np.gradient edge behavior reproduced)."""
+    if jnp.iscomplexobj(phase):
+        phase = jnp.angle(phase)
+    ph = jnp.unwrap(phase, axis=axis)
+    ph = jnp.moveaxis(ph, axis, 0)
+    # np.gradient: central differences, one-sided at edges
+    inner = (ph[2:] - ph[:-2]) / 2.0
+    first = (ph[1] - ph[0])[None]
+    last = (ph[-1] - ph[-2])[None]
+    grad = jnp.concatenate([first, inner, last], axis=0)
+    grad = jnp.moveaxis(grad, 0, axis)
+    if delta_f != 1:
+        return -grad / delta_f / np.pi / 2
+    return -grad
+
+
+def minimum_phase_from_magnitude(
+    magnitude: jnp.ndarray,
+    whole_spectrum: bool = False,
+    unwrapped: bool = True,
+    odd_length: bool = False,
+) -> jnp.ndarray:
+    """Minimum phase from a magnitude spectrum via the Hilbert transform of
+    the log magnitude (`_standard_backend.py:66-121`). First axis =
+    frequency."""
+    from ..helpers.latency import analytic_signal
+
+    if jnp.iscomplexobj(magnitude):
+        magnitude = jnp.abs(magnitude)
+    max_value = jnp.max(magnitude)
+    lowest = from_db(-500.0, True) * max_value
+    log_mag = jnp.log(jnp.clip(magnitude, min=lowest))
+    original_length = magnitude.shape[0]
+    if not whole_spectrum:
+        if odd_length:
+            log_mag = jnp.concatenate(
+                [log_mag, jnp.flip(log_mag[1:], axis=0)], axis=0
+            )
+        else:
+            log_mag = jnp.concatenate(
+                [log_mag, jnp.flip(log_mag[1:-1], axis=0)], axis=0
+            )
+    min_phase = -jnp.imag(analytic_signal(log_mag, axis=0))[:original_length]
+    return min_phase if unwrapped else wrap_phase(min_phase)
+
+
+def center_frequencies_fractional_octaves_iec(num_fractions: int):
+    """IEC 61260:1:2014 nominal + exact center frequencies (static,
+    `_standard_backend.py:124-223`; pyfar formulas)."""
+    if num_fractions == 1:
+        nominal = np.array(
+            [31.5, 63, 125, 250, 500, 1e3, 2e3, 4e3, 8e3, 16e3], dtype=float
+        )
+    elif num_fractions == 3:
+        nominal = np.array(
+            [25, 31.5, 40, 50, 63, 80, 100, 125, 160, 200, 250, 315, 400,
+             500, 630, 800, 1000, 1250, 1600, 2000, 2500, 3150, 4000, 5000,
+             6300, 8000, 10000, 12500, 16000, 20000],
+            dtype=float,
+        )
+    else:
+        raise ValueError("Nominal frequencies only for fractions 1 and 3")
+    reference_freq = 1e3
+    octave_ratio = 10 ** (3 / 10)
+    if num_fractions % 2 != 0:
+        indices = np.around(
+            num_fractions
+            * np.log(nominal / reference_freq)
+            / np.log(octave_ratio)
+        )
+        exponent = indices / num_fractions
+    else:
+        indices = (
+            np.around(
+                2.0
+                * num_fractions
+                * np.log(nominal / reference_freq)
+                / np.log(octave_ratio)
+                - 1
+            )
+            / 2
+        )
+        exponent = (2 * indices + 1) / num_fractions / 2
+    exact = reference_freq * octave_ratio**exponent
+    return nominal, exact
+
+
+def exact_center_frequencies_fractional_octaves(
+    num_fractions: int, frequency_range
+) -> np.ndarray:
+    """Center frequencies of arbitrary fractional octave bands (static,
+    `_standard_backend.py:226-257`)."""
+    ref_freq = 1e3
+    Nmax = np.around(num_fractions * np.log2(frequency_range[1] / ref_freq))
+    Nmin = np.around(num_fractions * np.log2(ref_freq / frequency_range[0]))
+    indices = np.arange(-Nmin, Nmax + 1)
+    return ref_freq * 2 ** (indices / num_fractions)
+
+
+def kaiser_window_beta(A: float) -> float:
+    """Kaiser beta from desired side-lobe suppression
+    (`_standard_backend.py:259-287`)."""
+    A = abs(A)
+    if A > 50:
+        return 0.1102 * (A - 8.7)
+    if A >= 21:
+        return 0.5842 * (A - 21) ** 0.4 + 0.07886 * (A - 21)
+    return 0.0
+
+
+def kaiser_window_fractional(
+    length: int, side_lobe_suppression_db: float, fractional_delay: float
+) -> np.ndarray:
+    """Kaiser window with fractional offset (static design,
+    `_standard_backend.py:289-323`)."""
+    filter_order = length - 1
+    alpha = filter_order / 2
+    beta = kaiser_window_beta(abs(side_lobe_suppression_db))
+    L = np.arange(length).astype(float) - fractional_delay
+    if filter_order % 2:
+        L += 0.5
+    elif fractional_delay > 0.5:
+        L += 1
+    Z = beta * np.sqrt(
+        np.array(1 - ((L - alpha) / alpha) ** 2, dtype="complex")
+    )
+    return np.real(bessel_first_mod(0, Z)) / bessel_first_mod(0, beta)
+
+
+def fractional_delay_filter(
+    delay_samples: float,
+    order: int,
+    side_lobe_suppression_db: float,
+) -> tuple[int, np.ndarray]:
+    """Windowed-sinc fractional delay FIR (static design).
+
+    Mirrors `_standard_backend.py:430-493`: sinc at fractional offset ×
+    fractional Kaiser window. Returns (integer delay, fir)."""
+    delay_int = int(delay_samples)
+    frac = delay_samples - delay_int
+    # center the FIR: causal length order+1
+    if order % 2:
+        n_center = order // 2
+        if frac > 0.5:
+            n_center += 1
+            frac -= 1.0
+    else:
+        n_center = order // 2
+    n = np.arange(order + 1)
+    sinc = np.sinc(n - n_center - frac)
+    win = kaiser_window_fractional(
+        order + 1, side_lobe_suppression_db, frac
+    )
+    fir = sinc * win
+    return delay_int - n_center, fir
+
+
+def indices_above_threshold_dbfs(
+    time_vec: jnp.ndarray,
+    threshold_dbfs: float,
+    attack_smoothing_coeff: float,
+    release_smoothing_coeff: float,
+    sampling_rate_hz: int,
+    normalize: bool = True,
+):
+    """Boolean activity mask from a smoothed power envelope
+    (`_standard_backend.py:324-428`). ``time_vec (T,)``. Returns a jnp bool
+    mask."""
+    from ..helpers.smoothing import time_smoothing
+
+    x = time_vec.reshape(-1)
+    if normalize:
+        x = x / jnp.max(jnp.abs(x))
+    power = x**2
+    env = time_smoothing(
+        power,
+        sampling_rate_hz,
+        attack_smoothing_coeff,
+        release_smoothing_coeff,
+        axis=-1,
+    )
+    threshold = from_db(threshold_dbfs, False)
+    return env > threshold

@@ -188,7 +188,9 @@ class TestAR:
         x = rng.standard_normal((1024, 2))
         coeff_ref, err_ref = _burg_ar_estimation(x, 6)
         coeff, err = H.burg_ar(jnp.asarray(x, jnp.float32), 6)
-        close(coeff, coeff_ref, 1e-3, "burg_coeff")
+        # reference quirk: its 2D output is allocated (T+1, C) with only the
+        # first order+1 rows populated (`helpers/ar_estimation.py:166-171`)
+        close(coeff, coeff_ref[:7], 1e-3, "burg_coeff")
         close(err, err_ref, 1e-3, "burg_err")
 
 
