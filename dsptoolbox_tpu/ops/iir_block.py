@@ -100,6 +100,21 @@ def _block_operators(sos_key: tuple, L: int):
     return Hmat.T, Gy.T, AL.T, M.T
 
 
+@lru_cache(maxsize=256)
+def _al_power_table(sos_key: tuple, L: int, n_blocks: int) -> np.ndarray:
+    """Static table of AL^k (k = 0..n_blocks) in float64, AL = A^L of the
+    composed cascade."""
+    sos = np.asarray(sos_key, dtype=np.float64).reshape(-1, 6)
+    A, _, _, _ = _sos_abcd(sos)
+    AL = np.linalg.matrix_power(A, L)
+    N = A.shape[0]
+    out = np.empty((n_blocks + 1, N, N))
+    out[0] = np.eye(N)
+    for k in range(1, n_blocks + 1):
+        out[k] = out[k - 1] @ AL
+    return out
+
+
 def _pick_block(T: int) -> int:
     if T <= 128:
         return max(8, T)
@@ -142,18 +157,41 @@ def sosfilt_block(
     else:
         s0 = jnp.zeros(x.shape[:-1] + (N,), x.dtype)
 
-    def step(s, x_blk):
-        y = jnp.dot(x_blk, HmatT, precision=_HIGH) + jnp.dot(
-            s, GyT, precision=_HIGH
-        )
-        s_next = jnp.dot(s, ALT, precision=_HIGH) + jnp.dot(
-            x_blk, MT, precision=_HIGH
-        )
-        return s_next, y
-
     if n_full > 0:
-        s_end, yb = jax.lax.scan(step, s0, xb)
-        y = jnp.moveaxis(yb, 0, -2).reshape(x.shape[:-1] + (n_full * L,))
+        # Heavy, embarrassingly parallel part: within-block convolution and
+        # input→state injections for ALL blocks as two batched matmuls.
+        y_free = jnp.dot(xb, HmatT, precision=_HIGH)  # (n_blk, ..., L)
+        v = jnp.dot(xb, MT, precision=_HIGH)  # (n_blk, ..., N)
+
+        # Block-boundary state recurrence s_{k+1} = s_k @ ALT + v_k solved
+        # with a log-depth doubling prefix (no sequential while loop):
+        # X_k = sum_{j<=k} AL^{k-j} v_j via x_k += x_{k-2^t} @ (AL^{2^t})^T.
+        X = v
+        ALt_pow = ALT
+        shift = 1
+        while shift < n_full:
+            Xs = jnp.concatenate(
+                [jnp.zeros((shift,) + X.shape[1:], X.dtype), X[:-shift]],
+                axis=0,
+            )
+            X = X + jnp.dot(Xs, ALt_pow, precision=_HIGH)
+            ALt_pow = jnp.dot(ALt_pow, ALt_pow, precision=_HIGH)
+            shift *= 2
+
+        # Homogeneous part AL^k s0 from a static host-side power table.
+        pow_table = _al_power_table(key, L, n_full)  # (n_full+1, N, N)
+        powT = jnp.asarray(np.swapaxes(pow_table, -1, -2), x.dtype)
+        hom = jnp.einsum(
+            "...n,knm->k...m", s0, powT, precision=_HIGH
+        )  # (n_full+1, ..., N)
+
+        # state entering block k: s0 for k=0, else AL^k s0 + X_{k-1}
+        s_starts = hom[:n_full].at[1:].add(X[:-1])
+        s_end = hom[n_full] + X[n_full - 1]
+
+        # State contribution to every block output: one batched matmul.
+        y = y_free + jnp.dot(s_starts, GyT, precision=_HIGH)
+        y = jnp.moveaxis(y, 0, -2).reshape(x.shape[:-1] + (n_full * L,))
     else:
         s_end = s0
         y = jnp.zeros(x.shape[:-1] + (0,), x.dtype)

@@ -169,30 +169,23 @@ def kaiser_window_fractional(
 
 def fractional_delay_filter(
     delay_samples: float,
-    order: int,
+    filter_order: int,
     side_lobe_suppression_db: float,
 ) -> tuple[int, np.ndarray]:
-    """Windowed-sinc fractional delay FIR (static design).
-
-    Mirrors `_standard_backend.py:430-493`: sinc at fractional offset ×
-    fractional Kaiser window. Returns (integer delay, fir)."""
+    """Kaiser-windowed-sinc fractional delay FIR (static design; pyfar/Laakso
+    method, `_standard_backend.py:430-493`). Returns (integer delay, fir)."""
     delay_int = int(delay_samples)
-    frac = delay_samples - delay_int
-    # center the FIR: causal length order+1
-    if order % 2:
-        n_center = order // 2
-        if frac > 0.5:
-            n_center += 1
-            frac -= 1.0
+    delay_frac = delay_samples - delay_int
+    if filter_order % 2:
+        M_opt = int(delay_frac) - (filter_order - 1) / 2
     else:
-        n_center = order // 2
-    n = np.arange(order + 1)
-    sinc = np.sinc(n - n_center - frac)
-    win = kaiser_window_fractional(
-        order + 1, side_lobe_suppression_db, frac
+        M_opt = np.round(delay_frac) - filter_order / 2
+    n = np.arange(filter_order + 1) + M_opt - delay_frac
+    sinc = np.sinc(n)
+    kaiser = kaiser_window_fractional(
+        filter_order + 1, side_lobe_suppression_db, delay_frac
     )
-    fir = sinc * win
-    return delay_int - n_center, fir
+    return int(delay_int + M_opt), sinc * kaiser
 
 
 def indices_above_threshold_dbfs(
@@ -200,24 +193,34 @@ def indices_above_threshold_dbfs(
     threshold_dbfs: float,
     attack_smoothing_coeff: float,
     release_smoothing_coeff: float,
-    sampling_rate_hz: int,
     normalize: bool = True,
 ):
-    """Boolean activity mask from a smoothed power envelope
-    (`_standard_backend.py:324-428`). ``time_vec (T,)``. Returns a jnp bool
-    mask."""
-    from ..helpers.smoothing import time_smoothing
+    """Boolean activity mask from a smoothed power envelope, reproducing the
+    reference recursion exactly (`_standard_backend.py:324-380`, including
+    its comparison of the yet-unwritten gain sample). ``time_vec (T,)``."""
+    import jax
 
-    x = time_vec.reshape(-1)
+    x = jnp.asarray(time_vec).reshape(-1)
     if normalize:
         x = x / jnp.max(jnp.abs(x))
     power = x**2
-    env = time_smoothing(
-        power,
-        sampling_rate_hz,
-        attack_smoothing_coeff,
-        release_smoothing_coeff,
-        axis=-1,
+
+    # parity: the reference compares momentary_gain[i] (still zero when
+    # read) with time_power[i-1], so the attack branch never fires and the
+    # coefficient is the release one unless the previous power is exactly 0
+    def step_exact(carry, p):
+        p_prev, p_cur = p
+        coeff = jnp.where(
+            0.0 > p_prev,
+            attack_smoothing_coeff,
+            jnp.where(0.0 < p_prev, release_smoothing_coeff, 0.0),
+        )
+        new = coeff * p_cur + (1 - coeff) * carry
+        return new, new
+
+    _, gains = jax.lax.scan(
+        step_exact, jnp.asarray(0.0, x.dtype), (power[:-1], power[1:])
     )
-    threshold = from_db(threshold_dbfs, False)
-    return env > threshold
+    momentary_gain = jnp.concatenate([jnp.zeros(1, x.dtype), gains])
+    momentary_db = 10.0 * jnp.log10(momentary_gain)
+    return momentary_db > threshold_dbfs

@@ -1,0 +1,431 @@
+"""Array-level backend for transfer-function measurement.
+
+Behavioral reference: `dsptoolbox/transfer_functions/_transfer_functions.py`.
+TPU replacements for the reference's three numba kernels:
+
+- complex smoothing (`:414-476`): the per-bin variable-width log window is a
+  *static* banded linear operator given (F, octave_fraction, window) — built
+  host-side once, applied as a single (F×F)·(F×C) matmul on the MXU.
+- frequency-dependent windowing (`:478-504`): per-frequency Gaussian-windowed
+  DFT sums become a chunked einsum over (frequency, time, channel) tiles.
+- spectral deconvolution: batched regularized division + irfft.
+
+The data-dependent trimming heuristics (`:285-411`) stay host-side: they are
+scalar decision logic over tiny envelopes, not bulk compute (the envelope
+itself is computed on device).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from warnings import warn
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..helpers.gain_and_level import to_db
+from ..helpers.latency import analytic_signal
+from ..helpers.other import find_nearest_points_index_in_vector
+from ..helpers.smoothing import time_smoothing
+from ..helpers.windows_extra import calculate_tukey_like_window
+from ..ops.pad_trim import pad_trim_axis
+from ..standard.enums import Window
+
+
+def spectral_deconvolve_core(
+    num_fft: jnp.ndarray,
+    denum_fft: jnp.ndarray,
+    time_signal_length: int,
+    eps: np.ndarray | None,
+) -> jnp.ndarray:
+    """Batched regularized spectral division → irfft.
+
+    ``num_fft``/``denum_fft`` shaped ``(F, C)``; ``eps (F, C)`` is the static
+    regularization profile (already scaled) or None for plain division.
+    Mirrors `_transfer_functions.py:19-43`.
+    """
+    if eps is not None:
+        denum_reg = jnp.conj(denum_fft) / (
+            jnp.abs(denum_fft) ** 2 + jnp.asarray(eps, num_fft.real.dtype)
+        )
+        product = num_fft * denum_reg
+    else:
+        product = num_fft / denum_fft
+    return jnp.fft.irfft(product, n=time_signal_length, axis=0)
+
+
+def regularization_window(
+    start_stop_hz, freqs_hz: np.ndarray, window_type=Window.Hann
+) -> np.ndarray:
+    """Inverse Tukey-like window scaled by +30 dB — the regularization
+    spectrum of the reference (`_transfer_functions.py:30-36`)."""
+    ids = find_nearest_points_index_in_vector(start_stop_hz, freqs_hz)
+    return calculate_tukey_like_window(
+        ids, len(freqs_hz), window_type, True, inverse=True
+    ) * 10 ** (30 / 20)
+
+
+def window_this_ir_tukey(
+    vec: np.ndarray,
+    total_length: int,
+    window_type,
+    constant_percentage: float,
+    at_start: bool,
+    offset_samples: int,
+    left_to_right_flank_ratio: float,
+    adaptive_window: bool,
+):
+    """Peak-aligned adaptive Tukey windowing of one channel (host-side
+    data-dependent trimming; `_transfer_functions.py:45-148`)."""
+    start_sample = 0
+    flank_length_total = int((1 - constant_percentage) * total_length)
+    left_flank_length = int(
+        flank_length_total * 0.5 * left_to_right_flank_ratio
+    )
+    right_flank_length = max(flank_length_total - left_flank_length, 0)
+    impulse_index = int(np.argmax(np.abs(vec)))
+
+    if not adaptive_window:
+        padding_left = 0
+        if impulse_index - offset_samples < 0:
+            pad_length = -int(impulse_index - offset_samples)
+            vec = np.pad(vec, ((pad_length, 0)))
+            impulse_index += pad_length
+            start_sample += pad_length
+            padding_left += pad_length
+        else:
+            impulse_index -= offset_samples
+        if impulse_index - left_flank_length < 0:
+            pad_length = int(-(impulse_index - left_flank_length))
+            vec = np.pad(vec, ((pad_length, 0)))
+            start_sample += pad_length
+            padding_left += pad_length
+        else:
+            vec = vec[impulse_index - left_flank_length :]
+            start_sample = impulse_index - left_flank_length
+            impulse_index = left_flank_length
+        padding_right = 0
+        if len(vec) < total_length:
+            pad_length = total_length - len(vec)
+            vec = np.pad(vec, ((0, pad_length)))
+            padding_right += pad_length
+        else:
+            vec = vec[:total_length]
+    else:
+        if impulse_index - offset_samples - left_flank_length < 0:
+            left_flank_length = max(0, impulse_index - offset_samples)
+        else:
+            start_sample = impulse_index - offset_samples - left_flank_length
+            vec = vec[start_sample:]
+        if len(vec) > total_length:
+            vec = vec[:total_length]
+        padding_after_adaptation = 0
+        if len(vec) < total_length:
+            padding_after_adaptation = total_length - len(vec)
+            total_length = len(vec)
+        if left_flank_length + offset_samples > total_length - right_flank_length:
+            right_flank_length = (
+                total_length - left_flank_length - offset_samples - 1
+            )
+
+    points = [
+        0,
+        left_flank_length,
+        total_length - right_flank_length,
+        total_length,
+    ]
+    assert not np.any(np.ediff1d(points) < 0), (
+        "A valid window could not be constructed with given parameters."
+    )
+    window = calculate_tukey_like_window(
+        points, total_length, window_type, at_start=at_start, inverse=False
+    )
+    if not adaptive_window:
+        window[:padding_left] = 0
+        if padding_right != 0:
+            window[-padding_right:] = 0
+    else:
+        vec = np.pad(vec, ((0, padding_after_adaptation)))
+        window = np.pad(window, ((0, padding_after_adaptation)))
+    return vec * window, window, start_sample
+
+
+def window_this_ir_centered(vec: np.ndarray, total_length: int, window_type):
+    """Peak-centered windowing of one channel
+    (`_transfer_functions.py:150-215`)."""
+    from scipy.signal import get_window
+
+    peak_ind = int(np.argmax(np.abs(vec)))
+    half_length = total_length // 2
+    centered_even = (
+        peak_ind + half_length == len(vec) and len(vec) % 2 == 0
+    )
+    flipping = peak_ind > half_length
+    if flipping:
+        vec = vec[::-1]
+        peak_ind = len(vec) - peak_ind - 1
+    w = get_window(window_type.to_scipy_format(), half_length * 2 + 1, False)
+    if peak_ind - half_length < 0:
+        ind_low_td = 0
+        ind_low_w = half_length - peak_ind
+    else:
+        ind_low_td = peak_ind - half_length
+        ind_low_w = 0
+    if total_length - ind_low_td > len(vec):
+        vec = np.pad(vec, ((0, total_length + ind_low_td - len(vec))))
+    if peak_ind + half_length + 1 > len(vec) and not centered_even:
+        ind_up_td = len(vec)
+        ind_up_w = peak_ind + half_length + 1 - len(vec)
+    else:
+        ind_up_td = peak_ind + half_length + 1
+        ind_up_w = len(w) - (1 if centered_even else 0)
+    w = w[ind_low_w:ind_up_w]
+    td = vec[ind_low_td:ind_up_td] * w
+    if len(td) != total_length:
+        td = np.asarray(pad_trim_axis(jnp.asarray(td), total_length))
+        w = np.asarray(pad_trim_axis(jnp.asarray(w), total_length))
+    if flipping:
+        td = td[::-1]
+        w = w[::-1]
+    return td, w, ind_low_td
+
+
+def get_chirp_rate(range_hz, length_seconds: float) -> float:
+    """Chirp rate in octaves/second (`_transfer_functions.py:216-237`)."""
+    r = np.sort(np.atleast_1d(range_hz))
+    assert r.shape == (2,), "Range must contain exactly two elements."
+    return np.log2(r[1] / r[0]) / length_seconds
+
+
+def get_harmonic_times(
+    chirp_range_hz,
+    chirp_length_s: float,
+    n_harmonics: int,
+    time_offset_seconds: float = 0.0,
+) -> np.ndarray:
+    """Relative (negative) times of harmonic IRs in an exponential-chirp
+    measurement (`_transfer_functions.py:239-275`)."""
+    rate = get_chirp_rate(chirp_range_hz, chirp_length_s)
+    return time_offset_seconds - np.log2(np.arange(n_harmonics) + 2) / rate
+
+
+@lru_cache(maxsize=16)
+def _complex_smoothing_operator(
+    freqs_key: tuple, octave_fraction: float, window_key: tuple
+) -> np.ndarray:
+    """Static banded smoothing operator W (F, F) of the reference's numba
+    kernel (`_transfer_functions.py:414-476`): per-bin log-spaced window,
+    row-normalized. Rows too narrow (< 3 bins) are identity."""
+    frequency_vector = np.asarray(freqs_key, dtype=np.float64)
+    n_bins = len(frequency_vector)
+    delta_f = frequency_vector[1] - frequency_vector[0]
+    window_y = np.asarray(window_key, dtype=np.float64)
+    window_x = np.linspace(-1.0, 1.0, len(window_y))
+    factor = 2.0 ** (1.0 / octave_fraction / 2.0)
+    W = np.zeros((n_bins, n_bins))
+    for i in range(n_bins):
+        f0 = frequency_vector[i]
+        ind_low = i - int((f0 - f0 / factor) / delta_f + 0.5)
+        ind_high = i + int((f0 * factor - f0) / delta_f + 0.5) + 1
+        window_length = ind_high - ind_low
+        ind_low_c = max(ind_low, 0)
+        ind_high_c = min(ind_high, n_bins)
+        effective = ind_high_c - ind_low_c
+        if ind_low_c + 2 >= ind_high_c:
+            W[i, i] = 1.0
+            continue
+        w = np.interp(
+            np.logspace(np.log10(3.0), np.log10(1.0), window_length)[
+                :effective
+            ]
+            - 2.0,
+            window_x,
+            window_y,
+        )
+        w = w / w.sum()
+        W[i, ind_low_c:ind_high_c] = w
+    return W
+
+
+def complex_smoothing_core(
+    spectrum: jnp.ndarray,
+    frequency_vector: np.ndarray,
+    octave_fraction: float,
+    window_y: np.ndarray,
+) -> jnp.ndarray:
+    """Apply the static smoothing operator on device: one (F×F)@(F,C)
+    matmul. ``spectrum (F, C)`` complex or real; linear frequency grid."""
+    W = _complex_smoothing_operator(
+        tuple(np.asarray(frequency_vector, dtype=np.float64).tolist()),
+        float(octave_fraction),
+        tuple(np.asarray(window_y).tolist()),
+    )
+    Wj = jnp.asarray(W, dtype=spectrum.real.dtype)
+    if jnp.iscomplexobj(spectrum):
+        return (
+            Wj @ spectrum.real + 1j * (Wj @ spectrum.imag)
+        ).astype(spectrum.dtype)
+    return Wj @ spectrum
+
+
+def fdw_core(
+    time_data: jnp.ndarray,
+    freqs_normalized: np.ndarray,
+    alpha: np.ndarray,
+    peak_indices: np.ndarray,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Frequency-dependent Gaussian windowing as chunked batched DFT sums.
+
+    ``time_data (T, C)``; returns ``(F, C)`` complex where
+    ``spec[f, c] = sum_n exp(-0.5((n-peak_c)/half)^2 · alpha_f) ·
+    exp(-2πi f n / T) · x[n, c]``.
+
+    Replaces numba kernel #2 (`_transfer_functions.py:478-504`) with an
+    einsum over (freq-chunk, time, channel) tiles — MXU-shaped work.
+    """
+    T, C = time_data.shape
+    half = (T - 1) / 2
+    n_idx = np.arange(T)[:, None] - np.asarray(peak_indices)[None, :]  # (T, C)
+    n2 = -0.5 * (n_idx / half) ** 2  # (T, C) real
+    dft = -2j * np.pi * np.linspace(0.0, 1.0, T, endpoint=False)  # (T,)
+
+    F = len(freqs_normalized)
+    pad_f = (-F) % chunk
+    fr = np.pad(np.asarray(freqs_normalized, np.float64), (0, pad_f))
+    al = np.pad(np.asarray(alpha, np.float64), (0, pad_f))
+    fr_b = fr.reshape(-1, chunk)
+    al_b = al.reshape(-1, chunk)
+
+    td = jnp.asarray(time_data, jnp.complex64)
+    n2j = jnp.asarray(n2, jnp.float32)
+    dftj = jnp.asarray(dft, jnp.complex64)
+
+    def body(carry, fa):
+        f_c, a_c = fa  # (chunk,)
+        # (chunk, T, C) window+rotation matrix
+        Mat = jnp.exp(
+            dftj[None, :, None] * f_c[:, None, None].astype(jnp.complex64)
+            + (a_c[:, None, None] * n2j[None, :, :]).astype(jnp.complex64)
+        )
+        out = jnp.einsum(
+            "ftc,tc->fc", Mat, td, precision=jax.lax.Precision.HIGHEST
+        )
+        return carry, out
+
+    _, chunks = jax.lax.scan(
+        body, 0, (jnp.asarray(fr_b), jnp.asarray(al_b))
+    )
+    spec = chunks.reshape(-1, C)[:F]
+    return spec
+
+
+def trim_ir_indices(
+    time_data: np.ndarray,
+    fs_hz: int,
+    offset_start_s: float,
+    safety_distance_to_noise_floor_db: float = 10.0,
+) -> tuple[int, int, int]:
+    """Start/stop/impulse indices for smart IR trimming
+    (`_transfer_functions.py:276-411`). Envelope math on device, decision
+    logic host-side."""
+    time_data = np.asarray(time_data).reshape(-1)
+    impulse_index = int(np.argmax(np.abs(time_data)))
+    offset_start_samples = int(offset_start_s * fs_hz + 0.5)
+    start_index = int(np.max([0, impulse_index - 1 - offset_start_samples]))
+    impulse_index -= start_index
+
+    from scipy.fft import next_fast_len
+
+    tail = time_data[start_index + impulse_index :]
+    nfl = next_fast_len(len(tail), False)
+    env_c = analytic_signal(
+        jnp.asarray(np.pad(tail, (0, nfl - len(tail)))), axis=-1
+    )[: len(tail)]
+    etc = np.asarray(to_db(jnp.abs(env_c), True))
+    envelope = np.asarray(
+        time_smoothing(jnp.asarray(etc), fs_hz, 20e-3, None, axis=-1)
+    )
+
+    window_lengths = (np.array([10, 30, 50, 70, 90]) * 1e-3 * fs_hz + 0.5).astype(
+        int
+    )
+    end = np.zeros(len(window_lengths))
+    x = np.arange(len(envelope))
+    corr_coeff = np.zeros(len(window_lengths))
+    for ind, wl in enumerate(window_lengths):
+        pos = 0
+        current_mean = 0.0
+        for _ in range(len(envelope) // wl):
+            new_mean = np.mean(envelope[pos : pos + wl])
+            if current_mean <= new_mean:
+                break
+            current_mean = new_mean
+            pos += wl
+        end_cur = min((pos * 2 + wl) // 2, len(envelope))
+        xs = x[:end_cur]
+        ys = envelope[:end_cur]
+        xs_c = xs - xs.mean()
+        ys_c = ys - ys.mean()
+        denom = np.sqrt((xs_c**2).sum() * (ys_c**2).sum())
+        corr_coeff[ind] = (xs_c * ys_c).sum() / denom if denom > 0 else 0.0
+        end[ind] = end_cur
+
+    select = int(np.argmin(corr_coeff))
+    if corr_coeff[select] <= -0.95:
+        end_point = int(end[select])
+    elif np.any(corr_coeff <= -0.9):
+        end_point = int(np.mean(end[corr_coeff <= -0.9]))
+    elif np.any(corr_coeff <= -0.7):
+        inds = corr_coeff <= -0.7
+        end_point = int(
+            np.mean(np.hstack([np.ones(9) * end[select], end[inds]]))
+        )
+    else:
+        warn("No satisfactory estimation for trimming the rir could be made")
+        end_point = int(np.mean(np.hstack([np.ones(5) * len(envelope), end])))
+
+    stop = end_point + start_index + impulse_index
+    if safety_distance_to_noise_floor_db != 0.0:
+        end_point = _find_index_above_noise_floor(
+            envelope[:end_point],
+            float(to_db(np.var(time_data[stop:]), False))
+            if stop < len(time_data)
+            else -np.inf,
+            abs(safety_distance_to_noise_floor_db),
+        )
+        stop = end_point + start_index + impulse_index
+    return start_index, stop, impulse_index
+
+
+def _find_index_above_noise_floor(
+    envelope: np.ndarray,
+    noise_floor_db: float,
+    distance_to_noise_floor_db: float,
+) -> int:
+    if not np.isfinite(noise_floor_db):
+        return len(envelope)
+    poly = (
+        np.polynomial.Polynomial.fit(np.arange(len(envelope)), envelope, 1)
+        .convert()
+        .coef
+    )
+    if poly[1] > 0.0:
+        return len(envelope)
+    new_stop = int(
+        ((noise_floor_db + distance_to_noise_floor_db) - poly[0]) / poly[1]
+        + 0.5
+    )
+    return int(
+        np.clip(new_stop, int(len(envelope) * 0.75 + 0.5), len(envelope))
+    )
+
+
+def frequency_vector_with_frequency_resolution(
+    delta_f_hz: float, sampling_rate_hz: int
+):
+    """(f_vec, delta_f, time_length) for a requested frequency resolution."""
+    length_time_data = int(sampling_rate_hz / delta_f_hz + 0.5)
+    f_vec = np.fft.rfftfreq(length_time_data, 1 / sampling_rate_hz)
+    return f_vec, f_vec[1] - f_vec[0], length_time_data
