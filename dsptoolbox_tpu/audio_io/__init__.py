@@ -1,0 +1,27 @@
+"""Audio hardware IO (TPU rebuild of `dsptoolbox/audio_io/`)."""
+
+from .audio_io import (
+    CallbackStop,
+    output_stream,
+    play,
+    play_and_record,
+    print_device_info,
+    record,
+    set_blocksize,
+    set_device,
+    set_latency,
+    sleep,
+)
+
+__all__ = [
+    "print_device_info",
+    "set_latency",
+    "set_blocksize",
+    "set_device",
+    "play_and_record",
+    "record",
+    "play",
+    "CallbackStop",
+    "sleep",
+    "output_stream",
+]

@@ -1,0 +1,119 @@
+"""Gammatone (Hohmann 2002) auditory filter bank with reconstruction.
+
+Behavioral reference: `dsptoolbox/filterbanks/_filterbank.py:664-841`. The
+complex one-pole cascades run through the blocked IIR kernel (complex
+coefficients are handled as real/imaginary pairs by the class layer using
+complex filtering below).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..classes.filterbank import FilterBank
+from ..classes.multibandsignal import MultiBandSignal
+from ..classes.signal import Signal
+from ..standard.enums import FilterBankMode
+
+
+class GammaToneFilterBank(FilterBank):
+    """FilterBank with Hohmann-2002 synthesis (delay/phase/gain corrected
+    reconstruction)."""
+
+    def __init__(
+        self,
+        filters: list,
+        info: dict,
+        frequencies: np.ndarray,
+        coefficients: np.ndarray,
+        normalizations: np.ndarray,
+    ):
+        super().__init__(filters, same_sampling_rate=True, info=info)
+        self._frequencies = frequencies
+        self._coefficients = coefficients
+        self._normalizations = normalizations
+        self._delay = 0.004
+        self._compute_delays_and_phase_factors()
+        self._compute_gains()
+
+    def _compute_delays_and_phase_factors(self):
+        """Hohmann 2002, section 4 (`_filterbank.py:704-741`)."""
+        from ..generators import dirac
+
+        delay_samples = int(np.round(self._delay * self.sampling_rate_hz))
+        d = dirac(
+            length_samples=self.sampling_rate_hz // 2,
+            delay_samples=delay_samples + 3,
+            sampling_rate_hz=self.sampling_rate_hz,
+        )
+        d = self.filter_signal(d, mode=FilterBankMode.Parallel)
+        d = d.get_all_bands(channel=0)
+        real = d.time_data.T
+        imag = d.time_data_imaginary.T
+        ir = real + 1j * imag
+        env = np.abs(ir)
+        idx_max = np.argmax(env[:, : delay_samples + 1], axis=-1)
+        delays = delay_samples - idx_max
+        slopes = np.array(
+            [ir[bb, idx + 1] - ir[bb, idx - 1] for bb, idx in enumerate(idx_max)]
+        )
+        phase_factors = 1j / (slopes / np.abs(slopes))
+        self._delays = delays
+        self._phase_factors = phase_factors
+
+    def _compute_gains(self):
+        """Iterative gain fitting (`_filterbank.py:743-780`)."""
+        z = np.atleast_2d(
+            np.exp(2j * np.pi * self._frequencies / self.sampling_rate_hz)
+        ).T
+        z_conj = np.conjugate(z)
+        h_pos = (1 - np.atleast_2d(self._coefficients) / z) ** (
+            -4
+        ) * np.atleast_2d(self._normalizations)
+        h_neg = (1 - np.atleast_2d(self._coefficients) / z_conj) ** (
+            -4
+        ) * np.atleast_2d(self._normalizations)
+        phase_factors = np.atleast_2d(self._phase_factors)
+        delays = np.atleast_2d(self._delays)
+        h_pos = h_pos * phase_factors * z ** (-delays)
+        h_neg = h_neg * phase_factors * np.conjugate(z) ** (-delays)
+        h = (h_pos + np.conjugate(h_neg)) / 2
+        gains = np.ones((self.number_of_filters, 1))
+        for _ in range(100):
+            h_fin = np.matmul(h, gains)
+            gains /= np.abs(h_fin)
+        self._gains = gains.flatten()
+
+    def reconstruct(self, signal: MultiBandSignal) -> Signal:
+        """Delay/phase/gain-corrected synthesis
+        (`_filterbank.py:783-841`)."""
+        condition = all(
+            signal.bands[n].time_data_imaginary is not None
+            for n in range(signal.number_of_bands)
+        )
+        assert condition, (
+            "Not all bands have imaginary time data. Reconstruction cannot "
+            "be done"
+        )
+        shape = (
+            signal.number_of_bands,
+            signal.bands[0].time_data.shape[0],
+            signal.number_of_channels,
+        )
+        time = np.empty(shape, dtype=np.complex128)
+        for ind, b in enumerate(signal.bands):
+            time[ind, :, :] = b.time_data + b.time_data_imaginary * 1j
+        if time.shape[-1] == 1:
+            time = time.squeeze(-1)
+        else:
+            time = np.moveaxis(time, -1, 1)
+        reconstructed_sig = signal.bands[0].copy()
+        for bb, (phase_factor, delay, gain) in enumerate(
+            zip(self._phase_factors, self._delays, self._gains)
+        ):
+            time[bb] = (
+                np.real(np.roll(time[bb], delay, axis=-1) * phase_factor)
+                * gain
+            )
+        reconstructed_sig.time_data = np.sum(np.real(time), axis=0)
+        return reconstructed_sig

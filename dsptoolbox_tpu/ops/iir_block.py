@@ -34,23 +34,28 @@ _HIGH = jax.lax.Precision.HIGHEST
 def _tdf2_abcd(b: np.ndarray, a: np.ndarray):
     """Transposed direct-form II state-space (A, B, C, D) of normalized ba —
     the state convention of scipy's ``lfilter``/``sosfilt`` zi."""
-    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
-    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    dtype = (
+        np.complex128
+        if (np.iscomplexobj(b) or np.iscomplexobj(a))
+        else np.float64
+    )
+    b = np.atleast_1d(np.asarray(b, dtype=dtype))
+    a = np.atleast_1d(np.asarray(a, dtype=dtype))
     if a[0] != 1.0:
         b = b / a[0]
         a = a / a[0]
     N = max(len(a), len(b)) - 1
-    bp = np.zeros(N + 1)
-    ap = np.zeros(N + 1)
+    bp = np.zeros(N + 1, dtype)
+    ap = np.zeros(N + 1, dtype)
     bp[: len(b)] = b
     ap[: len(a)] = a
-    A = np.zeros((N, N))
+    A = np.zeros((N, N), dtype)
     A[:, 0] = -ap[1:]
     A[: N - 1, 1:] = np.eye(N - 1)
     B = (bp[1:] - ap[1:] * bp[0])[:, None]
-    C = np.zeros((1, N))
+    C = np.zeros((1, N), dtype)
     C[0, 0] = 1.0
-    D = np.array([[bp[0]]])
+    D = np.array([[bp[0]]], dtype)
     return A, B, C, D
 
 
@@ -61,7 +66,8 @@ def _series_compose(systems):
     for A2, B2, C2, D2 in systems[1:]:
         n1 = A_c.shape[0]
         n2 = A2.shape[0]
-        A_new = np.zeros((n1 + n2, n1 + n2))
+        dtype = np.result_type(A_c.dtype, A2.dtype)
+        A_new = np.zeros((n1 + n2, n1 + n2), dtype)
         A_new[:n1, :n1] = A_c
         A_new[n1:, n1:] = A2
         A_new[n1:, :n1] = B2 @ C_c
@@ -80,18 +86,21 @@ def _sos_abcd(sos: np.ndarray):
 def _block_operators(sos_key: tuple, L: int):
     """Static (HmatT (L,L), GyT (N,L), ALT (N,N), MT (L,N)) in float64:
     y_blk = x_blk @ HmatT + s @ GyT ;  s' = s @ ALT + x_blk @ MT."""
-    sos = np.asarray(sos_key, dtype=np.float64).reshape(-1, 6)
+    sos = np.asarray(sos_key).reshape(-1, 6)
+    if not np.iscomplexobj(sos):
+        sos = sos.astype(np.float64)
     A, B, C, D = _sos_abcd(sos)
+    dtype = A.dtype
     N = A.shape[0]
-    powers = np.empty((L + 1, N, N))
+    powers = np.empty((L + 1, N, N), dtype)
     powers[0] = np.eye(N)
     for i in range(1, L + 1):
         powers[i] = powers[i - 1] @ A
-    h = np.empty(L)
+    h = np.empty(L, dtype)
     h[0] = D[0, 0]
     for m in range(1, L):
         h[m] = (C @ powers[m - 1] @ B)[0, 0]
-    Hmat = np.zeros((L, L))
+    Hmat = np.zeros((L, L), dtype)
     for m in range(L):
         np.fill_diagonal(Hmat[m:, : L - m], h[m])
     Gy = np.stack([(C @ powers[n])[0] for n in range(L)], axis=0)
@@ -104,11 +113,13 @@ def _block_operators(sos_key: tuple, L: int):
 def _al_power_table(sos_key: tuple, L: int, n_blocks: int) -> np.ndarray:
     """Static table of AL^k (k = 0..n_blocks) in float64, AL = A^L of the
     composed cascade."""
-    sos = np.asarray(sos_key, dtype=np.float64).reshape(-1, 6)
+    sos = np.asarray(sos_key).reshape(-1, 6)
+    if not np.iscomplexobj(sos):
+        sos = sos.astype(np.float64)
     A, _, _, _ = _sos_abcd(sos)
     AL = np.linalg.matrix_power(A, L)
     N = A.shape[0]
-    out = np.empty((n_blocks + 1, N, N))
+    out = np.empty((n_blocks + 1, N, N), A.dtype)
     out[0] = np.eye(N)
     for k in range(1, n_blocks + 1):
         out[k] = out[k - 1] @ AL
@@ -132,7 +143,10 @@ def sosfilt_block(
     Matches ``scipy.signal.sosfilt`` numerically, including the ``zi``/``zf``
     state layout ``(..., S, 2)``. Returns ``(y, zf)``.
     """
-    sos = np.asarray(sos, dtype=np.float64)
+    sos = np.asarray(sos)
+    sos = sos.astype(
+        np.complex128 if np.iscomplexobj(sos) else np.float64
+    )
     if sos.ndim != 2 or sos.shape[1] != 6:
         raise ValueError(f"sos must be (S, 6), got {sos.shape}")
     S = sos.shape[0]
@@ -141,8 +155,12 @@ def sosfilt_block(
     L = block_size or _pick_block(T)
     L = min(L, T)
     key = tuple(sos.reshape(-1).tolist())
+    compute_dtype = jnp.result_type(
+        x.dtype, jnp.complex64 if np.iscomplexobj(sos) else x.dtype
+    )
+    x = x.astype(compute_dtype)
     HmatT, GyT, ALT, MT = (
-        jnp.asarray(m, x.dtype) for m in _block_operators(key, L)
+        jnp.asarray(m, compute_dtype) for m in _block_operators(key, L)
     )
 
     n_full = T // L
@@ -198,7 +216,8 @@ def sosfilt_block(
 
     if rem:
         Hr, Gr, Ar, Mr = (
-            jnp.asarray(m, x.dtype) for m in _block_operators(key, rem)
+            jnp.asarray(m, compute_dtype)
+            for m in _block_operators(key, rem)
         )
         x_tail = x[..., n_full * L :]
         y_tail = jnp.dot(x_tail, Hr, precision=_HIGH) + jnp.dot(

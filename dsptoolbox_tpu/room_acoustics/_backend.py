@@ -1,0 +1,361 @@
+"""Array-level room acoustics backend.
+
+Behavioral reference: `dsptoolbox/room_acoustics/_room_acoustics.py`.
+
+TPU notes:
+- The energy decay curve (cumulative backward integration) runs on device;
+  the RT regression windows are data-dependent scalar fits done host-side on
+  the (small) EDC.
+- The image-source model replaces the reference's triple Python loop
+  (`_room_acoustics.py:261-268`) with a single device scatter-add over the
+  enumerated image lattice: all (2L+1)³×8 image distances and dampings are
+  computed as one batched tensor expression, then accumulated with
+  ``.at[idx].add``.
+"""
+
+from __future__ import annotations
+
+from warnings import warn
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..helpers.gain_and_level import from_db, to_db
+from ..helpers.smoothing import time_smoothing
+from ..transfer_functions._backend import trim_ir_indices
+from .enums import ReverbTime
+
+
+def find_ir_start(ir: np.ndarray, threshold_dbfs: float = -20) -> int:
+    """Last sample below threshold before the peak (ISO 3382;
+    `_room_acoustics.py:88-115`). Host-side scalar search."""
+    ir_abs = np.abs(np.asarray(ir))
+    start_ir = int(np.argmax(ir_abs))
+    threshold = ir_abs[start_ir] * float(
+        from_db(-np.abs(threshold_dbfs), True)
+    )
+    for start_ir in range(start_ir, -1, -1):
+        if ir_abs[start_ir] < threshold:
+            break
+    return start_ir
+
+
+def complex_mode_identification(
+    spectra: np.ndarray, maximum_singular_value: bool = True
+) -> np.ndarray:
+    """CMIF via batched SVD over frequency (`_room_acoustics.py:118-159`) —
+    the reference's per-bin SVD loop becomes one vmapped device SVD."""
+    spectra = np.asarray(spectra)
+    n_rir = spectra.shape[1]
+    if n_rir == 1:
+        return np.abs(spectra.squeeze()) ** 2
+    F = spectra.shape[0]
+    H = np.zeros((F, n_rir, n_rir), dtype=np.complex128)
+    H[:, 0, :] = spectra
+    H[:, :, 0] = spectra
+    s = np.asarray(
+        jnp.linalg.svd(jnp.asarray(H, jnp.complex64), compute_uv=False)
+    )
+    if maximum_singular_value:
+        return s.max(axis=-1)
+    return s[:, 0]
+
+
+def _pearson(x: np.ndarray, y: np.ndarray) -> float:
+    xc = x - x.mean()
+    yc = y - y.mean()
+    denom = np.sqrt((xc**2).sum() * (yc**2).sum())
+    return float((xc * yc).sum() / denom) if denom > 0 else 0.0
+
+
+def _polyfit_edc(time_vector, edc, start_value, end_value):
+    """Linear fit between EDC levels (`_room_acoustics.py:1097-1138`)."""
+    L = len(edc)
+    edc_inverted = edc[::-1]
+    i1 = L - np.searchsorted(edc_inverted, start_value)
+    i2 = L - np.searchsorted(edc_inverted, end_value)
+    coeff = np.polyfit(time_vector[i1:i2], edc[i1:i2], 1)
+    r = _pearson(time_vector[i1:i2], edc[i1:i2])
+    return coeff, r
+
+
+def _best_linear_fit_for_edc(time_vector, edc, start_value, steps):
+    """Best ending level by Pearson correlation
+    (`_room_acoustics.py:1056-1095`)."""
+    edc_inverted = edc[::-1]
+    i1 = len(edc) - np.searchsorted(edc_inverted, start_value)
+    rs = np.zeros(len(steps))
+    for ind, step in enumerate(steps):
+        i2 = len(edc) - np.searchsorted(edc_inverted, step)
+        rs[ind] = _pearson(time_vector[i1:i2], edc[i1:i2])
+    ind_min = int(np.argmin(rs))
+    return steps[ind_min], rs[ind_min]
+
+
+def _optimal_reverb_time(time_vector, edc):
+    """Adaptive RT (REW Topt style; `_room_acoustics.py:999-1054`)."""
+    coeff_edt = _polyfit_edc(time_vector, edc, 0, -10)[0]
+    coeff_t30 = _polyfit_edc(time_vector, edc, -5, -35)[0]
+    very_short_edt = (-6 * 10 / coeff_edt[0]) * 10 < -60 / coeff_t30[0]
+    if very_short_edt:
+        x_int = (coeff_edt[1] - coeff_t30[1]) / (
+            coeff_t30[0] - coeff_edt[0]
+        )
+        start = float(np.polyval(coeff_edt, [x_int]).squeeze())
+    else:
+        start = -5.0
+    steps = np.arange(start - 20, start - 60, -1)
+    end, r = _best_linear_fit_for_edc(time_vector, edc, start, steps)
+    if r > -0.95:
+        warn(
+            f"Correlation coefficient for reverb computation is {r} "
+            "(larger than -0.95). Computation might be invalid. "
+            "-1 is the ideal value."
+        )
+    coefficients = _polyfit_edc(time_vector, edc, start, end)[0]
+    return 60 / np.abs(coefficients[0]), r
+
+
+def compute_energy_decay_curve(
+    time_data: np.ndarray, trim_automatically: bool, fs_hz: int
+) -> np.ndarray:
+    """EDC with Chu noise correction and Lundeby compensation energy
+    (`_room_acoustics.py:1140-1222`). Cumsum/smoothing on device."""
+    time_data = np.asarray(time_data).reshape(-1)
+    if trim_automatically:
+        _, stopping_index, _ = trim_ir_indices(
+            time_data, fs_hz, offset_start_s=1e-3
+        )
+    else:
+        stopping_index = len(time_data)
+    start_index = find_ir_start(time_data)
+    if stopping_index != len(time_data):
+        noise_power = np.var(time_data[stopping_index:])
+    else:
+        noise_power = np.var(time_data[:start_index])
+
+    signal_power = time_data[start_index:stopping_index] ** 2.0
+    dynamic_range_db = (
+        float(to_db(np.max(signal_power) / noise_power, False)) / 2.0
+    )
+    signal_db = np.asarray(
+        to_db(
+            time_smoothing(jnp.asarray(signal_power), fs_hz, 20e-3, axis=-1),
+            False,
+        )
+    )
+    start_index_int = np.where(
+        dynamic_range_db + np.min(signal_db) > signal_db
+    )[0][0]
+    time_vector = np.linspace(
+        0, len(signal_power) / fs_hz, len(signal_power)
+    )
+    p = np.polyfit(
+        time_vector[start_index_int:], signal_db[start_index_int:], 1
+    )
+    avoid_corrections = p[1] >= 0.0
+    B = float(from_db(p[0], False))
+    t_1 = (float(to_db(noise_power, False)) - p[0]) / p[1]
+    avoid_corrections |= t_1 <= 0.0
+    with np.errstate(all="ignore"):
+        A = np.log(noise_power / B) / t_1
+        e_comp = -B / A * np.exp(A * t_1)
+
+    signal_power = signal_power - noise_power
+    e_comp *= fs_hz
+    cums = np.asarray(jnp.cumsum(jnp.asarray(signal_power)))
+    edc = np.sum(signal_power) + e_comp - cums
+    indices = np.where(edc <= 0)[0]
+    if len(indices) > 0:
+        avoid_corrections |= indices[0] <= int(30e-3 * fs_hz + 0.5)
+        if not avoid_corrections:
+            edc = edc[: indices[0]]
+    if avoid_corrections or not np.isfinite(edc).all():
+        signal_power = signal_power + noise_power
+        length = int(len(signal_power) * 0.95)
+        edc = (
+            np.sum(signal_power)
+            - np.asarray(jnp.cumsum(jnp.asarray(signal_power)))[:length]
+        )
+    edc = np.asarray(to_db(jnp.asarray(edc), False))
+    return edc - edc[0]
+
+
+def reverb(
+    h: np.ndarray,
+    fs_hz: int,
+    mode: ReverbTime,
+    ir_start: int | None,
+    return_ir_start: bool,
+    automatic_trimming: bool,
+):
+    """Reverberation time of one channel (`_room_acoustics.py:17-85`)."""
+    edc = compute_energy_decay_curve(h, automatic_trimming, fs_hz)
+    time_vector = np.linspace(0, len(edc) / fs_hz, len(edc))
+    if mode == ReverbTime.Adaptive:
+        time, corr = _optimal_reverb_time(time_vector, edc)
+        if return_ir_start:
+            return time, corr, ir_start
+        return time, corr
+    bounds = {
+        ReverbTime.T20: (-5, -25),
+        ReverbTime.T30: (-5, -35),
+        ReverbTime.T60: (-5, -65),
+        ReverbTime.EDT: (0, -10),
+    }
+    if mode not in bounds:
+        raise ValueError("Supported modes are only T20, T30, T60 and EDT")
+    p, corr = _polyfit_edc(time_vector, edc, *bounds[mode])
+    factor = 60 if mode != ReverbTime.EDT else 10
+    if return_ir_start:
+        return (factor / np.abs(p[0])), corr, ir_start
+    return factor / np.abs(p[0]), corr
+
+
+def generate_rir(
+    room_dim, alpha, s_pos, r_pos, rt, mo, sr
+) -> np.ndarray:
+    """Image-source RIR (Brinkmann et al.) as one device scatter-add.
+
+    Replaces the reference's triple loop over image orders
+    (`_room_acoustics.py:161-268`): the whole (2L+1)³ lattice × 8 image
+    combinations is enumerated as a tensor, distances/dampings are computed
+    in one batched expression, and the RIR accumulates via ``.at[].add``.
+    """
+    room_dim = np.asarray(room_dim, dtype=np.float64)
+    s_pos = np.asarray(s_pos, dtype=np.float64)
+    r_pos = np.asarray(r_pos, dtype=np.float64)
+    beta = np.atleast_1d(np.sqrt(1 - np.asarray(alpha, dtype=np.float64)))
+    if len(beta) == 1:
+        beta_1 = np.ones(3) * beta
+        beta_2 = np.ones(3) * beta
+    elif len(beta) == 6:
+        beta_1 = np.array([beta[1], beta[3], beta[4]])
+        beta_2 = np.array([beta[0], beta[2], beta[5]])
+    else:
+        raise ValueError("Wrong length for absorption coefficients")
+
+    c = 343
+    t_max = rt * 1.1
+    l_max = c * t_max / 2 / room_dim
+    LIMIT = int(np.ceil(np.sqrt(l_max @ l_max)))
+    if mo is not None:
+        LIMIT = LIMIT if mo > LIMIT else mo
+
+    total_length = int(t_max * 5 * sr)
+
+    u_vectors = np.array(
+        [
+            [0, 0, 0],
+            [0, 0, 1],
+            [0, 1, 0],
+            [1, 0, 0],
+            [0, 1, 1],
+            [1, 0, 1],
+            [1, 1, 0],
+            [1, 1, 1],
+        ],
+        dtype=np.float64,
+    )  # (8, 3)
+
+    grid = np.arange(-LIMIT, LIMIT + 1, dtype=np.float64)
+    # lattice (M, 3) with M = (2L+1)^3
+    ll, mm, nn = np.meshgrid(grid, grid, grid, indexing="ij")
+    lvecs = np.stack(
+        [ll.reshape(-1), mm.reshape(-1), nn.reshape(-1)], axis=1
+    )
+
+    lv = jnp.asarray(lvecs, jnp.float32)  # (M, 3)
+    uv = jnp.asarray(u_vectors, jnp.float32)  # (8, 3)
+    rd = jnp.asarray(room_dim, jnp.float32)
+    sp = jnp.asarray(s_pos, jnp.float32)
+    rp = jnp.asarray(r_pos, jnp.float32)
+    b1 = jnp.asarray(beta_1, jnp.float32)
+    b2 = jnp.asarray(beta_2, jnp.float32)
+
+    # positions (M, 8, 3): (1-2u)·s + 2·l·dim - r
+    pos = (1 - 2 * uv)[None, :, :] * sp + (2 * lv * rd)[:, None, :] - rp
+    dist = jnp.sqrt(jnp.sum(pos**2, axis=-1))  # (M, 8)
+    # damping (M, 8): prod(beta1^(|l-u|)) * prod(beta2^|l|)
+    diff = jnp.abs(lv[:, None, :] - uv[None, :, :])  # (M, 8, 3)
+    damp = jnp.prod(b1 ** diff, axis=-1) * jnp.prod(
+        b2 ** jnp.abs(lv), axis=-1
+    )[:, None]
+    vals = damp / (4 * jnp.pi * dist)
+    idx = jnp.asarray(dist / c * sr + 0.5, jnp.int32)
+    rir = jnp.zeros(total_length, jnp.float32)
+    rir = rir.at[idx.reshape(-1)].add(
+        jnp.nan_to_num(vals.reshape(-1)), mode="drop"
+    )
+    return np.asarray(rir, dtype=np.float64)
+
+
+def add_reverberant_tail_noise(
+    rir: np.ndarray, mixing_time_s, t60: float, sr: int
+) -> np.ndarray:
+    """Decaying-noise late tail (`_room_acoustics.py:840-887`)."""
+    rir = np.asarray(rir).reshape(-1)
+    ind_direct = np.squeeze(np.where(rir != 0))[0]
+    mixing_time_samples = int(mixing_time_s * sr)
+    noise_length = len(rir) - ind_direct - mixing_time_samples
+    noise = np.abs(np.random.normal(0, 1, noise_length))
+    delta = 0.02 * 343 / t60
+    noise *= np.exp(-delta * np.arange(noise_length) / sr)
+    noise /= np.max(noise)
+    window_length = 100
+    window = rir[
+        -noise_length - window_length // 2 : -noise_length
+        + window_length // 2
+    ]
+    gain = np.median(window[window != 0]) * 0.5
+    noise *= gain
+    indexes = rir[-noise_length:] == 0
+    rir[-noise_length:][indexes] += noise[indexes]
+    return rir
+
+
+def d50_from_rir(td: np.ndarray, fs: int, automatic_trimming: bool) -> float:
+    """Definition D50 (`_room_acoustics.py:889-921`)."""
+    td = np.asarray(td).reshape(-1)
+    ind = find_ir_start(td)
+    td = td[ind:]
+    window = int(50e-3 * fs)
+    if automatic_trimming:
+        _, stop, _ = trim_ir_indices(td, fs, 0)
+        stop = int(np.max([window, stop]))
+    else:
+        stop = len(td)
+    td = td**2
+    return float(np.sum(td[:window]) / np.sum(td[:stop]))
+
+
+def c80_from_rir(td: np.ndarray, fs: int, automatic_trimming: bool) -> float:
+    """Clarity C80 in dB (`_room_acoustics.py:924-956`)."""
+    td = np.asarray(td).reshape(-1)
+    ind = find_ir_start(td)
+    td = td[ind:]
+    window = int(80e-3 * fs)
+    if automatic_trimming:
+        _, stop, _ = trim_ir_indices(td, fs, 0)
+        stop = int(np.max([window, stop]))
+    else:
+        stop = len(td)
+    td = td**2
+    return float(
+        to_db(np.sum(td[:window]) / np.sum(td[window:stop]), False)
+    )
+
+
+def ts_from_rir(td: np.ndarray, fs: int, automatic_trimming: bool) -> float:
+    """Center time in seconds (`_room_acoustics.py:959-996`)."""
+    td = np.asarray(td).reshape(-1)
+    ind = find_ir_start(td)
+    td = td[ind:]
+    if automatic_trimming:
+        _, stop, _ = trim_ir_indices(td, fs, 0)
+    else:
+        stop = len(td)
+    td = td[:stop] ** 2
+    time_vec = np.linspace(0, len(td) / fs, len(td))
+    return float(np.sum(td * time_vec) / np.sum(td))
