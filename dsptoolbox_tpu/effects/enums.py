@@ -1,0 +1,8 @@
+from enum import Enum, auto
+
+
+class DistortionType(Enum):
+    Arctan = auto()
+    HardClip = auto()
+    SoftClip = auto()
+    NoDistortion = auto()
