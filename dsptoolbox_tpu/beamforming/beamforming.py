@@ -1,0 +1,933 @@
+"""Frequency- and time-domain beamforming.
+
+Behavioral reference: `dsptoolbox/beamforming/beamforming.py`.
+
+TPU design: steering vectors are closed-form broadcasts; the DAS map — the
+hottest loop in the reference (`beamforming.py:864-868`, grid×frequency
+double loop of mic-space quadratic forms) — is one einsum
+``map[g, f] = h*_fgm C_fmn h_fng`` on the MXU. MVDR uses a batched solve,
+Functional a batched SVD, Orthogonal a batched eigendecomposition; CLEAN-SC
+keeps its inherently sequential deconvolution loop with device quadratic
+forms inside.
+"""
+
+from __future__ import annotations
+
+from warnings import warn
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..classes import Signal
+from ..helpers.gain_and_level import to_db
+from ..helpers.other import (
+    euclidean_distance_matrix,
+    find_nearest_points_index_in_vector,
+    fractional_octave_bandwidth,
+)
+from ..ops.pad_trim import pad_trim_axis
+from ..plots import general_matrix_plot
+from ..standard.appending import append_signals
+from ..standard.latency_delay import fractional_delay
+from ..standard.pad_trim_methods import pad_trim
+from .enums import SteeringVectorType
+
+nxs = np.newaxis
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+class BasePoints:
+    """Point-cloud container (grids, mic arrays;
+    `_beamforming.py:14-193`)."""
+
+    def __init__(self, positions: dict):
+        for i in ("x", "y", "z"):
+            assert i in positions, f"{i} values are missing"
+        x = np.asarray(positions["x"]).squeeze()[None, ...]
+        y = np.asarray(positions["y"]).squeeze()[None, ...]
+        z = np.asarray(positions["z"]).squeeze()[None, ...]
+        assert x.shape == y.shape and x.shape == z.shape, (
+            "Shapes of x, y or z are not compatible"
+        )
+        new_r = np.concatenate([x, y, z], axis=0)
+        self.coordinates = new_r.T
+
+    @property
+    def number_of_points(self):
+        return self.coordinates.shape[0]
+
+    @property
+    def coordinates(self) -> np.ndarray:
+        return self._coordinates.copy()
+
+    @coordinates.setter
+    def coordinates(self, new_r):
+        assert isinstance(new_r, np.ndarray), (
+            "R vectors array should be of type numpy.ndarray"
+        )
+        ndimensions = 3
+        dimensions = ["x", "y", "z"]
+        base_dimensions = ["x", "y", "z"]
+        for i in range(new_r.shape[1]):
+            if len(np.unique(new_r[:, i])) == 1:
+                ndimensions -= 1
+                dimensions.remove(base_dimensions[i])
+        self.dim = dimensions
+        self.ndim = ndimensions
+        self._coordinates = new_r
+
+    @property
+    def extent(self):
+        extent = {}
+        for i, d in enumerate(["x", "y", "z"]):
+            extent[d] = [
+                np.min(self.coordinates[:, i]),
+                np.max(self.coordinates[:, i]),
+            ]
+        return extent
+
+    def get_distances_to_point(self, point) -> np.ndarray:
+        """Euclidean distances from all points to given point(s) — one
+        device matmul (`helpers/other.py:131`)."""
+        point = np.asarray(point)
+        if point.ndim == 1:
+            point = point[None, ...]
+        assert point.shape[1] == self.coordinates.shape[1], (
+            f"Invalid shapes: {point.shape}, {self.coordinates.shape}"
+        )
+        return np.asarray(
+            euclidean_distance_matrix(self.coordinates, point)
+        ).squeeze()
+
+    def plot_points(self, projection: str | None = None):
+        from ..plots.plots import _plt
+
+        plt = _plt()
+        if projection is not None:
+            projection = projection.lower()
+        if self.ndim == 3 or projection == "3d":
+            projection = "3d"
+            threed = True
+        elif projection in (None, "2d"):
+            threed = False
+            projection = None
+        else:
+            raise ValueError("projection must be 2d, 3d or None")
+        fig, ax = plt.subplots(
+            1, 1, figsize=(7, 5), subplot_kw={"projection": projection}
+        )
+        if threed:
+            ax.scatter(
+                xs=self.coordinates[:, 0],
+                ys=self.coordinates[:, 1],
+                zs=self.coordinates[:, 2],
+            )
+            ax.set_xlabel("$x$ / m")
+            ax.set_ylabel("$y$ / m")
+            ax.set_zlabel("$z$ / m")
+        else:
+            helper = dict(x=0, y=1, z=2)
+            dim1 = helper[self.dim[0]]
+            dim2 = dim1 - 1 if self.ndim == 1 else helper[self.dim[1]]
+            ax.scatter(
+                x=self.coordinates[:, dim1], y=self.coordinates[:, dim2]
+            )
+            ax.set_xlabel(f"${self.dim[0]}$ / m")
+            ax.set_ylabel(f"${['x', 'y', 'z'][dim2]}$ / m")
+        fig.tight_layout()
+        return fig, ax
+
+    def find_nearest_point(self, point):
+        point = np.asarray(point).squeeze()
+        assert point.ndim == 1, (
+            "Passed vector is not broadcastable to a 1D-array"
+        )
+        assert len(point) == 3, (
+            "Point must have exactly 3 dimensions (x, y, z)"
+        )
+        dist = self.get_distances_to_point(point)
+        index = int(np.argmin(dist))
+        return index, self.coordinates[index, :]
+
+
+class Grid(BasePoints):
+    """Beamforming grid (`beamforming.py:35-77`)."""
+
+    def reconstruct_map_shape(self, map: np.ndarray) -> np.ndarray:
+        return map
+
+
+class Regular2DGrid(Grid):
+    """Rectangular 2D grid on a coordinate plane
+    (`beamforming.py:78-216`)."""
+
+    def __init__(self, line1, line2, dimensions, value3):
+        line1 = np.asarray(line1).squeeze()
+        line2 = np.asarray(line2).squeeze()
+        assert len(dimensions) == 2, "dimensions must have two entries"
+        self.original_lengths = (len(line1), len(line2))
+        self.dimensions_grid = tuple(dimensions)
+        g1, g2 = np.meshgrid(line1, line2, indexing="ij")
+        base = {"x": None, "y": None, "z": None}
+        base[dimensions[0]] = g1.flatten()
+        base[dimensions[1]] = g2.flatten()
+        third = list(set(["x", "y", "z"]) - set(dimensions))[0]
+        base[third] = np.ones(g1.size) * value3
+        super().__init__(base)
+
+    def reconstruct_map_shape(self, map_vector: np.ndarray) -> np.ndarray:
+        assert map_vector.ndim == 1, (
+            "The passed map should be a vector (flattened)"
+        )
+        assert len(map_vector) == self.number_of_points, (
+            "Length of passed vector does not match the number of points"
+        )
+        return map_vector.reshape(self.original_lengths)
+
+    def plot_map(self, map: np.ndarray, range_db: float = 20):
+        if map.ndim == 1:
+            map = self.reconstruct_map_shape(map)
+        ex = self.extent
+        map_db = np.asarray(to_db(jnp.asarray(map), False, 500))
+        fig, ax = general_matrix_plot(
+            map_db,
+            range_x=ex[self.dimensions_grid[1]],
+            range_y=ex[self.dimensions_grid[0]],
+            range_z=range_db,
+            xlabel=self.dimensions_grid[1] + " / m",
+            ylabel=self.dimensions_grid[0] + " / m",
+            zlabel="dBFS",
+            colorbar=True,
+            lower_origin=True,
+        )
+        return fig, ax
+
+
+class Regular3DGrid(Grid):
+    """Regular 3D grid (`beamforming.py:218-366`)."""
+
+    def __init__(self, line_x, line_y, line_z):
+        line_x = np.asarray(line_x).squeeze()
+        line_y = np.asarray(line_y).squeeze()
+        line_z = np.asarray(line_z).squeeze()
+        self.lines = (line_x, line_y, line_z)
+        assert all(n.ndim == 1 for n in self.lines), (
+            "Shape of lines is invalid"
+        )
+        self.original_lengths = (len(line_x), len(line_y), len(line_z))
+        xx, yy, zz = np.meshgrid(line_x, line_y, line_z, indexing="ij")
+        super().__init__(
+            {
+                "x": xx.flatten(),
+                "y": yy.flatten(),
+                "z": zz.flatten(),
+            }
+        )
+
+    def reconstruct_map_shape(self, map_vector: np.ndarray) -> np.ndarray:
+        assert map_vector.ndim == 1, (
+            "The passed map should be a vector (flattened)"
+        )
+        assert len(map_vector) == self.number_of_points, (
+            "Length of passed vector does not match the number of points"
+        )
+        return map_vector.reshape(self.original_lengths)
+
+    def plot_map(
+        self,
+        map: np.ndarray,
+        third_dimension: str,
+        value_third_dimension: float,
+        range_db: float = 20,
+    ):
+        if map.ndim == 1 and len(map) == self.number_of_points:
+            map = self.reconstruct_map_shape(map)
+        assert map.shape == self.original_lengths, (
+            "Map shape does not match grid shape"
+        )
+        if third_dimension == "x":
+            ind = np.argmin(np.abs(value_third_dimension - self.lines[0]))
+            map = map[ind, :, :]
+            extent_dimensions = ["y", "z"]
+        elif third_dimension == "y":
+            ind = np.argmin(np.abs(value_third_dimension - self.lines[1]))
+            map = map[:, ind, :]
+            extent_dimensions = ["x", "z"]
+        elif third_dimension == "z":
+            ind = np.argmin(np.abs(value_third_dimension - self.lines[2]))
+            map = map[:, :, ind]
+            extent_dimensions = ["x", "y"]
+        else:
+            raise ValueError(f"{third_dimension} is not a valid dimension")
+        ex = self.extent
+        map_db = np.asarray(to_db(jnp.asarray(map), False, 500))
+        return general_matrix_plot(
+            map_db,
+            range_x=ex[extent_dimensions[1]],
+            range_y=ex[extent_dimensions[0]],
+            range_z=range_db,
+            xlabel=extent_dimensions[1] + " / m",
+            ylabel=extent_dimensions[0] + " / m",
+            zlabel="dBFS",
+            colorbar=True,
+            lower_origin=True,
+        )
+
+
+class LineGrid(Grid):
+    """Line grid along a coordinate (`beamforming.py:368-424`)."""
+
+    def __init__(self, line, dimension: str, value2: float, value3: float):
+        line = np.atleast_1d(np.squeeze(line))
+        assert line.ndim == 1, "Line has an invalid shape"
+        dimension = dimension.lower()
+        base_dimensions = ["x", "y", "z", "x"]
+        assert dimension in base_dimensions, "Dimension should be x, y or z"
+        ind = base_dimensions.index(dimension)
+        base_dimensions.pop(ind)
+        dim2 = base_dimensions[ind]
+        dim3 = list(set(["x", "y", "z"]) - set([dimension, dim2]))[0]
+        self.extent_dimension = dimension
+        super().__init__(
+            {
+                dimension: line,
+                dim2: np.ones(len(line)) * value2,
+                dim3: np.ones(len(line)) * value3,
+            }
+        )
+
+
+class MicArray(BasePoints):
+    """Microphone array with aperture/frequency-range helpers
+    (`beamforming.py:425-603`)."""
+
+    def __init__(self, positions: dict):
+        super().__init__(positions)
+        self.__array_center_coordinates = None
+        self.__array_center_channel_number = None
+        self.__aperture = None
+        self.__min_distance = None
+
+    @property
+    def aperture(self):
+        if self.__aperture is None:
+            self.__compute_aperture_min_distance()
+        return self.__aperture
+
+    @property
+    def min_distance(self):
+        if self.__min_distance is None:
+            self.__compute_aperture_min_distance()
+        return self.__min_distance
+
+    @property
+    def array_center_coordinates(self):
+        if self.__array_center_coordinates is None:
+            self.__compute_array_center()
+        return self.__array_center_coordinates
+
+    @property
+    def array_center_channel_number(self):
+        if self.__array_center_channel_number is None:
+            self.__compute_array_center()
+        return self.__array_center_channel_number
+
+    def __compute_aperture_min_distance(self):
+        distances = self.get_distances_to_point(self.coordinates)
+        np.fill_diagonal(distances, np.inf)
+        self.__min_distance = np.min(distances)
+        np.fill_diagonal(distances, -np.inf)
+        self.__aperture = np.max(distances)
+
+    def __compute_array_center(self):
+        center = np.mean(self.coordinates, axis=0)
+        distances = self.get_distances_to_point(center)
+        ind = int(np.argmin(distances))
+        self.__array_center_coordinates = self.coordinates[ind, :]
+        self.__array_center_channel_number = ind
+
+    def he_to_hz(self, he: float, c: float = 343) -> float:
+        return he * c / self.aperture
+
+    def hz_to_he(self, f_hz: float, c: float = 343) -> float:
+        return f_hz * self.aperture / c
+
+    def get_maximum_frequency_range(
+        self, lowest_he: float = 4, c: float = 343
+    ) -> list:
+        return [self.he_to_hz(lowest_he, c=c), c / self.min_distance / 2]
+
+
+# ========== Steering vector formulations ====================================
+def classic_steering(wave_number, grid: Grid, mic: MicArray):
+    """Sarradj formulation 1 (`beamforming.py:1515-1553`)."""
+    wave_number = np.atleast_1d(wave_number)
+    assert wave_number.ndim == 1, "Wave number should be a 1D-array"
+    N = mic.number_of_points
+    rt0 = grid.get_distances_to_point(mic.array_center_coordinates)
+    rti = grid.get_distances_to_point(mic.coordinates).T
+    k = jnp.asarray(wave_number)[:, nxs, nxs]
+    diff = jnp.asarray(rti[nxs, :, :] - rt0[nxs, nxs, :])
+    return np.asarray(1 / N * jnp.exp(-1j * k * diff))
+
+
+def inverse_steering(wave_number, grid: Grid, mic: MicArray):
+    """Sarradj formulation 2 (`beamforming.py:1555-1598`)."""
+    wave_number = np.atleast_1d(wave_number)
+    assert wave_number.ndim == 1, "Wave number should be a 1D-array"
+    N = mic.number_of_points
+    rt0 = grid.get_distances_to_point(mic.array_center_coordinates)
+    rti = grid.get_distances_to_point(mic.coordinates).T
+    k = jnp.asarray(wave_number)[:, nxs, nxs]
+    diff = jnp.asarray(rti[nxs, :, :] - rt0[nxs, nxs, :])
+    amp = jnp.asarray(rti[nxs, :, :] / N / rt0[nxs, nxs, :])
+    return np.asarray(amp * jnp.exp(-1j * k * diff))
+
+
+def true_power_steering(wave_number, grid: Grid, mic: MicArray):
+    """Sarradj formulation 3 (`beamforming.py:1600-1645`)."""
+    wave_number = np.atleast_1d(wave_number)
+    assert wave_number.ndim == 1, "Wave number should be a 1D-array"
+    rt0 = grid.get_distances_to_point(mic.array_center_coordinates)
+    rti = grid.get_distances_to_point(mic.coordinates).T
+    rtj = np.sum(
+        1 / mic.get_distances_to_point(grid.coordinates) ** 2, axis=0
+    )
+    k = jnp.asarray(wave_number)[:, nxs, nxs]
+    diff = jnp.asarray(rti[nxs, :, :] - rt0[nxs, nxs, :])
+    amp = jnp.asarray(
+        1 / rt0[nxs, nxs, :] / rti[nxs, :, :] / rtj[nxs, nxs, :]
+    )
+    return np.asarray(amp * jnp.exp(-1j * k * diff))
+
+
+def true_location_steering(wave_number, grid: Grid, mic: MicArray):
+    """Sarradj formulation 4 (`beamforming.py:1647-1702`)."""
+    wave_number = np.atleast_1d(wave_number)
+    assert wave_number.ndim == 1, "Wave number should be a 1D-array"
+    N = mic.number_of_points
+    rt0 = grid.get_distances_to_point(mic.array_center_coordinates)
+    rti = grid.get_distances_to_point(mic.coordinates).T
+    rtj = N * np.sum(
+        1 / mic.get_distances_to_point(grid.coordinates) ** 2, axis=0
+    )
+    k = jnp.asarray(wave_number)[:, nxs, nxs]
+    diff = jnp.asarray(rti[nxs, :, :] - rt0[nxs, nxs, :])
+    amp = jnp.asarray(1 / rti[nxs, :, :] / jnp.sqrt(rtj)[nxs, nxs, :])
+    return np.asarray(amp * jnp.exp(-1j * k * diff))
+
+
+class SteeringVector:
+    """Dispatch for the 4 Sarradj formulations
+    (`beamforming.py:605-648`)."""
+
+    def __init__(
+        self,
+        formulation: SteeringVectorType = SteeringVectorType.TrueLocation,
+    ):
+        mapping = {
+            SteeringVectorType.Classic: classic_steering,
+            SteeringVectorType.Inverse: inverse_steering,
+            SteeringVectorType.TruePower: true_power_steering,
+            SteeringVectorType.TrueLocation: true_location_steering,
+        }
+        if formulation not in mapping:
+            raise ValueError(
+                "Incorrect formulation. Use either classic, inverse, "
+                "true power or true location"
+            )
+        self.get_vector = mapping[formulation]
+
+
+def _simpson_uniform(y: np.ndarray, dx: float, axis: int = -1) -> np.ndarray:
+    from scipy.integrate import simpson
+
+    return simpson(y, dx=dx, axis=axis)
+
+
+class BaseBeamformer:
+    """Base beamformer (`beamforming.py:650-754`)."""
+
+    def __init__(
+        self, multi_channel_signal: Signal, mic_array: MicArray, c: float = 343
+    ):
+        assert isinstance(multi_channel_signal, Signal), (
+            "Multi-channel signal must be of type Signal"
+        )
+        assert isinstance(mic_array, MicArray), (
+            "mic_array should be of type MicArray"
+        )
+        assert c > 0, "Speed of sound should be bigger than 0"
+        assert (
+            multi_channel_signal.number_of_channels
+            == mic_array.number_of_points
+        ), "Number of channels in signal and microphone array do not match"
+        self.signal = multi_channel_signal
+        self.mics = mic_array
+        self.c = c
+        self.beamformer_type = "Base"
+
+    def plot_setting(self):
+        from ..plots.plots import _plt
+
+        plt = _plt()
+        fig, ax = plt.subplots(
+            1, 1, figsize=(8, 5), subplot_kw={"projection": "3d"}
+        )
+        ax.scatter(
+            self.mics.coordinates[:, 0],
+            self.mics.coordinates[:, 1],
+            self.mics.coordinates[:, 2],
+        )
+        if getattr(self, "grid", None) is not None:
+            ax.scatter(
+                self.grid.coordinates[:, 0],
+                self.grid.coordinates[:, 1],
+                self.grid.coordinates[:, 2],
+            )
+        ax.scatter(
+            self.mics.array_center_coordinates[0],
+            self.mics.array_center_coordinates[1],
+            self.mics.array_center_coordinates[2],
+            c="xkcd:dark green",
+        )
+        ax.set_xlabel("$x$ / m")
+        ax.set_ylabel("$y$ / m")
+        ax.set_zlabel("$z$ / m")
+        ax.legend(["Mic Array", "Grid", "Center Mic"])
+        return fig, ax
+
+    def get_frequency_range_from_he(self, range_he=[4, 10]) -> list:
+        assert len(range_he) == 2, "Range in He should have length two"
+        return [self.mics.he_to_hz(i, self.c) for i in range_he]
+
+    def show_info(self):
+        txt = f"Beamformer: {self.beamformer_type}"
+        txt = "\n" + txt + "\n" + "-" * len(txt) + "\n"
+        txt += f"Aperture: {self.mics.aperture}\n"
+        txt += f"Min mic distance: {self.mics.min_distance}\n"
+        txt += (
+            "Recommended f range: "
+            f"{self.mics.get_maximum_frequency_range()}\n"
+        )
+        txt += f"Number of mics: {self.mics.number_of_points}\n"
+        if getattr(self, "grid", None) is not None:
+            txt += f"Number of grid points: {self.grid.number_of_points}\n"
+        print(txt)
+
+
+class BeamformerGridded(BaseBeamformer):
+    """Beamformer with grid + steering vector
+    (`beamforming.py:755-798`)."""
+
+    def __init__(
+        self,
+        multi_channel_signal: Signal,
+        mic_array: MicArray,
+        grid: Grid,
+        steering_vector: SteeringVector,
+        c: float = 343,
+    ):
+        super().__init__(multi_channel_signal, mic_array, c)
+        assert isinstance(steering_vector, SteeringVector), (
+            "steering_vector should be of type SteeringVector"
+        )
+        assert issubclass(type(grid), Grid), "grid should be a Grid object"
+        self.grid = grid
+        self.st_vec = steering_vector
+
+    def _csm_and_steering(self, center_frequency_hz, octave_fraction):
+        self.center_frequency_hz = center_frequency_hz
+        self.octave_fraction = octave_fraction
+        self.f_range_hz = fractional_octave_bandwidth(
+            center_frequency_hz, octave_fraction
+        )
+        f, csm = self.signal.get_csm()
+        csm = np.asarray(csm)
+        ids = find_nearest_points_index_in_vector(self.f_range_hz, f)
+        id1, id2 = int(ids[0]), int(ids[1])
+        if id1 == id2:
+            id2 += 1
+        f = f[id1:id2]
+        csm = csm[id1:id2]
+        wave_numbers = f * np.pi * 2 / self.c
+        h = self.st_vec.get_vector(
+            wave_numbers, grid=self.grid, mic=self.mics
+        )
+        self.f_range_hz = np.array([f[0], f[-1]])
+        return f, csm, h
+
+
+class BeamformerDASFrequency(BeamformerGridded):
+    """Frequency-domain delay-and-sum (`beamforming.py:799-880`)."""
+
+    beamformer_type = "Delay-and-sum (Frequency)"
+
+    def get_beamformer_map(
+        self,
+        center_frequency_hz: float,
+        octave_fraction: int = 3,
+        remove_csm_diagonal: bool = True,
+    ) -> np.ndarray:
+        f, csm, h = self._csm_and_steering(
+            center_frequency_hz, octave_fraction
+        )
+        if remove_csm_diagonal:
+            n_ch = self.signal.number_of_channels
+            csm = csm * (n_ch / (n_ch - 1))
+            eye = np.eye(csm.shape[-1], dtype=bool)
+            csm[:, eye] = 0
+        hj = jnp.asarray(h)  # (F, M, G)
+        csm_j = jnp.asarray(csm)  # (F, M, N)
+        # map[g, f] = h*_mg C_mn h_ng — one einsum on the MXU
+        map_fg = jnp.einsum(
+            "fmg,fmn,fng->gf",
+            jnp.conj(hj),
+            csm_j,
+            hj,
+            precision=_HIGH,
+        ).real
+        map = np.array(map_fg)
+        if remove_csm_diagonal:
+            map[map < 0] = 0
+        if len(f) > 1:
+            map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
+        else:
+            map = map.squeeze()
+        self.map = self.grid.reconstruct_map_shape(map)
+        return self.map.copy()
+
+
+class BeamformerCleanSC(BeamformerGridded):
+    """CLEAN-SC deconvolution (Sijtsma 2007;
+    `beamforming.py:883-1008`)."""
+
+    beamformer_type = "CleanSC"
+
+    def get_beamformer_map(
+        self,
+        center_frequency_hz: float,
+        octave_fraction: int = 3,
+        maximum_iterations: int | None = None,
+        safety_factor: float = 0.5,
+        remove_csm_diagonal: bool = False,
+    ) -> np.ndarray:
+        if maximum_iterations is None:
+            maximum_iterations = self.signal.number_of_channels * 2
+        else:
+            assert maximum_iterations > 0, (
+                "Number of iterations must be positive"
+            )
+        assert 0 < safety_factor <= 1, (
+            f"{safety_factor} is not valid. The safety factor (loop gain) "
+            "should be in ]0, 1]"
+        )
+        f, csm, h = self._csm_and_steering(
+            center_frequency_hz, octave_fraction
+        )
+        h_H = np.swapaxes(h, 1, 2).conjugate()
+        if remove_csm_diagonal:
+            eye = np.eye(csm.shape[-1], dtype=bool)
+            csm[:, eye] = 0
+        # initial map via batched einsum
+        map = np.array(
+            jnp.einsum(
+                "fmg,fmn,fng->gf",
+                jnp.conj(jnp.asarray(h)),
+                jnp.asarray(csm),
+                jnp.asarray(h),
+                precision=_HIGH,
+            ).real
+        )
+        for find in range(len(f)):
+            map[:, find] = clean_sc_deconvolve(
+                map[:, find],
+                csm[find],
+                h[find],
+                h_H[find],
+                maximum_iterations,
+                remove_csm_diagonal,
+                safety_factor,
+            ).real
+        if len(f) > 1:
+            map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
+        else:
+            map = map.squeeze()
+        self.map = self.grid.reconstruct_map_shape(map)
+        return self.map.copy()
+
+
+class BeamformerOrthogonal(BeamformerGridded):
+    """Orthogonal beamforming (Sarradj 2010;
+    `beamforming.py:1010-1125`)."""
+
+    beamformer_type = "Orthogonal (Grid)"
+
+    def get_beamformer_map(
+        self,
+        center_frequency_hz: float,
+        octave_fraction: int = 3,
+        number_eigenvalues: int | None = None,
+    ) -> np.ndarray:
+        if number_eigenvalues is None:
+            number_eigenvalues = self.signal.number_of_channels // 2
+        else:
+            assert (
+                number_eigenvalues <= self.signal.number_of_channels
+            ), "Number of eigenvalues cannot be more than number of microphones"
+            assert number_eigenvalues > 0, (
+                "At least one eigenvalue of the CSM must be regarded"
+            )
+        f, csm, h = self._csm_and_steering(
+            center_frequency_hz, octave_fraction
+        )
+        # batched eigendecomposition on device (ascending eigenvalues)
+        w, v = np.linalg.eigh(csm)
+        hj = jnp.asarray(h)  # (F, M, G)
+        vj = jnp.asarray(v)  # (F, M, M)
+        # products[f, g, e] = |h*_mg v_me|^2
+        prod = jnp.abs(
+            jnp.einsum(
+                "fmg,fme->fge", jnp.conj(hj), vj, precision=_HIGH
+            )
+        ) ** 2
+        prod = np.asarray(prod)
+        map = np.zeros((self.grid.number_of_points, len(f)))
+        for find in range(len(f)):
+            for eig in range(number_eigenvalues):
+                eig_map = prod[find, :, -eig - 1]
+                source_ind = int(np.argmax(eig_map))
+                map[source_ind, find] = (
+                    eig_map[source_ind] * w[find, -eig - 1]
+                )
+        if len(f) > 1:
+            map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
+        else:
+            map = map.squeeze()
+        self.map = self.grid.reconstruct_map_shape(map)
+        return self.map.copy()
+
+
+class BeamformerFunctional(BeamformerGridded):
+    """Functional beamforming (Dougherty 2014;
+    `beamforming.py:1127-1221`)."""
+
+    beamformer_type = "Functional"
+
+    def get_beamformer_map(
+        self,
+        center_frequency_hz: float,
+        octave_fraction: int = 3,
+        gamma: float = 10,
+    ) -> np.ndarray:
+        f, csm, h = self._csm_and_steering(
+            center_frequency_hz, octave_fraction
+        )
+        # batched matrix power via SVD
+        u, s, vh = np.linalg.svd(csm)
+        s_pow = s ** (1 / gamma)
+        csm_pow = np.einsum(
+            "fmk,fk,fkn->fmn", u, s_pow, vh
+        )
+        hj = jnp.asarray(h)
+        num = jnp.einsum(
+            "fmg,fmn,fng->gf",
+            jnp.conj(hj),
+            jnp.asarray(csm_pow),
+            hj,
+            precision=_HIGH,
+        ).real
+        norm = jnp.einsum(
+            "fmg,fmg->gf", jnp.conj(hj), hj, precision=_HIGH
+        ).real
+        map = np.asarray((num / norm) ** gamma * norm)
+        if len(f) > 1:
+            map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
+        else:
+            map = map.squeeze()
+        self.map = self.grid.reconstruct_map_shape(map)
+        return self.map.copy()
+
+
+class BeamformerMVDR(BeamformerGridded):
+    """Minimum-variance distortionless response (Capon;
+    `beamforming.py:1223-1315`)."""
+
+    beamformer_type = "MVDR"
+
+    def get_beamformer_map(
+        self,
+        center_frequency_hz: float,
+        octave_fraction: int = 3,
+        gamma: float = 10,
+    ) -> np.ndarray:
+        f, csm, h = self._csm_and_steering(
+            center_frequency_hz, octave_fraction
+        )
+        hj = jnp.asarray(h)  # (F, M, G)
+        # batched solve C^-1 h on device
+        sol = jnp.linalg.solve(jnp.asarray(csm), hj)  # (F, M, G)
+        denom = jnp.einsum(
+            "fmg,fmg->gf", jnp.conj(hj), sol, precision=_HIGH
+        ).real
+        map = np.asarray(1 / denom)
+        if len(f) > 1:
+            map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
+        else:
+            map = map.squeeze()
+        self.map = self.grid.reconstruct_map_shape(map)
+        return self.map.copy()
+
+
+class BeamformerDASTime(BaseBeamformer):
+    """Time-domain delay-and-sum (`beamforming.py:1317-1395`)."""
+
+    def __init__(
+        self,
+        multi_channel_signal: Signal,
+        mic_array: MicArray,
+        grid: Grid,
+        c: float = 343,
+    ):
+        super().__init__(multi_channel_signal, mic_array, c)
+        assert issubclass(type(grid), Grid), "grid should be a Grid object"
+        self.grid = grid
+        self.beamformer_type = "Delay-and-sum (Time)"
+
+    def get_beamformer_output(self) -> Signal:
+        out_sig = self.signal.get_channels(0)
+        ds = self.mics.get_distances_to_point(self.grid.coordinates)
+        if ds.ndim == 1:
+            ds = ds[:, None]
+        min_distance = np.min(ds)
+        r0 = np.max(ds)
+        longest_delay = int(
+            (r0 - min_distance) / self.c * self.signal.sampling_rate_hz + 2
+        )
+        total_length = out_sig.time_data.shape[0] + longest_delay
+        out_sig = pad_trim(out_sig, total_length)
+        for ig in range(self.grid.number_of_points):
+            delays = (r0 - ds[:, ig]) / self.c
+            new_time_data = np.zeros((total_length, 1))
+            for im in range(self.mics.number_of_points):
+                ntd = (
+                    fractional_delay(
+                        self.signal.get_channels(im), delays[im]
+                    ).time_data
+                    * ds[im, ig]
+                )
+                ntd = np.asarray(
+                    pad_trim_axis(jnp.asarray(ntd), total_length, axis=0)
+                )
+                new_time_data += ntd
+            new_time_data /= self.mics.number_of_points
+            out_sig.add_channel(
+                None, new_time_data, out_sig.sampling_rate_hz
+            )
+        out_sig.remove_channel(0)
+        return out_sig
+
+
+class MonopoleSource:
+    """Omnidirectional point source (`beamforming.py:1397-1459`)."""
+
+    def __init__(self, signal: Signal, coordinates):
+        assert signal.number_of_channels == 1, (
+            "Only signals with a single channel are supported"
+        )
+        coordinates = np.squeeze(coordinates)
+        assert len(coordinates) == 3 and coordinates.ndim == 1, (
+            "Coordinates should have exactly three values"
+        )
+        self.emitted_signal = signal
+        self.coordinates = coordinates
+
+    def get_signals_on_array(self, mics: MicArray, c: float = 343) -> Signal:
+        distances = mics.get_distances_to_point(self.coordinates)
+        delays = distances / c
+        multi = self.emitted_signal.copy()
+        for i in range(len(distances)):
+            ns = fractional_delay(
+                self.emitted_signal, delays[i], keep_length=True
+            )
+            ns.time_data = ns.time_data / (1.0 + distances[i])
+            multi = append_signals([multi, ns], allow_padding_trimming=True)
+        multi.remove_channel(0)
+        return multi
+
+
+def mix_sources_on_array(sources, mics: MicArray, c: float = 343) -> Signal:
+    """Combine several monopole sources on an array
+    (`beamforming.py:1461-1513`)."""
+    if isinstance(sources, MonopoleSource):
+        sources = [sources]
+    assert len(sources) > 0, (
+        "There must be at least one source to project on array"
+    )
+    assert all(isinstance(i, MonopoleSource) for i in sources), (
+        "All sources in list should be of type Source"
+    )
+    sources = list(sources)
+    multi = sources[0].get_signals_on_array(mics, c)
+    total_length = multi.time_data.shape[0]
+    sources.pop(0)
+    for s in sources:
+        if total_length != s.emitted_signal.time_data.shape[0]:
+            warn(
+                "Emitted signals from sources differ in length. Trimming "
+                "to shortest will be done"
+            )
+            total_length = min(
+                total_length, s.emitted_signal.time_data.shape[0]
+            )
+            multi = pad_trim(multi, total_length)
+            s.emitted_signal = pad_trim(s.emitted_signal, total_length)
+        ns = s.get_signals_on_array(mics, c)
+        multi.time_data = multi.time_data + ns.time_data
+    return multi
+
+
+def clean_sc_deconvolve(
+    map: np.ndarray,
+    csm: np.ndarray,
+    h: np.ndarray,
+    h_H: np.ndarray,
+    maximum_iterations: int,
+    remove_diagonal_csm: bool,
+    safety_factor: float,
+) -> np.ndarray:
+    """CLEAN-SC inner loop (`_beamforming.py:194-297`); quadratic forms per
+    iteration run as device einsums."""
+    D = np.append(csm[None, ...] * 2, csm[None, ...], axis=0)
+    second_map = np.zeros_like(map)
+    for _ in range(maximum_iterations):
+        maximum_power_ind = int(np.argmax(map))
+        maximum_power = map[maximum_power_ind]
+        second_map[maximum_power_ind] += maximum_power * safety_factor
+        if np.linalg.norm(D[1], ord=1) >= np.linalg.norm(D[0], ord=1):
+            break
+        w_max = h[:, maximum_power_ind]
+        h_ = w_max.copy()
+        w_max_squared = w_max.conjugate() * w_max
+        D_ = D[1] @ w_max / maximum_power
+        for _ in range(20):
+            H = h_.conjugate() * h_
+            h_ = (D_ + H * w_max) / np.sqrt(1 + H @ w_max_squared)
+        G = np.outer(h_, h_.conjugate()) * maximum_power
+        if remove_diagonal_csm:
+            np.fill_diagonal(G, 0)
+        correction = np.asarray(
+            jnp.einsum(
+                "gm,mn,ng->g",
+                jnp.asarray(h_H),
+                jnp.asarray(G),
+                jnp.asarray(h),
+                precision=_HIGH,
+            ).real
+        )
+        map -= correction * safety_factor
+        temp = D[1].copy()
+        D[1] = D[1] - safety_factor * G
+        D[0] = temp
+    return second_map
