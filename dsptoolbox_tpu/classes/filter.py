@@ -344,6 +344,9 @@ class Filter:
 
         from ..ops.fft_conv import upfirdn
 
+        from ..helpers.polyphase import polyphase_decomposition
+        from ..ops.fft_conv import fft_convolve
+
         frac = Fraction(
             new_sampling_rate_hz, signal.sampling_rate_hz
         ).as_integer_ratio()
@@ -358,7 +361,24 @@ class Filter:
             )
             down = frac[1]
             if self.is_fir:
-                y = upfirdn(self.ba[0], x, up=1, down=down)
+                # polyphase decimator (`classes/filter_helpers.py:505-567`):
+                # front-padded polyphase components, flipped filter branches,
+                # batched device convolution, group-delay trim
+                b = self.ba[0]
+                half_length = (len(b) - 1) // 2
+                poly, _ = polyphase_decomposition(
+                    signal.time_data_jax, down, flip=False
+                )  # (Tp, n, C)
+                b_poly, _ = polyphase_decomposition(
+                    jnp.asarray(b), down, flip=True
+                )  # (Kp, n, 1)
+                xcf = jnp.transpose(poly, (2, 1, 0))  # (C, n, Tp)
+                hcf = b_poly[:, :, 0].T  # (n, Kp)
+                conv = fft_convolve(xcf, hcf)  # (C, n, Tp+Kp-1)
+                y_full = jnp.sum(conv, axis=1).T  # (L, C)
+                y = y_full[
+                    half_length // down : -(half_length // down) or None, :
+                ].T
             else:
                 if not hasattr(self, "ba"):
                     self.ba = list(sig.sos2tf(self.sos))
@@ -373,7 +393,27 @@ class Filter:
                 "sampling rate of the filter should match the output's"
             )
             if self.is_fir:
-                y = upfirdn(self.ba[0], x, up=up, down=1)
+                # polyphase interpolator
+                # (`classes/filter_helpers.py:570-652`)
+                b = self.ba[0]
+                half_length = (len(b) - 1) // 2
+                b_poly, padding = polyphase_decomposition(
+                    jnp.asarray(b), up
+                )
+                b_poly = b_poly * up  # (Kp, n, 1)
+                hcf = b_poly[:, :, 0].T  # (up, Kp)
+                conv = fft_convolve(x[:, None, :], hcf)  # (C, up, T+Kp-1)
+                # interleave: out[t*up + ind] = conv[ind][t]
+                y_full = jnp.transpose(conv, (0, 2, 1)).reshape(
+                    x.shape[0], -1
+                )  # (C, (T+Kp-1)*up)
+                if padding == up:
+                    y = y_full[:, half_length:-half_length]
+                else:
+                    y = y_full[
+                        :,
+                        half_length + padding : -half_length + padding,
+                    ]
             else:
                 if not hasattr(self, "ba"):
                     self.ba = list(sig.sos2tf(self.sos))

@@ -1,0 +1,313 @@
+"""Class-layer tests vs the reference oracle on example_data."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy import signal as ss
+
+import dsptoolbox_tpu as dsp
+
+EXAMPLE = "/root/reference/example_data"
+
+
+class TestSignal:
+    def test_load_wav_matches_reference(self, ref, close):
+        mine = dsp.Signal(f"{EXAMPLE}/chirp.wav")
+        theirs = ref.Signal(f"{EXAMPLE}/chirp.wav")
+        assert mine.sampling_rate_hz == theirs.sampling_rate_hz
+        close(mine.time_data, theirs.time_data, 1e-6, "wav load")
+
+    def test_time_data_conventions(self):
+        # 1D input becomes (T, 1); transposed input gets fixed
+        s = dsp.Signal(None, np.zeros(100), 2000)
+        assert s.time_data.shape == (100, 1)
+        s = dsp.Signal(None, np.zeros((2, 100)), 2000)
+        assert s.time_data.shape == (100, 2)
+
+    def test_constrain_amplitude(self):
+        with pytest.warns(UserWarning):
+            s = dsp.Signal(
+                None, np.ones(100) * 2.0, 1000, constrain_amplitude=True
+            )
+        assert np.max(np.abs(s.time_data)) <= 1.0
+        assert np.isclose(s.amplitude_scale_factor, 0.5)
+
+    def test_spectrum_fft_vs_reference(self, ref, close):
+        mine = dsp.Signal(f"{EXAMPLE}/chirp.wav")
+        theirs = ref.Signal(f"{EXAMPLE}/chirp.wav")
+        mine.spectrum_method = dsp.SpectrumMethod.FFT
+        theirs.spectrum_method = ref.SpectrumMethod.FFT
+        f1, sp1 = mine.get_spectrum()
+        f2, sp2 = theirs.get_spectrum()
+        np.testing.assert_allclose(f1, f2)
+        close(sp1, sp2, 2e-5, "fft spectrum")
+
+    def test_spectrum_welch_vs_reference(self, ref, close):
+        mine = dsp.Signal(f"{EXAMPLE}/speech.flac") if False else dsp.Signal(
+            f"{EXAMPLE}/chirp_stereo.wav"
+        )
+        theirs = ref.Signal(f"{EXAMPLE}/chirp_stereo.wav")
+        f1, sp1 = mine.get_spectrum()
+        f2, sp2 = theirs.get_spectrum()
+        close(sp1, sp2, 2e-5, "welch spectrum")
+
+    def test_csm_vs_reference(self, ref, close):
+        mine = dsp.Signal(f"{EXAMPLE}/chirp_stereo.wav")
+        theirs = ref.Signal(f"{EXAMPLE}/chirp_stereo.wav")
+        f1, csm1 = mine.get_csm()
+        f2, csm2 = theirs.get_csm()
+        close(np.abs(np.asarray(csm1)), np.abs(csm2), 5e-5, "csm")
+
+    def test_spectrogram_vs_reference(self, ref, close):
+        mine = dsp.Signal(f"{EXAMPLE}/chirp.wav")
+        theirs = ref.Signal(f"{EXAMPLE}/chirp.wav")
+        t1, f1, S1 = mine.get_spectrogram()
+        t2, f2, S2 = theirs.get_spectrogram()
+        assert S1.shape == S2.shape
+        close(np.abs(np.asarray(S1)), np.abs(S2), 2e-5, "stft")
+
+    def test_channel_ops(self):
+        s = dsp.Signal(None, np.random.randn(100, 3), 8000)
+        s2 = s.get_channels([0, 2])
+        assert s2.number_of_channels == 2
+        s3 = s.copy()
+        s3.remove_channel(1)
+        assert s3.number_of_channels == 2
+        s4 = s.copy().swap_channels([2, 1, 0])
+        np.testing.assert_allclose(
+            s4.time_data[:, 0], s.time_data[:, 2]
+        )
+        s5 = s.sum_channels()
+        np.testing.assert_allclose(
+            s5.time_data[:, 0], s.time_data.sum(axis=1), rtol=1e-5
+        )
+
+
+class TestFilter:
+    def test_iir_filter_signal_vs_reference(self, ref, close):
+        noise = np.random.default_rng(1).standard_normal((4000, 2)) * 0.3
+        mine_s = dsp.Signal(None, noise, 16000)
+        ref_s = ref.Signal(None, noise.copy(), 16000)
+        mine_f = dsp.Filter.iir_filter(
+            6, 1000.0, dsp.FilterPassType.Lowpass, 16000
+        )
+        ref_f = ref.Filter.iir_filter(
+            6,
+            1000.0,
+            ref.FilterPassType.Lowpass,
+            16000,
+        )
+        out1 = mine_f.filter_signal(mine_s)
+        out2 = ref_f.filter_signal(ref_s)
+        close(out1.time_data, out2.time_data, 2e-5, "iir filter_signal")
+
+    def test_fir_filter_signal_vs_reference(self, ref, close):
+        noise = np.random.default_rng(2).standard_normal((4000, 2)) * 0.3
+        mine_s = dsp.Signal(None, noise, 16000)
+        ref_s = ref.Signal(None, noise.copy(), 16000)
+        mine_f = dsp.Filter.fir_filter(
+            64, 2000.0, dsp.FilterPassType.Highpass, 16000
+        )
+        ref_f = ref.Filter.fir_filter(
+            64, 2000.0, ref.FilterPassType.Highpass, 16000
+        )
+        out1 = mine_f.filter_signal(mine_s)
+        out2 = ref_f.filter_signal(ref_s)
+        close(out1.time_data, out2.time_data, 2e-5, "fir filter_signal")
+
+    def test_biquad_coefficients_match(self, ref):
+        for eq, eq_r in [
+            ("Peaking", "Peaking"),
+            ("Lowpass", "Lowpass"),
+            ("Highshelf", "Highshelf"),
+            ("Notch", "Notch"),
+        ]:
+            mine = dsp.Filter.biquad(
+                getattr(dsp.BiquadEqType, eq), 1000, 3.0, 0.7, 48000
+            )
+            theirs = ref.Filter.biquad(
+                getattr(ref.BiquadEqType, eq_r), 1000, 3.0, 0.7, 48000
+            )
+            np.testing.assert_allclose(
+                mine.ba[0], theirs.ba[0], rtol=1e-12, err_msg=eq
+            )
+            np.testing.assert_allclose(mine.ba[1], theirs.ba[1], rtol=1e-12)
+
+    def test_zero_phase(self, ref, close):
+        noise = np.random.default_rng(3).standard_normal((4000, 1)) * 0.3
+        mine_s = dsp.Signal(None, noise, 16000)
+        ref_s = ref.Signal(None, noise.copy(), 16000)
+        mine_f = dsp.Filter.iir_filter(
+            4, 2000.0, dsp.FilterPassType.Lowpass, 16000
+        )
+        ref_f = ref.Filter.iir_filter(
+            4, 2000.0, ref.FilterPassType.Lowpass, 16000
+        )
+        out1 = mine_f.filter_signal(mine_s, zero_phase=True)
+        out2 = ref_f.filter_signal(ref_s, zero_phase=True)
+        close(out1.time_data, out2.time_data, 2e-5, "zero phase")
+
+    def test_get_ir_and_tf(self, ref, close):
+        mine_f = dsp.Filter.iir_filter(
+            4, [500.0, 2000.0], dsp.FilterPassType.Bandpass, 16000
+        )
+        ref_f = ref.Filter.iir_filter(
+            4, [500.0, 2000.0], ref.FilterPassType.Bandpass, 16000
+        )
+        close(
+            mine_f.get_ir(512).time_data,
+            ref_f.get_ir(512).time_data,
+            2e-5,
+            "filter ir",
+        )
+        fvec = np.linspace(10, 7999, 200)
+        np.testing.assert_allclose(
+            mine_f.get_transfer_function(fvec),
+            ref_f.get_transfer_function(fvec),
+            rtol=1e-8,
+        )
+
+    def test_filter_and_resample(self, ref, close):
+        noise = np.random.default_rng(4).standard_normal((4000, 1)) * 0.3
+        mine_s = dsp.Signal(None, noise, 16000)
+        ref_s = ref.Signal(None, noise.copy(), 16000)
+        mine_f = dsp.Filter.fir_filter(
+            64, 3000.0, dsp.FilterPassType.Lowpass, 16000
+        )
+        ref_f = ref.Filter.fir_filter(
+            64, 3000.0, ref.FilterPassType.Lowpass, 16000
+        )
+        out1 = mine_f.filter_and_resample_signal(mine_s, 8000)
+        out2 = ref_f.filter_and_resample_signal(ref_s, 8000)
+        assert out1.sampling_rate_hz == out2.sampling_rate_hz
+        close(out1.time_data, out2.time_data, 2e-5, "decimate")
+
+
+class TestSpectrumClass:
+    def test_interpolation_matches_reference(self, ref, close):
+        f = np.linspace(0, 8000, 257)
+        data = np.abs(np.random.default_rng(5).standard_normal((257, 2))) + 0.1
+        mine = dsp.Spectrum(f, data)
+        theirs = ref.Spectrum(f, data.copy())
+        fq = np.linspace(100, 7500, 300)
+        m = mine.get_interpolated_spectrum(fq, dsp.SpectrumType.Magnitude)
+        t = theirs.get_interpolated_spectrum(fq, ref.SpectrumType.Magnitude)
+        close(m, t, 5e-5, "interp magnitude")
+
+    def test_to_signal_roundtrip(self, close):
+        td = np.random.default_rng(6).standard_normal(512) * 0.2
+        sp = np.fft.rfft(td)
+        spec = dsp.Spectrum(np.fft.rfftfreq(512, 1 / 8000), sp)
+        sig = spec.to_signal(8000)
+        close(sig.time_data[:, 0], td, 1e-5, "irfft roundtrip")
+
+    def test_energy(self, ref, close):
+        f = np.linspace(0, 4000, 129)
+        data = np.abs(np.random.default_rng(7).standard_normal((129, 1))) + 0.1
+        mine = dsp.Spectrum(f, data)
+        theirs = ref.Spectrum(f, data.copy())
+        close(
+            np.asarray(mine.get_energy()),
+            theirs.get_energy(),
+            1e-5,
+            "energy",
+        )
+
+
+class TestMultiBandSignal:
+    def test_collapse_and_bands(self):
+        s1 = dsp.Signal(None, np.random.randn(500, 2) * 0.1, 8000)
+        s2 = dsp.Signal(None, np.random.randn(500, 2) * 0.1, 8000)
+        mb = dsp.MultiBandSignal([s1, s2])
+        assert mb.number_of_bands == 2
+        total = mb.collapse()
+        np.testing.assert_allclose(
+            total.time_data,
+            s1.time_data + s2.time_data,
+            atol=1e-6,
+        )
+        td, fs = mb.get_all_time_data()
+        assert td.shape == (500, 2, 2)
+
+
+class TestCalibration:
+    def test_calibration_factor(self, ref, close):
+        fs = 48000
+        t = np.arange(fs) / fs
+        tone = np.sin(2 * np.pi * 1000 * t) * 0.5
+        mine = dsp.CalibrationData((tone, fs))
+        theirs = ref.CalibrationData((tone.copy(), fs))
+        noise = np.random.default_rng(8).standard_normal((fs, 1)) * 0.1
+        m_sig = dsp.Signal(None, noise, fs)
+        r_sig = ref.Signal(None, noise.copy(), fs)
+        m_out = mine.calibrate_signal(m_sig)
+        r_out = theirs.calibrate_signal(r_sig)
+        close(m_out.time_data, r_out.time_data, 2e-5, "calibration")
+
+
+class TestStreamingParity:
+    """The reference's oracle pattern: partitioned streaming convolution vs
+    scipy oaconvolve (`tests/test_classes.py:1538-1556`)."""
+
+    @pytest.mark.parametrize("blocksize", [64, 128])
+    def test_partitioned_fir_vs_oaconvolve(self, blocksize, close):
+        rng = np.random.default_rng(9)
+        fir = rng.standard_normal(300)
+        x = rng.standard_normal(1024)
+        from dsptoolbox_tpu.realtime import FIRUniformPartitioned
+
+        f = FIRUniformPartitioned(fir)
+        f.prepare(blocksize, 1)
+        out = np.zeros(1024)
+        for n in range(1024 // blocksize):
+            out[n * blocksize : (n + 1) * blocksize] = f.process_block(
+                x[n * blocksize : (n + 1) * blocksize], 0
+            )
+        expected = ss.oaconvolve(x, fir)[:1024]
+        close(out, expected, 1e-4, "partitioned streaming")
+
+    def test_overlap_save_vs_oaconvolve(self, close):
+        rng = np.random.default_rng(10)
+        fir = rng.standard_normal(150)
+        x = rng.standard_normal(1024)
+        from dsptoolbox_tpu.realtime import FIRFilterOverlapSave
+
+        f = FIRFilterOverlapSave(fir)
+        f.prepare(128, 1)
+        out = np.zeros(1024)
+        for n in range(8):
+            out[n * 128 : (n + 1) * 128] = f.process_block(
+                x[n * 128 : (n + 1) * 128], 0
+            )
+        expected = ss.oaconvolve(x, fir)[:1024]
+        close(out, expected, 1e-4, "overlap save")
+
+    def test_iir_realtime_matches_offline(self, close):
+        rng = np.random.default_rng(11)
+        b, a = ss.butter(3, 0.2)
+        x = rng.standard_normal(256)
+        from dsptoolbox_tpu.realtime import IIRFilter
+
+        f = IIRFilter(b.copy(), a.copy())
+        out = np.array([f.process_sample(xi, 0) for xi in x])
+        expected = ss.lfilter(b, a, x)
+        close(out, expected, 1e-6, "iir per-sample")
+
+    def test_svf_filter_signal(self):
+        from dsptoolbox_tpu.realtime import StateVariableFilter
+
+        svf = StateVariableFilter(1000.0, 1.0, 16000)
+        s = dsp.Signal(None, np.random.randn(512, 2) * 0.2, 16000)
+        mb = svf.filter_signal(s)
+        assert mb.number_of_bands == 4
+        # per-sample matches vectorized path
+        svf2 = StateVariableFilter(1000.0, 1.0, 16000)
+        svf2.set_n_channels(1)
+        outs = np.array(
+            [svf2.process_sample(x, 0) for x in s.time_data[:64, 0]]
+        )
+        np.testing.assert_allclose(
+            outs[:, 0],
+            mb.bands[0].time_data[:64, 0],
+            atol=1e-5,
+        )

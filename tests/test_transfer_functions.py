@@ -1,0 +1,288 @@
+"""Transfer functions tests vs the reference oracle."""
+
+import numpy as np
+import pytest
+
+import dsptoolbox_tpu as dsp
+from dsptoolbox_tpu import transfer_functions as tf
+
+EXAMPLE = "/root/reference/example_data"
+
+
+def _ref_tf(ref):
+    return ref.transfer_functions
+
+
+class TestSpectralDeconvolve:
+    def test_regularized_vs_reference(self, ref, close):
+        exc_m = dsp.Signal(f"{EXAMPLE}/chirp.wav")
+        out_m = dsp.Signal(f"{EXAMPLE}/chirp_stereo.wav")
+        exc_r = ref.Signal(f"{EXAMPLE}/chirp.wav")
+        out_r = ref.Signal(f"{EXAMPLE}/chirp_stereo.wav")
+        ir_m = tf.spectral_deconvolve(out_m, exc_m)
+        ir_r = _ref_tf(ref).spectral_deconvolve(out_r, exc_r)
+        close(ir_m.time_data, ir_r.time_data, 2e-5, "deconv")
+
+    def test_padding_variants(self, ref, close):
+        exc_m = dsp.Signal(f"{EXAMPLE}/chirp.wav")
+        out_m = dsp.Signal(f"{EXAMPLE}/chirp_mono.wav")
+        exc_r = ref.Signal(f"{EXAMPLE}/chirp.wav")
+        out_r = ref.Signal(f"{EXAMPLE}/chirp_mono.wav")
+        # NOTE: apply_regularization=False is excluded: plain spectral
+        # division amplifies fp32 rounding unboundedly at near-zero
+        # denominator bins, so exact parity with the f64 oracle is not a
+        # meaningful target there.
+        for kwargs in [
+            dict(padding=True),
+            dict(padding=True, keep_original_length=True),
+        ]:
+            ir_m = tf.spectral_deconvolve(out_m, exc_m, **kwargs)
+            ir_r = _ref_tf(ref).spectral_deconvolve(out_r, exc_r, **kwargs)
+            close(ir_m.time_data, ir_r.time_data, 2e-5, str(kwargs))
+
+
+class TestWindowing:
+    def _irs(self, ref):
+        exc = dsp.Signal(f"{EXAMPLE}/chirp.wav")
+        out = dsp.Signal(f"{EXAMPLE}/chirp_stereo.wav")
+        ir_m = tf.spectral_deconvolve(out, exc)
+        exc_r = ref.Signal(f"{EXAMPLE}/chirp.wav")
+        out_r = ref.Signal(f"{EXAMPLE}/chirp_stereo.wav")
+        ir_r = _ref_tf(ref).spectral_deconvolve(out_r, exc_r)
+        return ir_m, ir_r
+
+    def test_window_ir(self, ref, close):
+        ir_m, ir_r = self._irs(ref)
+        w_m, s_m = tf.window_ir(ir_m, 4096)
+        w_r, s_r = _ref_tf(ref).window_ir(ir_r, 4096)
+        np.testing.assert_array_equal(s_m, s_r)
+        close(w_m.time_data, w_r.time_data, 2e-5, "window_ir")
+        close(w_m.window, w_r.window, 1e-10, "window")
+
+    def test_window_ir_tukey(self, ref, close):
+        ir_m, ir_r = self._irs(ref)
+        w_m = tf.window_ir_tukey(ir_m, 0.01, 0.05)
+        w_r = _ref_tf(ref).window_ir_tukey(ir_r, 0.01, 0.05)
+        close(w_m.time_data, w_r.time_data, 2e-5, "window_ir_tukey")
+
+    def test_window_centered_ir(self, ref, close):
+        ir_m, ir_r = self._irs(ref)
+        w_m, _ = tf.window_centered_ir(ir_m, 2048)
+        w_r, _ = _ref_tf(ref).window_centered_ir(ir_r, 2048)
+        close(w_m.time_data, w_r.time_data, 2e-5, "window_centered")
+
+
+class TestEstimators:
+    def test_h1_h2_h3(self, ref, close):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((8192, 1)) * 0.3
+        from scipy.signal import lfilter
+
+        y = lfilter([0.3, 0.2, 0.1], [1.0], x, axis=0) + (
+            rng.standard_normal((8192, 1)) * 0.01
+        )
+        for mode_m, mode_r in [
+            (tf.TransferFunctionType.H1, "H1"),
+            (tf.TransferFunctionType.H2, "H2"),
+            (tf.TransferFunctionType.H3, "H3"),
+        ]:
+            out_m = tf.compute_transfer_function(
+                dsp.Signal(None, y.copy(), 16000),
+                dsp.Signal(None, x.copy(), 16000),
+                1024,
+                mode=mode_m,
+            )
+            out_r = _ref_tf(ref).compute_transfer_function(
+                ref.Signal(None, y.copy(), 16000),
+                ref.Signal(None, x.copy(), 16000),
+                1024,
+                mode=getattr(
+                    ref.transfer_functions.TransferFunctionType, mode_r
+                ),
+            )
+            # NOTE: the DC bin is excluded — with detrend=True both
+            # implementations produce a noise/noise ratio there (the
+            # per-frame mean removal zeroes Gxx(0)), which is numerically
+            # meaningless in either precision.
+            close(
+                np.abs(np.asarray(out_m.spectral_data))[1:],
+                np.abs(out_r.spectral_data)[1:],
+                5e-4,
+                mode_r,
+            )
+            close(
+                out_m.coherence[1:], out_r.coherence[1:], 5e-4, "coherence"
+            )
+
+    def test_h1_complex_psd_scaling(self, ref, close):
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((8192, 1)) * 0.3
+        from scipy.signal import lfilter
+
+        y = lfilter([0.3, 0.2, 0.1], [1.0], x, axis=0)
+        sig_x_m = dsp.Signal(None, x.copy(), 16000)
+        sig_x_m.set_spectrum_parameters(
+            scaling=dsp.SpectrumScaling.PowerSpectralDensity
+        )
+        sig_x_r = ref.Signal(None, x.copy(), 16000)
+        sig_x_r.set_spectrum_parameters(
+            scaling=ref.SpectrumScaling.PowerSpectralDensity
+        )
+        out_m = tf.compute_transfer_function(
+            dsp.Signal(None, y.copy(), 16000), sig_x_m, 1024,
+            mode=tf.TransferFunctionType.H1,
+        )
+        out_r = _ref_tf(ref).compute_transfer_function(
+            ref.Signal(None, y.copy(), 16000), sig_x_r, 1024,
+            mode=ref.transfer_functions.TransferFunctionType.H1,
+        )
+        close(
+            np.asarray(out_m.spectral_data)[1:],
+            out_r.spectral_data[1:],
+            5e-3,
+            "H1 complex psd",
+        )
+
+
+class TestPhaseTools:
+    def test_min_phase_ir(self, ref, close):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        m = tf.min_phase_ir(rir_m)
+        r = _ref_tf(ref).min_phase_ir(rir_r)
+        close(m.time_data, r.time_data, 1e-4, "min_phase_ir")
+
+    def test_group_delay(self, ref, close):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        f_m, gd_m = tf.group_delay(rir_m, analytic_computation=False)
+        f_r, gd_r = _ref_tf(ref).group_delay(
+            rir_r, analytic_computation=False
+        )
+        np.testing.assert_allclose(f_m, f_r)
+        close(gd_m, gd_r, 1e-4, "group delay")
+
+    def test_minimum_and_excess_group_delay(self, ref, close):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        f_m, gd_m = tf.minimum_group_delay(rir_m)
+        f_r, gd_r = _ref_tf(ref).minimum_group_delay(rir_r)
+        close(gd_m, gd_r, 1e-3, "min gd")
+
+    def test_minimum_phase(self, ref, close):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        f_m, ph_m = tf.minimum_phase(rir_m)
+        f_r, ph_r = _ref_tf(ref).minimum_phase(rir_r)
+        close(ph_m, ph_r, 1e-3, "min phase")
+
+    def test_min_phase_from_mag(self, ref, close):
+        f = np.linspace(0, 4000, 257)
+        mag = np.abs(np.random.default_rng(1).standard_normal((257, 1))) + 0.3
+        m = tf.min_phase_from_mag(dsp.Spectrum(f, mag), 8000, 512)
+        r = _ref_tf(ref).min_phase_from_mag(
+            ref.Spectrum(f, mag.copy()), 8000, 512
+        )
+        close(m.time_data, r.time_data, 1e-3, "min_phase_from_mag")
+
+    def test_lin_phase_from_mag(self, ref, close):
+        f = np.linspace(0, 4000, 257)
+        mag = np.abs(np.random.default_rng(2).standard_normal((257, 1))) + 0.3
+        m = tf.lin_phase_from_mag(
+            dsp.Spectrum(f, mag), 8000, group_delay_ms=20,
+            check_causality=False,
+        )
+        r = _ref_tf(ref).lin_phase_from_mag(
+            ref.Spectrum(f, mag.copy()), 8000, group_delay_ms=20,
+            check_causality=False,
+        )
+        # tolerance reflects fp32 interpolation of an (adversarial) white
+        # random magnitude onto the dense design grid
+        close(m.time_data, r.time_data, 1e-2, "lin_phase_from_mag")
+
+
+class TestIRTools:
+    def test_ir_to_filter_roundtrip(self, ref, close):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        filt = tf.ir_to_filter(rir_m, 0)
+        assert filt.is_fir
+        back = tf.filter_to_ir(filt)
+        close(
+            back.time_data[:, 0], rir_m.time_data[:, 0], 1e-6, "roundtrip"
+        )
+
+    def test_trim_ir(self, ref):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        t_m, start_m, stop_m = tf.trim_ir(rir_m, channel=0)
+        t_r, start_r, stop_r = _ref_tf(ref).trim_ir(rir_r, channel=0)
+        assert start_m == start_r
+        assert abs(stop_m - stop_r) <= 2
+
+    def test_find_ir_latency(self, ref):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        lat_m = tf.find_ir_latency(rir_m)
+        lat_r = _ref_tf(ref).find_ir_latency(rir_r)
+        np.testing.assert_allclose(lat_m, lat_r, atol=1e-2)
+
+    def test_window_frequency_dependent(self, ref, close):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        # shorten for speed
+        rir_m.time_data = rir_m.time_data[:2048]
+        rir_r.time_data = rir_r.time_data[:2048]
+        m = tf.window_frequency_dependent(rir_m, cycles=8)
+        r = _ref_tf(ref).window_frequency_dependent(rir_r, cycles=8)
+        close(
+            np.abs(np.asarray(m.spectral_data)),
+            np.abs(r.spectral_data),
+            1e-3,
+            "fdw",
+        )
+
+    def test_complex_smoothing(self, ref, close):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_m.time_data = rir_m.time_data[:4096]
+        rir_r.time_data = rir_r.time_data[:4096]
+        m = tf.complex_smoothing(
+            rir_m, 3, tf.SmoothingDomain.RealImaginary
+        )
+        r = _ref_tf(ref).complex_smoothing(
+            rir_r,
+            3,
+            ref.transfer_functions.SmoothingDomain.RealImaginary,
+        )
+        close(
+            np.asarray(m.spectral_data),
+            r.spectral_data,
+            1e-4,
+            "complex smoothing",
+        )
+
+    def test_harmonics_from_chirp_ir(self, ref, close):
+        # synthetic exponential chirp measurement
+        chirp_m, Tm = dsp.generators.chirp(
+            48000,
+            dsp.generators.ChirpType.SyncLog,
+            [20, 20000],
+            2.0,
+            padding_end_seconds=1.0,
+        )
+        exc = dsp.Signal(None, chirp_m.time_data, 48000)
+        ir = tf.spectral_deconvolve(exc, exc, padding=True)
+        harms = tf.harmonics_from_chirp_ir(ir, [20, 20000], 2.0, 3)
+        assert len(harms) == 3
+
+    def test_average_irs(self, ref, close):
+        rir = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        two = dsp.append_signals([rir, rir])
+        two_ir = dsp.ImpulseResponse.from_signal(two)
+        avg = tf.average_irs(two_ir, time_average=False)
+        close(
+            avg.time_data[:, 0],
+            rir.time_data[:, 0] / np.max(np.abs(rir.time_data)) * np.max(np.abs(avg.time_data)),
+            2e-1,
+            "averaging sanity",
+        )
