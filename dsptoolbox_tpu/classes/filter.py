@@ -419,7 +419,10 @@ class Filter:
                     self.ba = list(sig.sos2tf(self.sos))
                 T = x.shape[-1]
                 z = jnp.zeros(x.shape + (up,), dtype=x.dtype)
-                z = z.at[..., 0].set(x)
+                # zero-stuffing loses 1/up of the energy; the reference
+                # compensates with `time_data * up_factor`
+                # (`classes/filter_helpers.py:641-642`)
+                z = z.at[..., 0].set(x * up)
                 xu = z.reshape(x.shape[:-1] + (T * up,))
                 from ..ops.iir import lfilter
 

@@ -37,26 +37,33 @@ class GammaToneFilterBank(FilterBank):
         self._compute_gains()
 
     def _compute_delays_and_phase_factors(self):
-        """Hohmann 2002, section 4 (`_filterbank.py:704-741`)."""
-        from ..generators import dirac
+        """Hohmann 2002, section 4 (`_filterbank.py:704-741`).
 
+        The reference filters a dirac delayed by ``delay_samples + 3``
+        through the bank and reads the envelope maximum inside
+        ``[:delay_samples + 1]`` — a window that lies entirely before the
+        (causal) impulse arrival, so ``idx_max`` is always 0 and the slope
+        reduces to ``ir[1] - ir[-1] = -ir[-1]``: the very last tail sample
+        of the half-second band IR. That tail underflows in fp32, so
+        instead of filtering on device we evaluate the band IR analytically
+        in f64: for H(z) = norm·(1 - coeff·z⁻¹)⁻⁴ the impulse response is
+        ``norm · C(k+3,3) · coeff^k`` — bit-comparable to the reference's
+        f64 sosfilt cascade.
+        """
         delay_samples = int(np.round(self._delay * self.sampling_rate_hz))
-        d = dirac(
-            length_samples=self.sampling_rate_hz // 2,
-            delay_samples=delay_samples + 3,
-            sampling_rate_hz=self.sampling_rate_hz,
-        )
-        d = self.filter_signal(d, mode=FilterBankMode.Parallel)
-        d = d.get_all_bands(channel=0)
-        real = d.time_data.T
-        imag = d.time_data_imaginary.T
-        ir = real + 1j * imag
-        env = np.abs(ir)
-        idx_max = np.argmax(env[:, : delay_samples + 1], axis=-1)
+        n_samples = self.sampling_rate_hz // 2
+        d_imp = delay_samples + 3  # dirac position in the reference
+        coeffs = np.asarray(self._coefficients, dtype=np.complex128)
+        norms = np.asarray(self._normalizations, dtype=np.complex128)
+
+        # idx_max over the all-zero pre-arrival window is always 0
+        idx_max = np.zeros(len(coeffs), dtype=int)
         delays = delay_samples - idx_max
-        slopes = np.array(
-            [ir[bb, idx + 1] - ir[bb, idx - 1] for bb, idx in enumerate(idx_max)]
-        )
+        # slopes = ir[1] - ir[-1]; ir[1] = 0 (causal, 1 < d_imp)
+        k_last = (n_samples - 1) - d_imp
+        comb_last = (k_last + 1) * (k_last + 2) * (k_last + 3) / 6.0
+        ir_last = norms * comb_last * coeffs**k_last
+        slopes = -ir_last
         phase_factors = 1j / (slopes / np.abs(slopes))
         self._delays = delays
         self._phase_factors = phase_factors

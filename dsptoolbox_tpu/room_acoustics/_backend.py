@@ -266,27 +266,36 @@ def generate_rir(
         [ll.reshape(-1), mm.reshape(-1), nn.reshape(-1)], axis=1
     )
 
-    lv = jnp.asarray(lvecs, jnp.float32)  # (M, 3)
-    uv = jnp.asarray(u_vectors, jnp.float32)  # (8, 3)
-    rd = jnp.asarray(room_dim, jnp.float32)
-    sp = jnp.asarray(s_pos, jnp.float32)
-    rp = jnp.asarray(r_pos, jnp.float32)
-    b1 = jnp.asarray(beta_1, jnp.float32)
-    b2 = jnp.asarray(beta_2, jnp.float32)
-
+    # Index/damping math stays host-side in f64: the sample index comes from
+    # truncating `dist/c*sr + 0.5`, and fp32 distances flip bins near the
+    # .5 boundary (observed vs the f64 oracle). The O(M·8) elementwise part
+    # is trivially cheap; the scatter-add runs on device.
     # positions (M, 8, 3): (1-2u)·s + 2·l·dim - r
-    pos = (1 - 2 * uv)[None, :, :] * sp + (2 * lv * rd)[:, None, :] - rp
-    dist = jnp.sqrt(jnp.sum(pos**2, axis=-1))  # (M, 8)
+    pos = (
+        (1 - 2 * u_vectors)[None, :, :] * s_pos
+        + (2 * lvecs * room_dim)[:, None, :]
+        - r_pos
+    )
+    dist = np.sqrt(np.sum(pos**2, axis=-1))  # (M, 8)
     # damping (M, 8): prod(beta1^(|l-u|)) * prod(beta2^|l|)
-    diff = jnp.abs(lv[:, None, :] - uv[None, :, :])  # (M, 8, 3)
-    damp = jnp.prod(b1 ** diff, axis=-1) * jnp.prod(
-        b2 ** jnp.abs(lv), axis=-1
+    diff = np.abs(lvecs[:, None, :] - u_vectors[None, :, :])  # (M, 8, 3)
+    damp = np.prod(beta_1**diff, axis=-1) * np.prod(
+        beta_2 ** np.abs(lvecs), axis=-1
     )[:, None]
-    vals = damp / (4 * jnp.pi * dist)
-    idx = jnp.asarray(dist / c * sr + 0.5, jnp.int32)
+    vals = damp / (4 * np.pi * dist)
+    idx = (dist / c * sr + 0.5).astype(np.int64)  # truncation, like ref
+    # The reference writes each (l,m,n) cell's 8 images via numpy fancy
+    # indexing `rir[idx] += vals` (`_room_acoustics.py:259-268`): duplicate
+    # sample indices within one group of 8 do NOT accumulate — the last
+    # occurrence wins. Reproduce that buffered-scatter semantics exactly.
+    eq = idx[:, :, None] == idx[:, None, :]  # (M, 8, 8)
+    later = np.triu(np.ones((8, 8), dtype=bool), 1)
+    dropped = (eq & later).any(axis=2)  # earlier duplicate → dropped
+    vals = np.where(dropped, 0.0, vals)
     rir = jnp.zeros(total_length, jnp.float32)
-    rir = rir.at[idx.reshape(-1)].add(
-        jnp.nan_to_num(vals.reshape(-1)), mode="drop"
+    rir = rir.at[jnp.asarray(idx.reshape(-1))].add(
+        jnp.nan_to_num(jnp.asarray(vals.reshape(-1), jnp.float32)),
+        mode="drop",
     )
     return np.asarray(rir, dtype=np.float64)
 

@@ -186,7 +186,7 @@ def generate_synthetic_rir(
             mo=max_order,
             sr=sampling_rate_hz,
         )
-        rir = np.asarray(
+        rir = np.array(
             pad_trim_axis(jnp.asarray(rir), total_length_samples, axis=-1)
         )
         np.nan_to_num(rir, copy=False, nan=0)

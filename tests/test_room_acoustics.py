@@ -1,0 +1,138 @@
+"""Room acoustics tests vs the reference oracle."""
+
+import numpy as np
+import pytest
+
+import dsptoolbox_tpu as dsp
+from dsptoolbox_tpu import room_acoustics as ra
+
+EXAMPLE = "/root/reference/example_data"
+
+
+class TestReverbTime:
+    @pytest.mark.parametrize("mode", ["T20", "T30", "EDT", "Adaptive"])
+    def test_rt_modes_vs_reference(self, ref, mode):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rt_m, corr_m = ra.reverb_time(rir_m, getattr(ra.ReverbTime, mode))
+        rt_r, corr_r = ref.room_acoustics.reverb_time(
+            rir_r, getattr(ref.room_acoustics.ReverbTime, mode)
+        )
+        np.testing.assert_allclose(rt_m, rt_r, rtol=1e-2, err_msg=mode)
+        np.testing.assert_allclose(corr_m, corr_r, atol=1e-2)
+
+    def test_multiband_rt(self, ref):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        fb = dsp.filterbanks.fractional_octave_bands(
+            [250, 2000], sampling_rate_hz=rir_m.sampling_rate_hz
+        )[0]
+        mb = fb.filter_signal(
+            rir_m, dsp.FilterBankMode.Parallel, zero_phase=True
+        )
+        rt, corr = ra.reverb_time(mb, ra.ReverbTime.T20)
+        assert rt.shape == (fb.number_of_filters, 1)
+        assert np.all(rt > 0)
+
+
+class TestDescriptors:
+    @pytest.mark.parametrize(
+        "desc", ["D50", "C80", "CenterTime", "BassRatio"]
+    )
+    def test_descriptors_vs_reference(self, ref, desc):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        d_m = ra.descriptors(
+            rir_m, getattr(ra.RoomAcousticsDescriptor, desc)
+        )
+        d_r = ref.room_acoustics.descriptors(
+            rir_r, getattr(ref.room_acoustics.RoomAcousticsDescriptor, desc)
+        )
+        np.testing.assert_allclose(d_m, d_r, rtol=5e-2, err_msg=desc)
+
+
+class TestIRStart:
+    def test_find_ir_start(self, ref):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        np.testing.assert_array_equal(
+            ra.find_ir_start(rir_m),
+            ref.room_acoustics.find_ir_start(rir_r),
+        )
+
+
+class TestModes:
+    def test_find_modes_close_to_reference(self, ref):
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        m = ra.find_modes(rir_m, [60, 180])
+        r = ref.room_acoustics.find_modes(rir_r, [60, 180])
+        assert len(m) == len(r)
+        np.testing.assert_allclose(m, r, atol=2.0)
+
+
+class TestSyntheticRIR:
+    def test_ism_rir_vs_reference(self, ref, close):
+        room_m = ra.ShoeboxRoom([4.0, 3.0, 2.5], t60_s=0.4)
+        room_r = ref.room_acoustics.ShoeboxRoom([4.0, 3.0, 2.5], t60_s=0.4)
+        rir_m = ra.generate_synthetic_rir(
+            room_m, [1.0, 1.0, 1.0], [2.5, 2.0, 1.2], 16000,
+            max_order=12,
+        )
+        rir_r = ref.room_acoustics.generate_synthetic_rir(
+            room_r, [1.0, 1.0, 1.0], [2.5, 2.0, 1.2], 16000,
+            max_order=12,
+        )
+        close(rir_m.time_data, rir_r.time_data, 5e-4, "ISM rir")
+
+    def test_room_properties(self, ref):
+        room_m = ra.ShoeboxRoom([5.0, 4.0, 3.0], t60_s=0.6)
+        room_r = ref.room_acoustics.ShoeboxRoom([5.0, 4.0, 3.0], t60_s=0.6)
+        assert np.isclose(room_m.volume, room_r.volume)
+        assert np.isclose(
+            room_m.absorption_coefficient, room_r.absorption_coefficient
+        )
+        assert np.isclose(
+            room_m.schroeders_frequency, room_r.schroeders_frequency
+        )
+        modes_m = room_m.get_room_modes(4)
+        modes_r = room_r.get_room_modes(4)
+        np.testing.assert_allclose(modes_m, modes_r, rtol=1e-9)
+
+    def test_mixing_time(self, ref):
+        room_m = ra.ShoeboxRoom([5.0, 4.0, 3.0], t60_s=0.6)
+        room_r = ref.room_acoustics.ShoeboxRoom([5.0, 4.0, 3.0], t60_s=0.6)
+        assert np.isclose(
+            room_m.get_mixing_time("perceptual"),
+            room_r.get_mixing_time("perceptual"),
+        )
+        assert np.isclose(
+            room_m.get_mixing_time("physical", 400),
+            room_r.get_mixing_time("physical", 400),
+        )
+
+    def test_analytical_transfer_function(self, ref, close):
+        room_m = ra.ShoeboxRoom([4.0, 3.0, 2.5], t60_s=0.4)
+        room_r = ref.room_acoustics.ShoeboxRoom([4.0, 3.0, 2.5], t60_s=0.4)
+        freqs = np.linspace(20, 300, 100)
+        p_m, modes_m, _ = room_m.get_analytical_transfer_function(
+            [1.0, 1.0, 1.0], [2.5, 2.0, 1.2], freqs,
+            max_mode_order=6, generate_plot=False,
+        )
+        p_r, modes_r, _ = room_r.get_analytical_transfer_function(
+            [1.0, 1.0, 1.0], [2.5, 2.0, 1.2], freqs,
+            max_mode_order=6, generate_plot=False,
+        )
+        close(np.abs(p_m), np.abs(p_r), 1e-4, "analytical tf")
+
+
+class TestConvolveRIR:
+    def test_convolve_vs_reference(self, ref, close):
+        rng = np.random.default_rng(0)
+        noise = rng.standard_normal((8000, 2)) * 0.3
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        s_m = dsp.Signal(None, noise, 48000)
+        s_r = ref.Signal(None, noise.copy(), 48000)
+        out_m = ra.convolve_rir_on_signal(s_m, rir_m)
+        out_r = ref.room_acoustics.convolve_rir_on_signal(s_r, rir_r)
+        close(out_m.time_data, out_r.time_data, 5e-5, "convolve rir")
