@@ -28,10 +28,17 @@ def fft_convolve(
     T = x.shape[-1]
     K = h.shape[-1]
     n_full = T + K - 1
-    nfft = next_fast_len(n_full, real=True)
-    X = jnp.fft.rfft(x, n=nfft, axis=-1)
-    H = jnp.fft.rfft(h, n=nfft, axis=-1)
-    y = jnp.fft.irfft(X * H, n=nfft, axis=-1)[..., :n_full]
+    complex_path = jnp.iscomplexobj(x) or jnp.iscomplexobj(h)
+    if complex_path:
+        nfft = next_fast_len(n_full, real=False)
+        X = jnp.fft.fft(x, n=nfft, axis=-1)
+        H = jnp.fft.fft(h, n=nfft, axis=-1)
+        y = jnp.fft.ifft(X * H, n=nfft, axis=-1)[..., :n_full]
+    else:
+        nfft = next_fast_len(n_full, real=True)
+        X = jnp.fft.rfft(x, n=nfft, axis=-1)
+        H = jnp.fft.rfft(h, n=nfft, axis=-1)
+        y = jnp.fft.irfft(X * H, n=nfft, axis=-1)[..., :n_full]
     if mode == "full":
         return y
     if mode == "same":

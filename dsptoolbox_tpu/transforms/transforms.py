@@ -148,6 +148,9 @@ def log_mel_spectrogram(
     log_mel_sp = jnp.tensordot(
         jnp.asarray(mfilt, power.dtype), power, axes=(-1, 0)
     )
+    # fp32 power underflows to 0 where the f64 reference keeps a denormal;
+    # floor at tiny to keep the log finite
+    log_mel_sp = jnp.maximum(log_mel_sp, np.finfo(np.float32).tiny)
     log_mel_sp = np.asarray(to_db(log_mel_sp, False))
     if generate_plot:
         fig, ax = general_matrix_plot(
@@ -221,6 +224,9 @@ def mfcc(
     mel_power = jnp.tensordot(
         jnp.asarray(mel_filters, power.dtype), power, axes=(-1, 0)
     )
+    # keep the log finite where fp32 power underflows to 0 (see
+    # log_mel_spectrogram)
+    mel_power = jnp.maximum(mel_power, np.finfo(np.float32).tiny)
     log_sp = to_db(mel_power, False)
     # DCT-II as a static matmul on the band axis
     n = mel_power.shape[0]
