@@ -116,8 +116,12 @@ def sync_log_chirp(
     k = int(f1 * length_seconds / f2f1 + 0.5)
     T = k / f1 * f2f1
     L = int(0.5 + T * f1 / f2f1) / f1
-    t = jnp.linspace(0.0, T, int(T * sampling_rate_hz + 0.5))
-    return jnp.sin(2.0 * jnp.pi * f1 * L * (jnp.exp(t / L) - 1.0)), T
+    # The unwrapped phase reaches ~1e4 rad; fp32 eps there is ~1e-3 rad, so
+    # accumulate the phase in f64 on host and wrap before the device sin.
+    t = np.linspace(0.0, T, int(T * sampling_rate_hz + 0.5))
+    phase = 2.0 * np.pi * f1 * L * (np.exp(t / L) - 1.0)
+    phase = np.mod(phase, 2.0 * np.pi)
+    return jnp.sin(jnp.asarray(phase, jnp.float32)), T
 
 
 def chirp(
@@ -153,20 +157,25 @@ def chirp(
         p_samples = int(padding_end_seconds * sampling_rate_hz)
     l_samples = int(sampling_rate_hz * length_seconds + 0.5)
 
+    # Phase accumulates to ~1e4 rad over a sweep; fp32 eps there is ~1e-3
+    # rad, so build the phase in f64 on host, wrap mod 2pi, sin on device.
     T = None
     if type_of_chirp == ChirpType.Linear:
-        t = jnp.linspace(0, length_seconds, l_samples)
+        t = np.linspace(0, length_seconds, l_samples)
         k = (range_hz[1] - range_hz[0]) / length_seconds
         freqs = (range_hz[0] + k / 2 * t) * 2 * np.pi
-        chirp_td = jnp.sin(freqs * t + phase_offset)
+        phase = np.mod(freqs * t + phase_offset, 2 * np.pi)
+        chirp_td = jnp.sin(jnp.asarray(phase, jnp.float32))
     elif type_of_chirp == ChirpType.Logarithmic:
-        t = jnp.linspace(0, length_seconds, l_samples)
+        t = np.linspace(0, length_seconds, l_samples)
         k = np.exp(
             (np.log(range_hz[1]) - np.log(range_hz[0])) / length_seconds
         )
-        chirp_td = jnp.sin(
-            2 * jnp.pi * range_hz[0] / np.log(k) * (k**t - 1) + phase_offset
+        phase = np.mod(
+            2 * np.pi * range_hz[0] / np.log(k) * (k**t - 1) + phase_offset,
+            2 * np.pi,
         )
+        chirp_td = jnp.sin(jnp.asarray(phase, jnp.float32))
     elif type_of_chirp == ChirpType.SyncLog:
         chirp_td, T = sync_log_chirp(
             range_hz, length_seconds, sampling_rate_hz
@@ -262,21 +271,30 @@ def oscillator(
     else:
         phase_shift = jnp.zeros((1, number_of_channels), default_float())
 
-    n = jnp.arange(l_samples, dtype=default_float())[:, None]
-    w0 = 2 * np.pi * frequency_hz / sampling_rate_hz
+    # The unwrapped phase n·w0·order reaches ~1e3-1e5 rad where fp32 has
+    # ~1e-4 rad resolution; wrap the cycle count mod 1 in f64 on host and
+    # hand the device a bounded argument.
+    n_idx = np.arange(l_samples, dtype=np.float64)[:, None]
+    cycles0 = frequency_hz / sampling_rate_hz
+
+    def wrapped_phase(orders: np.ndarray) -> jnp.ndarray:
+        # (T, 1, K) wrapped phases in radians
+        ph = np.mod(n_idx[..., None] * (orders * cycles0), 1.0) * (2 * np.pi)
+        return jnp.asarray(ph, default_float())
 
     def harmonic_sum(orders: np.ndarray, weights: np.ndarray) -> jnp.ndarray:
         # (T, C, K) broadcast-sum over harmonics
-        args = (
-            n[..., None] * (w0 * orders)[None, None, :]
-            + phase_shift[..., None]
-        )
+        args = wrapped_phase(np.asarray(orders, np.float64)) + phase_shift[
+            ..., None
+        ]
         return jnp.sum(
             jnp.sin(args) * jnp.asarray(weights, default_float()), axis=-1
         )
 
     if mode == WaveForm.Harmonic:
-        td = jnp.sin(w0 * n + phase_shift)
+        td = jnp.sin(
+            wrapped_phase(np.ones(1))[:, 0, :] + phase_shift
+        )
     elif mode == WaveForm.Square:
         ks = np.arange(1, int(harmonic_cutoff_hz / frequency_hz / 2) + 2)
         orders = 2 * ks - 1
