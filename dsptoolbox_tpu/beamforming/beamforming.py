@@ -96,7 +96,9 @@ class BasePoints:
         assert point.shape[1] == self.coordinates.shape[1], (
             f"Invalid shapes: {point.shape}, {self.coordinates.shape}"
         )
-        return np.asarray(
+        # np.array: device buffers come back read-only and callers mutate
+        # (e.g. fill_diagonal in the aperture computation)
+        return np.array(
             euclidean_distance_matrix(self.coordinates, point)
         ).squeeze()
 
@@ -544,7 +546,7 @@ class BeamformerGridded(BaseBeamformer):
             center_frequency_hz, octave_fraction
         )
         f, csm = self.signal.get_csm()
-        csm = np.asarray(csm)
+        csm = np.array(csm)  # writable copy: subclasses zero the diagonal
         ids = find_nearest_points_index_in_vector(self.f_range_hz, f)
         id1, id2 = int(ids[0]), int(ids[1])
         if id1 == id2:
@@ -682,8 +684,10 @@ class BeamformerOrthogonal(BeamformerGridded):
         f, csm, h = self._csm_and_steering(
             center_frequency_hz, octave_fraction
         )
-        # batched eigendecomposition on device (ascending eigenvalues)
-        w, v = np.linalg.eigh(csm)
+        # batched eigendecomposition in f64 (ascending eigenvalues): the
+        # source-subspace argmax/scatter below is sensitive to
+        # eigenvector perturbations, so keep full precision here
+        w, v = np.linalg.eigh(np.asarray(csm, dtype=np.complex128))
         hj = jnp.asarray(h)  # (F, M, G)
         vj = jnp.asarray(v)  # (F, M, M)
         # products[f, g, e] = |h*_mg v_me|^2
@@ -765,13 +769,14 @@ class BeamformerMVDR(BeamformerGridded):
         f, csm, h = self._csm_and_steering(
             center_frequency_hz, octave_fraction
         )
-        hj = jnp.asarray(h)  # (F, M, G)
-        # batched solve C^-1 h on device
-        sol = jnp.linalg.solve(jnp.asarray(csm), hj)  # (F, M, G)
-        denom = jnp.einsum(
-            "fmg,fmg->gf", jnp.conj(hj), sol, precision=_HIGH
-        ).real
-        map = np.asarray(1 / denom)
+        # The CSM of a coherent scene is near-singular: its inverse is
+        # meaningless in fp32 (NaN maps). Invert host-side in f64 like the
+        # reference (`beamforming.py:1290-1298`), vectorized over (F, G).
+        csm_1 = np.linalg.inv(np.asarray(csm, dtype=np.complex128))
+        h64 = np.asarray(h, dtype=np.complex128)  # (F, M, G)
+        sol = np.einsum("fmn,fng->fmg", csm_1, h64)
+        denom = np.einsum("fmg,fmg->gf", np.conj(h64), sol).real
+        map = 1 / denom
         if len(f) > 1:
             map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
         else:

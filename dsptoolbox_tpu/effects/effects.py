@@ -561,12 +561,16 @@ class Compressor(AudioEffect):
                 self.downward_compression,
             )
         )
-        td = compressed * self.mix + td * (1 - self.mix)
+        # NB: the reference accepts `mix_compressed` but never applies it
+        # (`_effects.py:119-148` ignores the argument), and its
+        # "post-compression gain" re-applies `pre_gain_db`
+        # (`effects.py:1011-1012`); both quirks are mirrored for parity.
+        td = compressed
         if self.relative_to_peak_level:
             td = td * self._peak_values
         if self.automatic_make_up_gain:
             td = self._restore_rms_values(td)
-        td = self._add_gain_in_db(td, self.post_gain_db)
+        td = self._add_gain_in_db(td, self.pre_gain_db)
         return signal.copy_with_new_time_data(td)
 
 

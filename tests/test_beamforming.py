@@ -1,0 +1,224 @@
+"""Beamforming tests: geometry, steering vectors, and oracle maps.
+
+Deterministic source material (a chirp) is propagated to the array in both
+frameworks so beamformer maps can be compared numerically.
+"""
+
+import numpy as np
+import pytest
+
+import dsptoolbox_tpu as dsp
+from dsptoolbox_tpu import beamforming as bf
+
+EXAMPLE = "/root/reference/example_data"
+
+_x = np.arange(0, 1.1, 0.25)
+_xx, _yy, _zz = np.meshgrid(_x, _x, _x, indexing="ij")
+POINTS = dict(x=_xx.flatten(), y=_yy.flatten(), z=_zz.flatten())
+
+
+class TestGeometry:
+    def test_grid_basics(self):
+        g = bf.Grid(positions=POINTS)
+        assert np.all([0, 1] == g.extent["x"])
+        assert g.number_of_points == len(_x) ** 3
+        d = g.get_distances_to_point([0, 0, 0])
+        assert d.shape == (g.number_of_points,)
+        g.find_nearest_point([-0.2, 0.1, -1])
+
+    def test_regular_grids(self):
+        g2 = bf.Regular2DGrid(
+            line1=_x, line2=_x, dimensions=("x", "y"), value3=2
+        )
+        assert g2.number_of_points == len(_x) ** 2
+        g3 = bf.Regular3DGrid(_x, _x, _x)
+        assert g3.number_of_points == len(_x) ** 3
+        gl = bf.LineGrid(line=_x, dimension="x", value2=0, value3=1)
+        assert gl.number_of_points == len(_x)
+
+    def test_mic_array(self, ref):
+        m_m = bf.MicArray(POINTS)
+        m_r = ref.beamforming.MicArray(POINTS)
+        assert (
+            m_m.array_center_channel_number
+            == m_r.array_center_channel_number
+        )
+        np.testing.assert_allclose(
+            m_m.array_center_coordinates, m_r.array_center_coordinates
+        )
+        np.testing.assert_allclose(m_m.aperture, m_r.aperture)
+        np.testing.assert_allclose(
+            m_m.get_maximum_frequency_range(),
+            m_r.get_maximum_frequency_range(),
+        )
+
+
+class TestSteeringVector:
+    @pytest.mark.parametrize(
+        "formulation",
+        ["Classic", "Inverse", "TruePower", "TrueLocation"],
+    )
+    def test_oracle(self, ref, formulation):
+        ma_m = bf.MicArray(POINTS)
+        ma_r = ref.beamforming.MicArray(POINTS)
+        xval = np.arange(-0.5, 0.5, 0.1)
+        g_m = bf.Regular2DGrid(xval, xval, ["x", "y"], value3=1)
+        g_r = ref.beamforming.Regular2DGrid(
+            xval, xval, ["x", "y"], value3=1
+        )
+        k = np.array([1000, 1200]) * np.pi * 2 / 343
+        st_m = bf.SteeringVector(
+            formulation=getattr(bf.SteeringVectorType, formulation)
+        )
+        st_r = ref.beamforming.SteeringVector(
+            formulation=getattr(
+                ref.beamforming.SteeringVectorType, formulation
+            )
+        )
+        h_m = np.asarray(st_m.get_vector(k, g_m, ma_m))
+        h_r = st_r.get_vector(k, g_r, ma_r)
+        np.testing.assert_allclose(h_m, h_r, atol=1e-5)
+
+
+@pytest.fixture
+def array_signal_pair(ref):
+    """Chirp monopole at [0, 0.4, 0.5] captured on a planar array."""
+    ma_pts = {k: v.copy() for k, v in POINTS.items()}
+    ma_pts["z"] = np.zeros(len(ma_pts["x"]))
+    ma_m = bf.MicArray(ma_pts)
+    ma_r = ref.beamforming.MicArray(ma_pts)
+    c_m = dsp.pad_trim(
+        dsp.resample(dsp.Signal(f"{EXAMPLE}/chirp_mono.wav"), 10000), 20000
+    )
+    c_r = ref.pad_trim(
+        ref.resample(ref.Signal(f"{EXAMPLE}/chirp_mono.wav"), 10000), 20000
+    )
+    src_m = bf.MonopoleSource(c_m, [0, 0.4, 0.5])
+    src_r = ref.beamforming.MonopoleSource(c_r, [0, 0.4, 0.5])
+    s_m = src_m.get_signals_on_array(ma_m)
+    s_r = src_r.get_signals_on_array(ma_r)
+    return (ma_m, s_m), (ma_r, s_r)
+
+
+class TestMonopoleTransmission:
+    def test_signals_on_array_oracle(self, ref, close, array_signal_pair):
+        (_, s_m), (_, s_r) = array_signal_pair
+        close(s_m.time_data, s_r.time_data, 5e-4, "monopole on array")
+
+
+def _grids(ref):
+    xval = np.arange(-0.2, 0.2, 0.1)
+    yval = np.arange(-0.5, 0.5, 0.1)
+    g_m = bf.Regular2DGrid(xval, yval, ["x", "y"], value3=0.5)
+    g_r = ref.beamforming.Regular2DGrid(
+        xval, yval, ["x", "y"], value3=0.5
+    )
+    return g_m, g_r
+
+
+class TestFrequencyBeamformers:
+    def test_das_oracle(self, ref, close, array_signal_pair):
+        (ma_m, s_m), (ma_r, s_r) = array_signal_pair
+        g_m, g_r = _grids(ref)
+        st_m = bf.SteeringVector(
+            formulation=bf.SteeringVectorType.TrueLocation
+        )
+        st_r = ref.beamforming.SteeringVector(
+            formulation=ref.beamforming.SteeringVectorType.TrueLocation
+        )
+        b_m = bf.BeamformerDASFrequency(s_m, ma_m, g_m, st_m)
+        b_r = ref.beamforming.BeamformerDASFrequency(s_r, ma_r, g_r, st_r)
+        m_m = b_m.get_beamformer_map(2000, 0, remove_csm_diagonal=True)
+        m_r = b_r.get_beamformer_map(2000, 0, remove_csm_diagonal=True)
+        close(np.asarray(m_m), np.asarray(m_r), 1e-3, "DAS map")
+
+    @pytest.mark.parametrize(
+        "name,kwargs",
+        [
+            ("BeamformerFunctional", dict(gamma=10)),
+            (
+                "BeamformerCleanSC",
+                dict(
+                    maximum_iterations=10,
+                    safety_factor=0.5,
+                    remove_csm_diagonal=True,
+                ),
+            ),
+        ],
+    )
+    def test_other_beamformers_oracle(
+        self, ref, close, array_signal_pair, name, kwargs
+    ):
+        (ma_m, s_m), (ma_r, s_r) = array_signal_pair
+        g_m, g_r = _grids(ref)
+        st_m = bf.SteeringVector(
+            formulation=bf.SteeringVectorType.TrueLocation
+        )
+        st_r = ref.beamforming.SteeringVector(
+            formulation=ref.beamforming.SteeringVectorType.TrueLocation
+        )
+        b_m = getattr(bf, name)(s_m, ma_m, g_m, st_m)
+        b_r = getattr(ref.beamforming, name)(s_r, ma_r, g_r, st_r)
+        m_m = np.asarray(b_m.get_beamformer_map(2000, 0, **kwargs))
+        m_r = np.asarray(b_r.get_beamformer_map(2000, 0, **kwargs))
+        close(m_m, m_r, 5e-3, f"{name} map")
+
+    def test_orthogonal_oracle(self, ref, array_signal_pair):
+        # The orthogonal beamformer scatters each eigenvalue's energy to
+        # the argmax of its eigenvector map; for noise-subspace
+        # eigenvectors that argmax is decided by fp32-level CSM noise, so
+        # only the dominant structure is comparable to the f64 oracle.
+        (ma_m, s_m), (ma_r, s_r) = array_signal_pair
+        g_m, g_r = _grids(ref)
+        st_m = bf.SteeringVector(
+            formulation=bf.SteeringVectorType.TrueLocation
+        )
+        st_r = ref.beamforming.SteeringVector(
+            formulation=ref.beamforming.SteeringVectorType.TrueLocation
+        )
+        b_m = bf.BeamformerOrthogonal(s_m, ma_m, g_m, st_m)
+        b_r = ref.beamforming.BeamformerOrthogonal(s_r, ma_r, g_r, st_r)
+        m_m = np.asarray(
+            b_m.get_beamformer_map(2000, 0, number_eigenvalues=None)
+        )
+        m_r = np.asarray(
+            b_r.get_beamformer_map(2000, 0, number_eigenvalues=None)
+        )
+        assert np.unravel_index(np.argmax(m_m), m_m.shape) == (
+            np.unravel_index(np.argmax(m_r), m_r.shape)
+        )
+        np.testing.assert_allclose(m_m.max(), m_r.max(), rtol=1e-3)
+        dominant = m_r > 0.2 * m_r.max()
+        np.testing.assert_allclose(
+            m_m[dominant], m_r[dominant], rtol=5e-2
+        )
+
+    def test_mvdr_runs(self, array_signal_pair):
+        (ma_m, s_m), _ = array_signal_pair
+        xval = np.arange(-0.2, 0.2, 0.1)
+        yval = np.arange(-0.5, 0.5, 0.1)
+        g_m = bf.Regular2DGrid(xval, yval, ["x", "y"], value3=0.5)
+        st_m = bf.SteeringVector(
+            formulation=bf.SteeringVectorType.TrueLocation
+        )
+        b_m = bf.BeamformerMVDR(s_m, ma_m, g_m, st_m)
+        try:
+            m = np.asarray(b_m.get_beamformer_map(2000, 0, gamma=10))
+            assert np.all(np.isfinite(m))
+        except np.linalg.LinAlgError:
+            pass
+
+
+class TestTimeBeamformer:
+    def test_das_time_oracle(self, ref, close, array_signal_pair):
+        (ma_m, s_m), (ma_r, s_r) = array_signal_pair
+        xval = np.arange(-0.5, 0.5, 0.1)
+        g_m = bf.LineGrid(xval, "y", 0.5, 0)
+        g_r = ref.beamforming.LineGrid(xval, "y", 0.5, 0)
+        b_m = bf.BeamformerDASTime(s_m, ma_m, g_m)
+        b_r = ref.beamforming.BeamformerDASTime(s_r, ma_r, g_r)
+        out_m = b_m.get_beamformer_output()
+        out_r = b_r.get_beamformer_output()
+        close(
+            out_m.time_data, out_r.time_data, 1e-3, "DAS time output"
+        )
