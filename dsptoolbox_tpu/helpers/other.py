@@ -83,9 +83,15 @@ def fractional_octave_bandwidth(f_c: float, fraction: int = 1) -> np.ndarray:
 
 
 def check_format_in_path(path: str, desired_format: str) -> str:
-    """Validate a file path's extension (`helpers/other.py:69-94`)."""
-    ext = path.split(".")[-1].lower()
-    assert ext == desired_format.lower(), (
-        f"{ext} is not the desired format {desired_format}"
-    )
+    """Validate a file path's extension, appending it when the path has
+    none (`helpers/other.py:69-94`)."""
+    import os
+
+    parts = path.split(os.sep)[-1].split(".")
+    if len(parts) != 1:
+        assert parts[-1] == desired_format, (
+            f"{parts[-1]} is not the desired format"
+        )
+    else:
+        path += f".{desired_format}"
     return path

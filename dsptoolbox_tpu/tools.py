@@ -29,8 +29,8 @@ from .helpers.spectrum_utilities import (
     wrap_phase,
 )
 from .ops.framing import (
-    frame_signal as framed_signal,
-    reconstruct_framed_signal as reconstruct_from_framed_signal,
+    frame_signal as _frame_signal_ops,
+    reconstruct_framed_signal as _reconstruct_framed_signal_ops,
 )
 from .standard.backend import (
     center_frequencies_fractional_octaves_iec,
@@ -58,6 +58,50 @@ __all__ = [
     "framed_signal",
     "reconstruct_from_framed_signal",
 ]
+
+
+def framed_signal(
+    time_data,
+    window_length_samples: int,
+    step_size: int,
+    keep_last_frames: bool = True,
+) -> np.ndarray:
+    """Overlapping frames of ``time_data (T, C)`` in the reference layout
+    ``(window_length, n_frames, channels)``
+    (`helpers/_framed_signal_representation.py:6-68`). The gather itself is
+    the device framing kernel, which works channels-first."""
+    import jax.numpy as jnp
+
+    td = np.atleast_2d(np.asarray(time_data))
+    if td.shape[0] == 1 and np.asarray(time_data).ndim == 1:
+        td = td.T
+    frames = _frame_signal_ops(
+        jnp.asarray(td.T), window_length_samples, step_size,
+        keep_last_frames,
+    )  # (C, K, L)
+    return np.transpose(np.asarray(frames), (2, 1, 0))  # (L, K, C)
+
+
+def reconstruct_from_framed_signal(
+    td_framed,
+    step_size: int,
+    window=None,
+    original_signal_length: int | None = None,
+    safety_threshold: float = 1e-4,
+) -> np.ndarray:
+    """Overlap-add reconstruction of reference-layout frames
+    ``(window_length, n_frames, channels)`` → ``(T, C)``
+    (`helpers/_framed_signal_representation.py:70-132`)."""
+    import jax.numpy as jnp
+
+    frames = jnp.asarray(
+        np.transpose(np.asarray(td_framed), (2, 1, 0))
+    )  # (C, K, L)
+    out = _reconstruct_framed_signal_ops(
+        frames, step_size, window, original_signal_length,
+        safety_threshold,
+    )
+    return np.asarray(out).T  # (T, C)
 
 
 def log_frequency_vector(
@@ -246,12 +290,14 @@ def convert_sample_representation(
             values = values - 1.0
     values = np.clip(values, -1.0, 1.0)
 
+    # Reference semantics (`tools.py:439-503`): float outputs ignore
+    # `output_in_bytes`; fixed-point casting truncates toward zero
+    # (astype/np.trunc, NOT rounding); casting to 24-bit requires bytes
+    # output and widens to 32-bit before packing.
     if output_format == "f32":
-        out = values.astype(np.float32)
-        return (out.tobytes() if output_in_bytes else out), 0.0, 1.0
+        return values.astype(np.float32), 0.0, 1.0
     if output_format == "f64":
-        out = values.astype(np.float64)
-        return (out.tobytes() if output_in_bytes else out), 0.0, 1.0
+        return values.astype(np.float64), 0.0, 1.0
 
     signed_output = output_format[0] == "i"
     bits_output = int(output_format[1:])
@@ -262,24 +308,25 @@ def convert_sample_representation(
         output = output + max_value_output
         equilibrium += max_value_output
     if cast_output:
-        if bits_output == 24:
-            out32 = np.round(output).astype(
-                np.int32 if signed_output else np.uint32
+        if output_format in ("i24", "u24"):
+            assert output_in_bytes, (
+                "This format is only valid for casting when "
+                "the output is in bytes"
             )
-            if output_in_bytes:
-                return (
-                    _array_to_bytes_24bits(out32),
-                    equilibrium,
-                    max_value_output,
-                )
-            return out32, equilibrium, max_value_output
+            bits_output = 32
         dtype = np.dtype(
             f"{'int' if signed_output else 'uint'}{bits_output}"
         )
-        out = np.round(output).astype(dtype)
+        output = output.astype(dtype)
+    else:
+        output = np.trunc(output)
+
+    if not output_in_bytes:
+        return output, equilibrium, max_value_output
+    if output_format in ("i24", "u24") and cast_output:
         return (
-            out.tobytes() if output_in_bytes else out
-        ), equilibrium, max_value_output
-    return (
-        output.tobytes() if output_in_bytes else output
-    ), equilibrium, max_value_output
+            _array_to_bytes_24bits(output),
+            equilibrium,
+            max_value_output,
+        )
+    return output.tobytes(), equilibrium, max_value_output
