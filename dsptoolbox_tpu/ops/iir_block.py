@@ -267,3 +267,114 @@ def lfilter_block(
     y, _ = sosfilt_block(tf2sos(b, a), x, block_size=block_size)
     zf = jnp.zeros(x.shape[:-1] + (order,), x.dtype)
     return y, zf
+
+
+def sosfilt_bank_operators(
+    sos_bank: np.ndarray, T: int, block_size: int | None = None
+):
+    """Stacked block operators for a bank of same-order SOS cascades.
+
+    ``sos_bank (B, S, 6)`` → dict of host f64 arrays: HmatT (B,L,L),
+    GyT (B,N,L), ALT (B,N,N), MT (B,L,N), pow (B,K+1,N,N) plus the
+    remainder-block variants. These are plain arrays, so they can be
+    sharded across a device mesh (band/tensor parallelism) — see
+    `dsptoolbox_tpu.parallel.parallel_filterbank`.
+    """
+    sos_bank = np.asarray(sos_bank, dtype=np.float64)
+    assert sos_bank.ndim == 3 and sos_bank.shape[-1] == 6
+    L = min(block_size or _pick_block(T), T)
+    n_full = T // L
+    rem = T - n_full * L
+    ops = {"L": L, "n_full": n_full, "rem": rem}
+    for name in ("HmatT", "GyT", "ALT", "MT"):
+        ops[name] = []
+    ops["pow"] = []
+    ops["rem_ops"] = [] if rem else None
+    for b in range(sos_bank.shape[0]):
+        key = tuple(sos_bank[b].reshape(-1).tolist())
+        H, G, A, M = _block_operators(key, L)
+        ops["HmatT"].append(H)
+        ops["GyT"].append(G)
+        ops["ALT"].append(A)
+        ops["MT"].append(M)
+        ops["pow"].append(np.swapaxes(_al_power_table(key, L, n_full), -1, -2))
+        if rem:
+            ops["rem_ops"].append(_block_operators(key, rem))
+    for name in ("HmatT", "GyT", "ALT", "MT", "pow"):
+        ops[name] = np.stack(ops[name])
+    if rem:
+        ops["rem_ops"] = [
+            np.stack([band[i] for band in ops["rem_ops"]])
+            for i in range(4)
+        ]
+    return ops
+
+
+def sosfilt_bank_apply(ops: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a bank of blocked SOS cascades to ``x (..., T)`` in one
+    batched program → ``(B, ..., T)`` (zero initial state).
+
+    Same math as `sosfilt_block` with a leading band axis: the per-block
+    matmuls become band-batched einsums and the boundary-state recurrence
+    keeps its log-depth doubling prefix.
+    """
+    HmatT = jnp.asarray(ops["HmatT"], x.dtype)  # (B, L, L)
+    GyT = jnp.asarray(ops["GyT"], x.dtype)  # (B, N, L)
+    MT = jnp.asarray(ops["MT"], x.dtype)  # (B, L, N)
+    powT = jnp.asarray(ops["pow"], x.dtype)  # (B, K+1, N, N)
+    L, n_full, rem = ops["L"], ops["n_full"], ops["rem"]
+    T = x.shape[-1]
+    assert n_full * L + rem == T, "operators were built for another length"
+
+    lead = x[..., : n_full * L]
+    xb = jnp.moveaxis(
+        lead.reshape(x.shape[:-1] + (n_full, L)), -2, 0
+    )  # (K, ..., L)
+
+    if n_full > 0:
+        y_free = jnp.einsum(
+            "k...l,blm->bk...m", xb, HmatT, precision=_HIGH
+        )  # (B, K, ..., L)
+        X = jnp.einsum(
+            "k...l,bln->bk...n", xb, MT, precision=_HIGH
+        )  # (B, K, ..., N)
+        ALt_pow = jnp.asarray(ops["ALT"], x.dtype)  # (B, N, N)
+        shift = 1
+        while shift < n_full:
+            Xs = jnp.concatenate(
+                [
+                    jnp.zeros(X.shape[:1] + (shift,) + X.shape[2:], X.dtype),
+                    X[:, :-shift],
+                ],
+                axis=1,
+            )
+            X = X + jnp.einsum(
+                "bk...n,bnm->bk...m", Xs, ALt_pow, precision=_HIGH
+            )
+            ALt_pow = jnp.einsum(
+                "bnm,bmp->bnp", ALt_pow, ALt_pow, precision=_HIGH
+            )
+            shift *= 2
+        # zero initial state: block k sees X_{k-1} (zeros for k=0)
+        s_starts = jnp.concatenate(
+            [jnp.zeros_like(X[:, :1]), X[:, :-1]], axis=1
+        )
+        s_end = X[:, -1]  # (B, ..., N)
+        y = y_free + jnp.einsum(
+            "bk...n,bnl->bk...l", s_starts, GyT, precision=_HIGH
+        )
+        y = jnp.moveaxis(y, 1, -2).reshape(
+            (y.shape[0],) + x.shape[:-1] + (n_full * L,)
+        )
+    else:
+        s_end = jnp.zeros((HmatT.shape[0],) + x.shape[:-1] + (GyT.shape[1],), x.dtype)
+        y = jnp.zeros((HmatT.shape[0],) + x.shape[:-1] + (0,), x.dtype)
+
+    if rem:
+        Hr, Gr, Ar, Mr = (jnp.asarray(m, x.dtype) for m in ops["rem_ops"])
+        x_tail = x[..., n_full * L :]
+        y_tail = jnp.einsum(
+            "...l,blm->b...m", x_tail, Hr, precision=_HIGH
+        ) + jnp.einsum("b...n,bnl->b...l", s_end, Gr, precision=_HIGH)
+        y = jnp.concatenate([y, y_tail], axis=-1)
+    return y

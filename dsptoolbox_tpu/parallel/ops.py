@@ -1,0 +1,241 @@
+"""Sharded hot-path pipelines (`shard_map` + ICI collectives).
+
+These wrap the single-device kernels in `dsptoolbox_tpu.ops` with explicit
+shardings so that multi-channel workloads scale across a mesh:
+
+- `parallel_welch`: channels split across devices; periodograms are fully
+  local (embarrassingly parallel — no collectives).
+- `parallel_csm`: row-parallel Gram matrix. Each device holds a channel
+  block, computes its windowed spectra locally, `all_gather`s the spectra
+  over ICI (one (C, K, F) tensor — far smaller than the (F, C, C) output),
+  then forms its block of CSM rows with one local einsum on the MXU.
+- `parallel_filterbank`: SOS band battery split across devices; each
+  device runs its bands' blocked IIR kernels, outputs stay band-sharded.
+- `sharded_map_reduce`: generic dp fan-out for map-reduce shaped work
+  (e.g. per-RIR descriptors over thousands of measurements).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.spectral import welch as _welch
+from ..ops.windows import get_window
+from ..standard.enums import SpectrumScaling, Window
+
+
+def parallel_welch(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    sampling_rate_hz: int,
+    window_length_samples: int = 1024,
+    window_type: Window = Window.Hann,
+    overlap_percent: float = 50.0,
+) -> jnp.ndarray:
+    """Welch autospectra of ``x (C, T)`` with channels sharded across the
+    mesh's first axis. Purely local compute — no collectives."""
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    assert x.shape[0] % n == 0, (
+        f"Channel count {x.shape[0]} must divide across {n} devices"
+    )
+
+    def local(xl):
+        return _welch(
+            xl,
+            sampling_rate_hz=sampling_rate_hz,
+            window_length_samples=window_length_samples,
+            window_type=window_type,
+            overlap_percent=overlap_percent,
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(axis, None),
+    )
+    sharding = NamedSharding(mesh, P(axis, None))
+    return jax.jit(fn, in_shardings=sharding)(jax.device_put(x, sharding))
+
+
+def _windowed_spectra(xl, window, step, norm):
+    """Local windowed FFT frames (C_local, K, F). Same frame pipeline as
+    the single-device path (`ops/spectral.py:_windowed_frames`): window
+    first, then per-frame mean removal."""
+    from ..ops.framing import frame_signal
+
+    frames = frame_signal(xl, len(window), step, True)
+    frames = frames * jnp.asarray(window, frames.dtype)
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    return jnp.fft.rfft(frames, axis=-1, norm=norm)
+
+
+def parallel_csm(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    sampling_rate_hz: int,
+    window_length_samples: int = 1024,
+    window_type: Window = Window.Hann,
+    overlap_percent: float = 50.0,
+    scaling: SpectrumScaling = SpectrumScaling.PowerSpectralDensity,
+) -> tuple[np.ndarray, jnp.ndarray]:
+    """Cross-spectral matrix of ``x (C, T)``, rows sharded over the mesh.
+
+    Row-parallel Gram-matrix pattern: local spectra → `all_gather` over
+    ICI → one local einsum per device for its (C/n, C, F) row block.
+    Returns ``(f, csm)`` with ``csm (F, C, C)`` sharded on the second
+    (row) axis.
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    C = x.shape[0]
+    assert C % n == 0, f"{C} channels do not divide over {n} devices"
+
+    window = get_window(window_type, window_length_samples, symmetric=False)
+    step = window_length_samples - int(
+        overlap_percent / 100 * window_length_samples
+    )
+    norm = scaling.fft_norm()
+
+    def local(xl):
+        Xl = _windowed_spectra(xl, window, step, norm)  # (C/n, K, F)
+        X_all = jax.lax.all_gather(
+            Xl, axis, axis=0, tiled=True
+        )  # (C, K, F)
+        K = Xl.shape[1]
+        # rows[f, a_local, b] = mean_k conj(Xl[a,k,f]) X_all[b,k,f]
+        rows = (
+            jnp.einsum("akf,bkf->fab", jnp.conjugate(Xl), X_all) / K
+        )
+        return rows
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(None, axis, None),
+    )
+    in_sharding = NamedSharding(mesh, P(axis, None))
+    csm = jax.jit(fn, in_shardings=in_sharding)(
+        jax.device_put(x, in_sharding)
+    )
+    if scaling.has_physical_units():
+        factor = scaling.get_scaling_factor(
+            window_length_samples, sampling_rate_hz, window
+        )
+        edge = np.ones(csm.shape[0])
+        edge[0] = edge[-1] = 0.5
+        csm = csm * factor * jnp.asarray(edge)[:, None, None]
+    f = np.fft.rfftfreq(window_length_samples, 1 / sampling_rate_hz)
+    return f, csm
+
+
+def parallel_filterbank(
+    sos_bank: np.ndarray,
+    x: jnp.ndarray,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Apply a battery of SOS filters ``sos_bank (B, S, 6)`` to
+    ``x (..., T)`` with bands sharded across devices.
+
+    Each device runs the blocked IIR kernel for its bands; output
+    ``(B, ..., T)`` stays band-sharded (tensor-parallel layout)."""
+    from ..ops.iir_block import (
+        sosfilt_bank_apply,
+        sosfilt_bank_operators,
+    )
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    B = sos_bank.shape[0]
+    assert B % n == 0, f"{B} bands do not divide over {n} devices"
+
+    # The block operators are precomputed host-side in f64 and handed to
+    # the devices as band-stacked tensors — they shard on the band axis
+    # like any other parameter (tensor parallelism).
+    ops = sosfilt_bank_operators(np.asarray(sos_bank), x.shape[-1])
+    meta = {k: ops[k] for k in ("L", "n_full", "rem")}
+    tensors = [ops["HmatT"], ops["GyT"], ops["ALT"], ops["MT"], ops["pow"]]
+    if ops["rem"]:
+        tensors += list(ops["rem_ops"])
+
+    def local(x_rep, *tens):
+        local_ops = dict(meta)
+        (
+            local_ops["HmatT"],
+            local_ops["GyT"],
+            local_ops["ALT"],
+            local_ops["MT"],
+            local_ops["pow"],
+        ) = tens[:5]
+        local_ops["rem_ops"] = list(tens[5:]) if meta["rem"] else None
+        return sosfilt_bank_apply(local_ops, x_rep)
+
+    band_specs = tuple(P(axis, *([None] * (t.ndim - 1))) for t in tensors)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(*([None] * x.ndim)),) + band_specs,
+        out_specs=P(axis, *([None] * x.ndim)),
+        check_rep=False,
+    )
+    x_sharding = NamedSharding(mesh, P(*([None] * x.ndim)))
+    band_shardings = tuple(NamedSharding(mesh, s) for s in band_specs)
+    placed = [
+        jax.device_put(jnp.asarray(t, x.dtype), s)
+        for t, s in zip(tensors, band_shardings)
+    ]
+    return jax.jit(
+        fn, in_shardings=(x_sharding,) + band_shardings
+    )(jax.device_put(x, x_sharding), *placed)
+
+
+def sharded_map_reduce(
+    map_fn,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    reduce: str | None = None,
+):
+    """Apply ``map_fn`` to the leading-axis blocks of ``x`` across
+    devices (dp fan-out) and optionally reduce.
+
+    ``map_fn`` must be shape-preserving on the leading axis (vmappable).
+    ``reduce``: None (keep sharded), "sum" or "mean" (ICI `psum`).
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    assert x.shape[0] % n == 0, (
+        f"Leading axis {x.shape[0]} must divide across {n} devices"
+    )
+
+    def local(xl):
+        out = jax.vmap(map_fn)(xl)
+        if reduce == "sum":
+            return jax.lax.psum(jnp.sum(out, axis=0), axis)
+        if reduce == "mean":
+            return jax.lax.psum(jnp.sum(out, axis=0), axis) / x.shape[0]
+        return out
+
+    if reduce is None:
+        out_specs = P(axis)
+    else:
+        out_specs = P()
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis, *([None] * (x.ndim - 1))),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    sharding = NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+    return jax.jit(fn, in_shardings=sharding)(jax.device_put(x, sharding))

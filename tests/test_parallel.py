@@ -1,0 +1,135 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+conftest sets ``xla_force_host_platform_device_count=8``; every test here
+validates that the sharded pipelines compile, execute, and match their
+single-device counterparts.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dsptoolbox_tpu import parallel as par
+from dsptoolbox_tpu.ops.iir import sosfilt
+from dsptoolbox_tpu.ops.spectral import csm_welch, welch
+from dsptoolbox_tpu.standard.enums import SpectrumScaling
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices"
+    return par.device_mesh(8)
+
+
+class TestMesh:
+    def test_device_mesh_shapes(self, mesh):
+        assert mesh.devices.size == 8
+        m2 = par.device_mesh(8, axis_names=("dp", "ch"), shape=(2, 4))
+        assert m2.devices.shape == (2, 4)
+
+    def test_shardings(self, mesh):
+        s = par.shard_batch(mesh, ndim=3, axis=0)
+        assert s.spec[0] == mesh.axis_names[0]
+        r = par.replicate(mesh)
+        assert all(ax is None for ax in r.spec)
+
+
+class TestParallelWelch:
+    def test_matches_single_device(self, mesh):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.standard_normal((16, 8192)).astype(np.float32)
+        )
+        got = par.parallel_welch(
+            x, mesh, sampling_rate_hz=48000,
+            window_length_samples=1024,
+        )
+        want = welch(
+            x, sampling_rate_hz=48000, window_length_samples=1024
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-9
+        )
+        # the output must actually be sharded across devices
+        assert len(got.sharding.device_set) == 8
+
+
+class TestParallelCSM:
+    def test_matches_single_device(self, mesh):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(
+            rng.standard_normal((8, 8192)).astype(np.float32)
+        )
+        f_p, csm_p = par.parallel_csm(
+            x, mesh, sampling_rate_hz=48000,
+            window_length_samples=1024,
+            scaling=SpectrumScaling.PowerSpectralDensity,
+        )
+        f_s, csm_s = csm_welch(
+            x, sampling_rate_hz=48000, window_length_samples=1024,
+            scaling=SpectrumScaling.PowerSpectralDensity,
+        )
+        np.testing.assert_allclose(f_p, f_s)
+        got = np.asarray(csm_p)
+        want = np.asarray(csm_s)
+        # the sharded path returns the plain Hermitian Gram matrix; the
+        # single-device path mirrors the reference's one-sided packing
+        # (upper triangle conjugated) — compare against the raw Gram rows
+        # via its lower triangle + real diagonal
+        C = got.shape[1]
+        il = np.tril_indices(C, -1)
+        # the parallel path returns the plain Gram convention
+        # G[a,b] = E[conj(X_a) X_b]; the reference packs the conjugate in
+        # the lower triangle, hence the conj() here
+        np.testing.assert_allclose(
+            got[:, il[0], il[1]], np.conj(want[:, il[0], il[1]]),
+            rtol=2e-3, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.real(got[:, np.arange(C), np.arange(C)]),
+            np.real(want[:, np.arange(C), np.arange(C)]),
+            rtol=2e-3, atol=1e-10,
+        )
+
+
+class TestParallelFilterbank:
+    def test_matches_single_device(self, mesh):
+        from scipy.signal import butter
+
+        bank = np.stack(
+            [
+                butter(4, fc, btype="lowpass", fs=48000, output="sos")
+                for fc in [250, 500, 1000, 2000, 4000, 8000, 12000, 16000]
+            ]
+        ).astype(np.float64)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((4, 4096)).astype(np.float32))
+        got = par.parallel_filterbank(bank, x, mesh)
+        for b in range(bank.shape[0]):
+            want, _ = sosfilt(bank[b], x)
+            np.testing.assert_allclose(
+                np.asarray(got[b]), np.asarray(want),
+                rtol=1e-4, atol=1e-5,
+            )
+
+
+class TestShardedMapReduce:
+    def test_energy_sum(self, mesh):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((32, 512)).astype(np.float32))
+        got = par.sharded_map_reduce(
+            lambda row: jnp.sum(row**2), x, mesh, reduce="sum"
+        )
+        want = float(jnp.sum(x**2))
+        assert np.isclose(float(got), want, rtol=1e-5)
+
+    def test_keep_sharded(self, mesh):
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((16, 512)).astype(np.float32))
+        got = par.sharded_map_reduce(
+            lambda row: jnp.max(jnp.abs(row)), x, mesh
+        )
+        want = np.max(np.abs(np.asarray(x)), axis=1)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
