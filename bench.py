@@ -21,11 +21,29 @@ import jax
 import jax.numpy as jnp
 
 
-def build_pipeline(sos_bank, reg_eps):
-    from dsptoolbox_tpu.ops.iir import sosfilt
+def build_pipeline(sos_bank, _unused_reg, T):
+    from dsptoolbox_tpu.ops.iir_block import (
+        sosfilt_bank_apply,
+        sosfilt_bank_operators,
+    )
     from dsptoolbox_tpu.ops.spectral import stft
 
-    def pipeline(x, excitation_spectrum):
+    # band-stacked blocked-IIR operators: the whole 4-band crossover runs
+    # as one batched einsum program on the MXU. Cascades are padded to a
+    # common section count with identity sections.
+    max_s = max(s.shape[0] for s in sos_bank)
+    identity = np.array([1.0, 0, 0, 1.0, 0, 0])
+    padded = [
+        np.vstack([s] + [identity[None]] * (max_s - s.shape[0]))
+        for s in sos_bank
+    ]
+    bank_ops = sosfilt_bank_operators(np.stack(padded), T)
+
+    # TPU FFTs want power-of-two lengths: pad the deconvolution FFT to the
+    # next power of two (also upgrades circular to linear deconvolution)
+    P = 1 << (T - 1).bit_length()
+
+    def pipeline(x, excitation_spectrum_padded, reg_padded):
         # x: (batch, T) audio at 48 kHz
         # 1) STFT analysis
         _, _, S = stft(
@@ -36,22 +54,20 @@ def build_pipeline(sos_bank, reg_eps):
         )
         energy = jnp.sum(jnp.abs(S) ** 2, axis=(-1, -2))
 
-        # 2) Filter-bank filtering (4 crossover SOS cascades, batched)
-        bands = []
-        for sos in sos_bank:
-            y, _ = sosfilt(sos, x)
-            bands.append(y)
-        bands = jnp.stack(bands, axis=1)  # (batch, bands, T)
+        # 2) Filter-bank filtering (4 crossover SOS cascades, banked)
+        bands = jnp.moveaxis(
+            sosfilt_bank_apply(bank_ops, x), 0, 1
+        )  # (batch, bands, T)
 
         # 3) Regularized spectral deconvolution against the excitation
-        X = jnp.fft.rfft(x, axis=-1)
-        H = jnp.conj(excitation_spectrum) / (
-            jnp.abs(excitation_spectrum) ** 2 + reg_eps
+        X = jnp.fft.rfft(x, n=P, axis=-1)
+        H = jnp.conj(excitation_spectrum_padded) / (
+            jnp.abs(excitation_spectrum_padded) ** 2 + reg_padded
         )
-        ir = jnp.fft.irfft(X * H, axis=-1)
+        ir = jnp.fft.irfft(X * H, n=P, axis=-1)[..., :T]
         return energy, bands, ir
 
-    return pipeline
+    return pipeline, P
 
 
 def main():
@@ -65,12 +81,6 @@ def main():
     rng = np.random.default_rng(0)
     x = jax.device_put(
         rng.standard_normal((batch, T)).astype(np.float32)
-    )
-    exc = jnp.fft.rfft(
-        jax.device_put(rng.standard_normal(T).astype(np.float32))
-    )
-    reg = jnp.asarray(
-        np.full(T // 2 + 1, 1e-3, dtype=np.float32)
     )
 
     crossovers = [250.0, 1000.0, 4000.0]
@@ -87,17 +97,43 @@ def main():
         butter(4, crossovers[2], btype="highpass", fs=fs, output="sos"),
     ]
 
-    fn = jax.jit(build_pipeline(sos_bank, reg))
+    pipeline, P = build_pipeline(sos_bank, None, T)
+    fn = jax.jit(pipeline)
+    exc = jnp.fft.rfft(
+        jax.device_put(rng.standard_normal(T).astype(np.float32)), n=P
+    )
+    reg = jnp.asarray(np.full(P // 2 + 1, 1e-3, dtype=np.float32))
 
-    # warmup/compile
-    out = fn(x, exc)
-    jax.block_until_ready(out)
+    # Honest timing on the tunneled backend: block_until_ready can return
+    # before device work drains, so chain each iteration's input on the
+    # previous iteration's output (true serial device time), keep ALL
+    # per-iteration glue inside one jitted step (eager ops each cost a
+    # tunnel round-trip), and force one final scalar fetch as the sync.
+    def step(x_in, exc_in, reg_in, chk_in):
+        energy, bands, ir = pipeline(x_in, exc_in, reg_in)
+        # renormalized feedback keeps values in a sane fp32 range
+        x_next = ir * jax.lax.rsqrt(jnp.mean(ir**2) + 1e-12)
+        # checksum over every output keeps all stages live
+        chk = (
+            chk_in
+            + jnp.sum(energy)
+            + jnp.sum(jnp.abs(bands)) * 1e-9
+            + jnp.sum(jnp.abs(ir)) * 1e-9
+        )
+        return x_next, chk
 
-    n_iters = 10
+    step_fn = jax.jit(step)
+    chk = jnp.zeros((), jnp.float32)
+
+    # warmup/compile + full host sync
+    x_cur, chk = step_fn(x, exc, reg, chk)
+    _ = float(chk)
+
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = fn(x, exc)
-    jax.block_until_ready(out)
+        x_cur, chk = step_fn(x_cur, exc, reg, chk)
+    _ = float(chk)  # scalar fetch = true sync point
     dt = (time.perf_counter() - t0) / n_iters
 
     audio_seconds = batch * seconds_per_signal
