@@ -756,7 +756,7 @@ class Signal(MultichannelData):
 
     # ======== Saving / copying ==============================================
     def save_signal(self, path: str, mode: str = "wav", bit_depth: int = 32):
-        """Save as wav (our RIFF writer) or pickle
+        """Save as wav (our RIFF writer), flac (native encoder) or pickle
         (`classes/signal.py:1572-1611`)."""
         mode = mode.lower()
         path = check_format_in_path(path, mode)
@@ -775,12 +775,18 @@ class Signal(MultichannelData):
                     "or 64"
                 )
             write_wav(path, self.time_data, self.sampling_rate_hz, subtype)
+        elif mode == "flac":
+            from ..io.flac import write_flac
+
+            bits = bit_depth if bit_depth in (8, 16, 24) else 24
+            write_flac(path, self.time_data, self.sampling_rate_hz, bits)
         elif mode == "pkl":
             with open(path, "wb") as data_file:
                 dump(self, data_file, HIGHEST_PROTOCOL)
         else:
             raise ValueError(
-                f"{mode} is not a supported saving mode. Use wav or pkl"
+                f"{mode} is not a supported saving mode. Use wav, flac "
+                "or pkl"
             )
         return self
 

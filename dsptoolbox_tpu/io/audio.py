@@ -27,4 +27,9 @@ def write_audio(
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         return write_wav(path, data, sampling_rate_hz, subtype)
+    if ext == ".flac":
+        from .flac import write_flac
+
+        bits = {"PCM_16": 16, "PCM_24": 24}.get(subtype, 16)
+        return write_flac(path, data, sampling_rate_hz, bits)
     raise ValueError(f"Unsupported audio format for writing: {ext}")

@@ -117,3 +117,46 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
     if ch > 1:
         data = data.reshape(n, ch)
     return data, int(rate.value)
+
+
+def write_flac(
+    path: str, data: np.ndarray, sampling_rate_hz: int, bits: int = 16
+) -> None:
+    """Encode ``data (samples,)`` or ``(samples, channels)`` float in
+    [-1, 1) as FLAC (verbatim subframes via the native encoder)."""
+    lib = _get_lib()
+    if not hasattr(lib, "_encode_ready"):
+        lib.flac_encode.restype = ctypes.c_int64
+        lib.flac_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_uint64,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib._encode_ready = True
+    data = np.atleast_2d(np.asarray(data, dtype=np.float64))
+    if data.shape[0] == 1 and np.asarray(data).size > data.shape[1]:
+        data = data.T
+    if data.ndim == 1:
+        data = data[:, None]
+    if data.shape[0] < data.shape[1]:
+        data = data.T
+    n, ch = data.shape
+    assert bits in (8, 16, 24), "bits must be 8, 16 or 24"
+    max_val = float(2 ** (bits - 1) - 1)
+    scaled = np.clip(np.round(data * (2 ** (bits - 1))), -(max_val + 1),
+                     max_val).astype(np.int32)
+    interleaved = np.ascontiguousarray(scaled.reshape(-1))
+    out = np.empty(128 + interleaved.size * 4 + (n // 4096 + 2) * 64,
+                   dtype=np.uint8)
+    written = lib.flac_encode(
+        interleaved.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, ch, int(sampling_rate_hz), bits,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if written < 0:
+        raise ValueError(f"FLAC encode failed ({written})")
+    with open(path, "wb") as f:
+        f.write(out[:written].tobytes())

@@ -345,3 +345,162 @@ int flac_decode(const uint8_t* data, size_t size, int32_t* out) {
 }
 
 }  // extern "C"
+
+// ====================== Encoder (verbatim subframes) ======================
+//
+// Writes standards-compliant FLAC with verbatim subframes — bit-exact PCM,
+// correct CRC-8/CRC-16, independent channels. Counterpart of
+// `Signal.save_signal(mode="flac")` (reference `classes/signal.py:1572`,
+// which delegates to libsndfile).
+
+namespace {
+
+struct BitWriter {
+    std::vector<uint8_t> buf;
+    uint64_t acc = 0;
+    int nbits = 0;
+
+    inline void write_bits(uint64_t v, int n) {
+        acc = (acc << n) | (v & ((n == 64) ? ~0ull : ((1ull << n) - 1)));
+        nbits += n;
+        while (nbits >= 8) {
+            buf.push_back((uint8_t)(acc >> (nbits - 8)));
+            nbits -= 8;
+        }
+    }
+    inline void align() {
+        if (nbits) write_bits(0, 8 - nbits);
+    }
+};
+
+uint8_t crc8(const uint8_t* d, size_t n) {
+    uint8_t crc = 0;
+    for (size_t i = 0; i < n; ++i) {
+        crc ^= d[i];
+        for (int b = 0; b < 8; ++b)
+            crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07)
+                               : (uint8_t)(crc << 1);
+    }
+    return crc;
+}
+
+uint16_t crc16(const uint8_t* d, size_t n) {
+    uint16_t crc = 0;
+    for (size_t i = 0; i < n; ++i) {
+        crc ^= (uint16_t)d[i] << 8;
+        for (int b = 0; b < 8; ++b)
+            crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005)
+                                 : (uint16_t)(crc << 1);
+    }
+    return crc;
+}
+
+void write_utf8_number(BitWriter& bw, uint64_t v) {
+    if (v < 0x80) {
+        bw.write_bits(v, 8);
+    } else if (v < 0x800) {
+        bw.write_bits(0xC0 | (v >> 6), 8);
+        bw.write_bits(0x80 | (v & 0x3F), 8);
+    } else if (v < 0x10000) {
+        bw.write_bits(0xE0 | (v >> 12), 8);
+        bw.write_bits(0x80 | ((v >> 6) & 0x3F), 8);
+        bw.write_bits(0x80 | (v & 0x3F), 8);
+    } else if (v < 0x200000) {
+        bw.write_bits(0xF0 | (v >> 18), 8);
+        bw.write_bits(0x80 | ((v >> 12) & 0x3F), 8);
+        bw.write_bits(0x80 | ((v >> 6) & 0x3F), 8);
+        bw.write_bits(0x80 | (v & 0x3F), 8);
+    } else {
+        bw.write_bits(0xF8 | (v >> 24), 8);
+        bw.write_bits(0x80 | ((v >> 18) & 0x3F), 8);
+        bw.write_bits(0x80 | ((v >> 12) & 0x3F), 8);
+        bw.write_bits(0x80 | ((v >> 6) & 0x3F), 8);
+        bw.write_bits(0x80 | (v & 0x3F), 8);
+    }
+}
+
+int sample_size_code(uint32_t bps) {
+    switch (bps) {
+        case 8: return 1;
+        case 12: return 2;
+        case 16: return 4;
+        case 20: return 5;
+        case 24: return 6;
+        case 32: return 7;
+        default: return -1;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of bytes written to `out` (caller allocates
+// generously: 128 + total*channels*4 + frames*16 is always enough), or a
+// negative error code.
+int64_t flac_encode(const int32_t* samples, uint64_t total_samples,
+                    uint32_t channels, uint32_t sample_rate, uint32_t bps,
+                    uint8_t* out) {
+    if (channels < 1 || channels > 8) return -1;
+    if (sample_size_code(bps) < 0) return -2;
+    if (sample_rate == 0 || sample_rate >= (1u << 20)) return -3;
+
+    const uint32_t BS = 4096;
+    BitWriter bw;
+    // magic
+    for (char c : {'f', 'L', 'a', 'C'}) bw.write_bits((uint8_t)c, 8);
+    // STREAMINFO (last metadata block)
+    bw.write_bits(0x80, 8);   // last=1, type=0
+    bw.write_bits(34, 24);    // length
+    bw.write_bits(BS, 16);    // min blocksize
+    bw.write_bits(BS, 16);    // max blocksize
+    bw.write_bits(0, 24);     // min framesize unknown
+    bw.write_bits(0, 24);     // max framesize unknown
+    bw.write_bits(sample_rate, 20);
+    bw.write_bits(channels - 1, 3);
+    bw.write_bits(bps - 1, 5);
+    bw.write_bits(total_samples, 36);
+    for (int i = 0; i < 16; ++i) bw.write_bits(0, 8);  // MD5 unset
+
+    uint64_t frame_no = 0;
+    for (uint64_t start = 0; start < total_samples; start += BS) {
+        uint32_t n = (uint32_t)((total_samples - start < BS)
+                                    ? (total_samples - start)
+                                    : BS);
+        BitWriter fw;
+        fw.write_bits(0x3FFE, 14);  // sync
+        fw.write_bits(0, 1);        // reserved
+        fw.write_bits(0, 1);        // fixed blocksize strategy
+        int bs_code = (n == BS && BS == 4096) ? 12 : 7;  // 4096 or 16-bit
+        fw.write_bits(bs_code, 4);
+        fw.write_bits(0, 4);  // sample rate: from STREAMINFO
+        fw.write_bits(channels - 1, 4);  // independent channels
+        fw.write_bits(sample_size_code(bps), 3);
+        fw.write_bits(0, 1);  // reserved
+        write_utf8_number(fw, frame_no);
+        if (bs_code == 7) fw.write_bits(n - 1, 16);
+        // header CRC-8 (header is byte-aligned here)
+        fw.write_bits(crc8(fw.buf.data(), fw.buf.size()), 8);
+
+        for (uint32_t c = 0; c < channels; ++c) {
+            fw.write_bits(0, 1);  // padding
+            fw.write_bits(1, 6);  // VERBATIM
+            fw.write_bits(0, 1);  // no wasted bits
+            for (uint32_t i = 0; i < n; ++i) {
+                int32_t s = samples[(start + i) * channels + c];
+                fw.write_bits((uint32_t)s, bps);
+            }
+        }
+        fw.align();
+        uint16_t c16 = crc16(fw.buf.data(), fw.buf.size());
+        fw.write_bits(c16, 16);
+
+        for (uint8_t b : fw.buf) bw.write_bits(b, 8);
+        ++frame_no;
+    }
+    bw.align();
+    std::memcpy(out, bw.buf.data(), bw.buf.size());
+    return (int64_t)bw.buf.size();
+}
+
+}  // extern "C"

@@ -54,3 +54,27 @@ class TestFlac:
         assert s.sampling_rate_hz == 48000
         assert s.number_of_channels == 1
         assert len(s) == 189056
+
+
+class TestFlacWrite:
+    @pytest.mark.parametrize("bits", [16, 24])
+    def test_roundtrip(self, tmp_path, bits):
+        rng = np.random.default_rng(1)
+        data = np.clip(rng.standard_normal((10000, 2)) * 0.3, -1, 0.999)
+        path = str(tmp_path / "x.flac")
+        from dsptoolbox_tpu.io.flac import write_flac
+
+        write_flac(path, data, 44100, bits)
+        back, fs = read_audio(path)
+        assert fs == 44100
+        np.testing.assert_allclose(back, data, atol=2 ** -(bits - 1))
+
+    def test_signal_save_flac(self, tmp_path):
+        s = dsp.Signal(f"{EXAMPLE}/chirp_mono.wav")
+        path = str(tmp_path / "s.flac")
+        s.save_signal(path, mode="flac", bit_depth=24)
+        s2 = dsp.Signal(path)
+        assert s2.sampling_rate_hz == s.sampling_rate_hz
+        np.testing.assert_allclose(
+            s2.time_data, s.time_data, atol=2**-22
+        )
