@@ -280,3 +280,16 @@ class TestSpectrumViaFilterbank:
             1e-3,
             "spectrum via fb",
         )
+
+
+class TestVQT:
+    def test_oracle(self, ref, chirp_pair):
+        s_m, s_r = chirp_pair
+        s_m = dsp.pad_trim(s_m, 8192)
+        s_r = ref.pad_trim(s_r, 8192)
+        f_m, v_m = tf.vqt(s_m, octaves=[2, 4])
+        f_r, v_r = ref.transforms.vqt(s_r, octaves=[2, 4])
+        np.testing.assert_allclose(f_m, f_r)
+        a_m, a_r = np.abs(np.asarray(v_m)), np.abs(np.asarray(v_r))
+        scale = np.max(a_r)
+        assert np.max(np.abs(a_m - a_r)) / scale < 2e-3
