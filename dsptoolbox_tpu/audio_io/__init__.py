@@ -2,6 +2,7 @@
 
 from .audio_io import (
     CallbackStop,
+    default_config,
     output_stream,
     play,
     play_and_record,

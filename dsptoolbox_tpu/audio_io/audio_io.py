@@ -27,6 +27,28 @@ def _sd():
         ) from e
 
 
+class _DefaultConfig:
+    """Lazy proxy for ``sounddevice.default`` — the reference exposes it
+    as the module attribute ``default_config`` (`audio_io/audio_io.py:22`).
+    Attribute access resolves against sounddevice at call time so the
+    module stays importable without audio hardware."""
+
+    def __getattr__(self, name):
+        return getattr(_sd().default, name)
+
+    def __setattr__(self, name, value):
+        setattr(_sd().default, name, value)
+
+    def __repr__(self):  # pragma: no cover
+        try:
+            return repr(_sd().default)
+        except RuntimeError:
+            return "<default_config: sounddevice unavailable>"
+
+
+default_config = _DefaultConfig()
+
+
 class CallbackStop(Exception):
     """Exception to raise inside a stream callback to stop the stream
     (mirrors sounddevice.CallbackStop)."""

@@ -193,6 +193,28 @@ class Filter:
         self.__warning_if_complex = new_warning
 
     @property
+    def sos(self) -> np.ndarray:
+        """Second-order sections (n_sections, 6)
+        (`classes/filter.py:531-563`); AttributeError when the filter has
+        no SOS representation (mirrors the reference's private storage)."""
+        return self.__sos
+
+    @sos.setter
+    def sos(self, sos):
+        sos = np.atleast_2d(np.asarray(sos))
+        assert sos.ndim == 2 and sos.shape[1] == 6
+        self.__sos = sos
+
+    @property
+    def zpk(self) -> list:
+        """[zeros, poles, gain] (`classes/filter.py:589-617`)."""
+        return self.__zpk
+
+    @zpk.setter
+    def zpk(self, new_zpk):
+        self.__zpk = list(new_zpk)
+
+    @property
     def has_sos(self) -> bool:
         return hasattr(self, "sos")
 
@@ -547,6 +569,24 @@ class Filter:
             range_hz=range_hz,
             normalize=normalize,
             show_info_box=False,
+        )
+
+    def plot_taps(self, show_info_box: bool = False, in_db: bool = False):
+        """Plot FIR filter taps; IIR raises (`classes/filter.py:1207-1245`)."""
+        from ..helpers.gain_and_level import to_db
+        from ..plots import general_plot
+
+        assert self.is_fir, "Plotting taps is only valid for FIR filters"
+        taps = np.asarray(self.ba[0])
+        t = np.arange(0, len(taps)) / self.sampling_rate_hz
+        y = to_db(taps, True) if in_db else taps
+        return general_plot(
+            t,
+            y[:, None],
+            log_x=False,
+            xlabel="Time / s",
+            ylabel="Taps / dBFS" if in_db else "Taps",
+            info_box=self.metadata_str if show_info_box else None,
         )
 
     def plot_group_delay(self, length_samples: int = 512, range_hz=[20, 20e3]):

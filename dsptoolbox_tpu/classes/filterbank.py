@@ -273,6 +273,49 @@ class FilterBank:
         return new_sig
 
     # ======== Getters =======================================================
+    @staticmethod
+    def firs_from_file(path: str) -> "FilterBank":
+        """Each channel of an audio file becomes an FIR filter
+        (`classes/filterbank.py:74-88`)."""
+        from .impulse_response import ImpulseResponse
+
+        ir = ImpulseResponse.from_file(path)
+        return FilterBank(
+            [
+                Filter.from_ba(
+                    ir.time_data[:, ch], [1.0], ir.sampling_rate_hz
+                )
+                for ch in range(ir.number_of_channels)
+            ]
+        )
+
+    def get_transfer_function(
+        self, frequency_vector_hz: np.ndarray, mode: FilterBankMode
+    ) -> np.ndarray:
+        """Complex transfer function of the bank per filtering mode
+        (`classes/filterbank.py:614-655`). Parallel → (frequency, filter);
+        Sequential/Summed → (frequency,). NB: the reference initializes the
+        Summed accumulator with ones (not zeros) — mirrored for parity."""
+        if mode == FilterBankMode.Parallel:
+            h = np.zeros(
+                (len(frequency_vector_hz), self.number_of_filters),
+                dtype=np.complex128,
+            )
+            for ind, f in enumerate(self.filters):
+                h[:, ind] = f.get_transfer_function(frequency_vector_hz)
+            return h
+        if mode == FilterBankMode.Sequential:
+            h = np.ones(len(frequency_vector_hz), dtype=np.complex128)
+            for f in self.filters:
+                h = h * f.get_transfer_function(frequency_vector_hz)
+            return h
+        if mode == FilterBankMode.Summed:
+            h = np.ones(len(frequency_vector_hz), dtype=np.complex128)
+            for f in self.filters:
+                h = h + f.get_transfer_function(frequency_vector_hz)
+            return h
+        raise ValueError("No valid mode")
+
     def get_ir(
         self,
         mode: FilterBankMode = FilterBankMode.Parallel,
