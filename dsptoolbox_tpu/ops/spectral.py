@@ -45,6 +45,17 @@ def _windowed_frames(
     parity: the reference detrends *after* windowing
     (`_spectral_methods.py:137-148`).
     """
+    if keep_last_frames:
+        # fused Pallas path (TPU, eligible shapes): one HBM pass for
+        # frame + window + demean instead of three materializations
+        from .pallas_framing import windowed_frames_fused
+
+        fused = windowed_frames_fused(
+            jnp.asarray(x, default_float()),
+            np.asarray(window, dtype=np.float32), step, detrend,
+        )
+        if fused is not None:
+            return fused
     frames = frame_signal(x, len(window), step, keep_last_frames=keep_last_frames)
     frames = frames.astype(default_float()) * jnp.asarray(
         window, dtype=default_float()

@@ -214,3 +214,36 @@ def test_wav_reader_against_scipy():
         data, fs = read_wav(path)
         assert fs == fs_ref
         np.testing.assert_allclose(data, data_ref, atol=0)
+
+
+class TestPallasFraming:
+    def test_interpret_matches_xla_path(self):
+        """The fused Pallas framing kernel (interpret mode on CPU) must
+        match the XLA slice path exactly."""
+        import jax.numpy as jnp
+
+        from dsptoolbox_tpu.ops.framing import (
+            compute_number_frames,
+            frame_signal,
+        )
+        from dsptoolbox_tpu.ops.pallas_framing import (
+            windowed_frames_pallas,
+        )
+
+        L, S, T, B = 512, 256, 4096, 8
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+        win = np.hanning(L).astype(np.float32)
+        n_frames, _ = compute_number_frames(L, S, T, True)
+        span = (n_frames - 1) * S + L
+        xp = jnp.pad(x, ((0, 0), (0, span - T)))
+        for detrend in (True, False):
+            got = windowed_frames_pallas(
+                xp, win, S, n_frames, detrend, interpret=True
+            )
+            want = frame_signal(x, L, S, True) * jnp.asarray(win)
+            if detrend:
+                want = want - jnp.mean(want, axis=-1, keepdims=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-6
+            )
