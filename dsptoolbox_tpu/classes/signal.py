@@ -419,6 +419,11 @@ class Signal(MultichannelData):
                 average=p["average"],
                 scaling=p["scaling"],
             ).T
+            # parity: the reference's _welch squeezes its input
+            # (`_spectral_methods.py:69`), so mono Welch spectra are 1-D
+            # while the FFT branch stays (F, 1)
+            if self.number_of_channels == 1:
+                sp = sp[:, 0]
             fft_length = p["window_length_samples"]
         else:
             from scipy.fft import next_fast_len

@@ -50,20 +50,28 @@ class GammaToneFilterBank(FilterBank):
         ``norm · C(k+3,3) · coeff^k`` — bit-comparable to the reference's
         f64 sosfilt cascade.
         """
+        from scipy.signal import sosfilt as _sosfilt
+
         delay_samples = int(np.round(self._delay * self.sampling_rate_hz))
         n_samples = self.sampling_rate_hz // 2
         d_imp = delay_samples + 3  # dirac position in the reference
         coeffs = np.asarray(self._coefficients, dtype=np.complex128)
-        norms = np.asarray(self._normalizations, dtype=np.complex128)
 
         # idx_max over the all-zero pre-arrival window is always 0
         idx_max = np.zeros(len(coeffs), dtype=int)
         delays = delay_samples - idx_max
-        # slopes = ir[1] - ir[-1]; ir[1] = 0 (causal, 1 < d_imp)
-        k_last = (n_samples - 1) - d_imp
-        comb_last = (k_last + 1) * (k_last + 2) * (k_last + 3) / 6.0
-        ir_last = norms * comb_last * coeffs**k_last
-        slopes = -ir_last
+        # slopes = ir[1] - ir[-1]; ir[1] = 0 (causal, 1 < d_imp), so only
+        # the LAST tail sample of each band IR is needed. The downstream
+        # gain iteration does not converge (it oscillates), so the phase
+        # factor must match the oracle to f64 rounding — compute the tail
+        # by actually running the f64 sosfilt cascade on the dirac like
+        # the reference does, not from the closed-form IR.
+        dirac = np.zeros(n_samples, dtype=np.complex128)
+        dirac[d_imp] = 1.0
+        slopes = np.empty(len(coeffs), dtype=np.complex128)
+        for bb, filt in enumerate(self.filters):
+            ir = _sosfilt(np.asarray(filt.sos), dirac)
+            slopes[bb] = ir[1] - ir[-1]
         phase_factors = 1j / (slopes / np.abs(slopes))
         self._delays = delays
         self._phase_factors = phase_factors
@@ -82,8 +90,12 @@ class GammaToneFilterBank(FilterBank):
         ) * np.atleast_2d(self._normalizations)
         phase_factors = np.atleast_2d(self._phase_factors)
         delays = np.atleast_2d(self._delays)
-        h_pos = h_pos * phase_factors * z ** (-delays)
-        h_neg = h_neg * phase_factors * np.conjugate(z) ** (-delays)
+        # parity: the gain iteration below oscillates rather than
+        # converging, so even the multiply ASSOCIATION must match the
+        # reference's in-place `h_pos *= pf * z**(-d)` — right product
+        # first (`_filterbank.py:768-769`)
+        h_pos = h_pos * (phase_factors * z ** (-delays))
+        h_neg = h_neg * (phase_factors * np.conjugate(z) ** (-delays))
         h = (h_pos + np.conjugate(h_neg)) / 2
         gains = np.ones((self.number_of_filters, 1))
         for _ in range(100):

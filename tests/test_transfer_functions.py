@@ -286,3 +286,42 @@ class TestIRTools:
             2e-1,
             "averaging sanity",
         )
+
+
+class TestHarmonicDistortionAnalysis:
+    def test_oracle(self, ref):
+        ir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        ir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        out_m = tf.harmonic_distortion_analysis(
+            ir_m, chirp_range_hz=[20, 20e3], chirp_length_s=2,
+            n_harmonics=7,
+        )
+        out_r = ref.transfer_functions.harmonic_distortion_analysis(
+            ir_r, chirp_range_hz=[20, 20e3], chirp_length_s=2,
+            n_harmonics=7,
+        )
+        # compare the THD spectra dictionaries
+        for key in ("thd", "thd_n"):
+            a = np.asarray(out_m[key].spectral_data)
+            b = np.asarray(out_r[key].spectral_data)
+            scale = np.max(np.abs(b))
+            assert np.max(np.abs(a - b)) / scale < 5e-2, key
+
+
+class TestCombineIrWithDirac:
+    @pytest.mark.parametrize(
+        "keep_low,norm", [(True, None), (False, None), (False, "energy")]
+    )
+    def test_oracle(self, ref, close, keep_low, norm):
+        ir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        ir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        out_m = tf.combine_ir_with_dirac(
+            ir_m, 1000, keep_low, normalization=norm
+        )
+        out_r = ref.transfer_functions.combine_ir_with_dirac(
+            ir_r, 1000, keep_low, normalization=norm
+        )
+        close(
+            out_m.time_data, out_r.time_data, 5e-4,
+            f"combine dirac {keep_low} {norm}",
+        )
