@@ -127,9 +127,12 @@ def _al_power_table(sos_key: tuple, L: int, n_blocks: int) -> np.ndarray:
 
 
 def _pick_block(T: int) -> int:
+    # Swept on TPU v5e (16x384k fp32, 4-band bank): L=128 minimizes the
+    # within-block Toeplitz matmul + doubling-prefix total (2.9 ms vs
+    # 3.0/3.7/4.5 ms for 256/512/1024; 64 and below pay prefix depth).
     if T <= 128:
         return max(8, T)
-    return 256 if T >= 2048 else 128
+    return 128
 
 
 def sosfilt_block(
