@@ -23,6 +23,7 @@ from .mesh import (
 )
 from .ops import (
     parallel_csm,
+    parallel_fir_filter,
     parallel_filterbank,
     parallel_welch,
     sharded_map_reduce,
@@ -35,6 +36,7 @@ __all__ = [
     "replicate",
     "parallel_welch",
     "parallel_csm",
+    "parallel_fir_filter",
     "parallel_filterbank",
     "sharded_map_reduce",
 ]

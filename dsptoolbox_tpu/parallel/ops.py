@@ -239,3 +239,49 @@ def sharded_map_reduce(
     )
     sharding = NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
     return jax.jit(fn, in_shardings=sharding)(jax.device_put(x, sharding))
+
+
+def parallel_fir_filter(
+    h: np.ndarray,
+    x: jnp.ndarray,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Causal FIR filtering of ``x (..., T)`` with the TIME axis sharded
+    across the mesh (sequence parallelism for DSP).
+
+    Each device convolves its time shard; the K-1 samples of left-neighbor
+    history arrive via one `ppermute` over ICI (halo exchange) — the
+    TPU-native analog of streamed overlap-save. Output equals
+    ``lfilter(h, 1, x)`` and stays time-sharded.
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    T = x.shape[-1]
+    assert T % n == 0, f"time length {T} must divide across {n} devices"
+    K = len(h)
+    assert K - 1 <= T // n, "kernel longer than a time shard"
+    hj = jnp.asarray(h, x.dtype)
+
+    def local(xl):
+        # send this shard's tail one device to the right
+        halo = jax.lax.ppermute(
+            xl[..., -(K - 1):],
+            axis,
+            [(i, (i + 1) % n) for i in range(n)],
+        )
+        # the first shard has no history (zeros)
+        first = jax.lax.axis_index(axis) == 0
+        halo = jnp.where(first, jnp.zeros_like(halo), halo)
+        xpad = jnp.concatenate([halo, xl], axis=-1)
+        from ..ops.fft_conv import fft_convolve
+
+        y = fft_convolve(xpad, hj, "full")
+        return y[..., K - 1 : K - 1 + xl.shape[-1]]
+
+    spec = P(*([None] * (x.ndim - 1) + [axis]))
+    fn = shard_map(
+        local, mesh=mesh, in_specs=spec, out_specs=spec,
+        check_rep=False,
+    )
+    sharding = NamedSharding(mesh, spec)
+    return jax.jit(fn, in_shardings=sharding)(jax.device_put(x, sharding))
