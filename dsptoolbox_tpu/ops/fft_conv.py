@@ -11,10 +11,12 @@ are compile-time constants.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from scipy.fft import next_fast_len
 
 
+@jax.named_scope("dsptb.fft_convolve")
 def fft_convolve(
     x: jnp.ndarray,
     h: jnp.ndarray,
@@ -56,6 +58,7 @@ def fft_correlate(x: jnp.ndarray, y: jnp.ndarray, mode: str = "full"):
     return fft_convolve(x, jnp.flip(y, axis=-1), mode=mode)
 
 
+@jax.named_scope("dsptb.upfirdn")
 def upfirdn(
     h: np.ndarray,
     x: jnp.ndarray,
@@ -79,6 +82,7 @@ def upfirdn(
     return y[..., ::down][..., :n_out]
 
 
+@jax.named_scope("dsptb.resample_poly")
 def resample_poly(
     x: jnp.ndarray,
     up: int,

@@ -135,6 +135,7 @@ def _pick_block(T: int) -> int:
     return 128
 
 
+@jax.named_scope("dsptb.sosfilt_block")
 def sosfilt_block(
     sos: np.ndarray,
     x: jnp.ndarray,
@@ -235,6 +236,7 @@ def sosfilt_block(
     return y, zf
 
 
+@jax.named_scope("dsptb.lfilter_block")
 def lfilter_block(
     b: np.ndarray,
     a: np.ndarray,
@@ -313,6 +315,7 @@ def sosfilt_bank_operators(
     return ops
 
 
+@jax.named_scope("dsptb.sosfilt_bank_apply")
 def sosfilt_bank_apply(ops: dict, x: jnp.ndarray) -> jnp.ndarray:
     """Apply a bank of blocked SOS cascades to ``x (..., T)`` in one
     batched program → ``(B, ..., T)`` (zero initial state).

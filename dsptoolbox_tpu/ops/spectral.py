@@ -85,6 +85,7 @@ def _average_frames(sp_frames: jnp.ndarray, average: str) -> jnp.ndarray:
     raise ValueError(f"average must be 'mean' or 'median', got {average!r}")
 
 
+@jax.named_scope("dsptb.welch")
 def welch(
     x: jnp.ndarray,
     y: jnp.ndarray | None = None,
@@ -154,6 +155,7 @@ def welch(
     return csd
 
 
+@jax.named_scope("dsptb.stft")
 def stft(
     x: jnp.ndarray,
     *,
@@ -237,6 +239,7 @@ def _assemble_csm_reference_order(Q: jnp.ndarray) -> jnp.ndarray:
     return lower + jnp.conjugate(jnp.swapaxes(lower, -1, -2))
 
 
+@jax.named_scope("dsptb.csm_welch")
 def csm_welch(
     time_data: jnp.ndarray,
     *,
