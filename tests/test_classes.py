@@ -311,3 +311,126 @@ class TestStreamingParity:
             mb.bands[0].time_data[:64, 0],
             atol=1e-5,
         )
+
+
+class TestSpectrumDeep:
+    F = np.linspace(10, 4000, 400)
+
+    def _pair(self, ref, complex_data=False):
+        rng = np.random.default_rng(4)
+        mag = 0.5 + np.abs(rng.standard_normal((400, 2)))
+        if complex_data:
+            mag = mag * np.exp(1j * rng.uniform(-np.pi, np.pi, (400, 2)))
+        return (
+            dsp.Spectrum(self.F, mag),
+            ref.Spectrum(self.F.copy(), mag.copy()),
+        )
+
+    @pytest.mark.parametrize(
+        "scheme", ["Linear", "Cubic", "Pchip"]
+    )
+    def test_interpolation_schemes(self, ref, scheme):
+        m, r = self._pair(ref)
+        fq = np.linspace(50, 3500, 173)
+        m.set_interpolator_parameters(
+            scheme=getattr(dsp.InterpolationScheme, scheme)
+        )
+        r.set_interpolator_parameters(
+            scheme=getattr(ref.InterpolationScheme, scheme)
+        )
+        a = np.asarray(
+            m.get_interpolated_spectrum(fq, dsp.SpectrumType.Magnitude)
+        )
+        b = np.asarray(
+            r.get_interpolated_spectrum(fq, ref.SpectrumType.Magnitude)
+        )
+        np.testing.assert_allclose(a, b, rtol=2e-4, err_msg=scheme)
+
+    def test_resample_trim_normalize(self, ref):
+        m, r = self._pair(ref)
+        fq = np.linspace(100, 3000, 97)
+        m2 = m.resample(fq)
+        r2 = r.resample(fq)
+        np.testing.assert_allclose(
+            np.asarray(m2.spectral_data), r2.spectral_data, rtol=2e-4
+        )
+        m3 = m.trim(200, 2500)
+        r3 = r.trim(200, 2500)
+        np.testing.assert_allclose(
+            m3.frequency_vector_hz, r3.frequency_vector_hz
+        )
+
+    def test_energy_and_gain(self, ref):
+        m, r = self._pair(ref)
+        np.testing.assert_allclose(
+            np.asarray(m.get_energy()), r.get_energy(), rtol=1e-4
+        )
+        m.apply_octave_smoothing(3.0)
+        r.apply_octave_smoothing(3.0)
+        np.testing.assert_allclose(
+            np.asarray(m.spectral_data), r.spectral_data, rtol=5e-3
+        )
+
+    def test_to_signal_roundtrip(self, ref):
+        # complex spectrum from an FFT of a short signal
+        rng = np.random.default_rng(5)
+        td = rng.standard_normal((256, 1)) * 0.2
+        s_m = dsp.Signal(None, td, 8000)
+        s_r = ref.Signal(None, td.copy(), 8000)
+        freqs = np.fft.rfftfreq(256, 1 / 8000)
+        data = np.fft.rfft(td, axis=0)
+        sp_m = dsp.Spectrum(freqs, data)
+        sp_r = ref.Spectrum(freqs.copy(), data.copy())
+        back_m = sp_m.to_signal(s_m.sampling_rate_hz)
+        back_r = sp_r.to_signal(s_r.sampling_rate_hz)
+        np.testing.assert_allclose(
+            back_m.time_data, back_r.time_data, atol=1e-5
+        )
+
+
+class TestMultiBandSignalDeep:
+    def test_band_operations(self):
+        rng = np.random.default_rng(6)
+        bands = [
+            dsp.Signal(None, rng.standard_normal((512, 2)) * 0.2, 8000)
+            for _ in range(3)
+        ]
+        mb = dsp.MultiBandSignal(bands[:2])
+        mb.add_band(bands[2])
+        assert mb.number_of_bands == 3
+        mb.swap_bands([2, 1, 0])
+        np.testing.assert_allclose(
+            mb.bands[0].time_data, bands[2].time_data
+        )
+        mb.remove_band(1)
+        assert mb.number_of_bands == 2
+
+    def test_collapse_sums_bands(self, ref):
+        rng = np.random.default_rng(7)
+        tds = [rng.standard_normal((512, 1)) * 0.2 for _ in range(3)]
+        mb_m = dsp.MultiBandSignal(
+            [dsp.Signal(None, td, 8000) for td in tds]
+        )
+        mb_r = ref.MultiBandSignal(
+            [ref.Signal(None, td.copy(), 8000) for td in tds]
+        )
+        c_m = mb_m.collapse()
+        c_r = mb_r.collapse()
+        np.testing.assert_allclose(
+            c_m.time_data, c_r.time_data, atol=1e-6
+        )
+
+    def test_get_all_time_data(self, ref):
+        rng = np.random.default_rng(8)
+        tds = [rng.standard_normal((256, 2)) * 0.2 for _ in range(2)]
+        mb_m = dsp.MultiBandSignal(
+            [dsp.Signal(None, td, 8000) for td in tds]
+        )
+        mb_r = ref.MultiBandSignal(
+            [ref.Signal(None, td.copy(), 8000) for td in tds]
+        )
+        a = mb_m.get_all_time_data()
+        b = mb_r.get_all_time_data()
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(b[0]), atol=1e-7
+        )
