@@ -428,37 +428,64 @@ class Signal(MultichannelData):
         else:
             from scipy.fft import next_fast_len
 
+            from .._config import (
+                _complex_transfer_broken,
+                run_jitted_complex,
+            )
+
             fft_length = (
                 next_fast_len(self.length_samples, True)
                 if p["pad_to_fast_length"]
                 else self.length_samples
             )
-            sp = jnp.fft.rfft(
-                self._complex_time_data_or_real().T,
-                axis=-1,
-                norm=self.spectrum_scaling.fft_norm(),
-                n=fft_length,
-            ).T
-            if p["smoothing"] != 0:
-                from ..helpers.smoothing import fractional_octave_smoothing
 
-                mag = fractional_octave_smoothing(
-                    jnp.abs(sp), None, p["smoothing"], clip_values=True
+            def _fft_spectrum(*td_parts):
+                td = (
+                    td_parts[0]
+                    if len(td_parts) == 1
+                    else td_parts[0] + 1j * td_parts[1]
                 )
-                ph = fractional_octave_smoothing(
-                    jnp.unwrap(jnp.angle(sp), axis=0), None, p["smoothing"]
-                )
-                sp = mag * jnp.exp(1j * ph)
-            if self.spectrum_scaling.has_physical_units():
-                from ..helpers.spectrum_utilities import scale_spectrum
+                sp = jnp.fft.rfft(
+                    td.T,
+                    axis=-1,
+                    norm=self.spectrum_scaling.fft_norm(),
+                    n=fft_length,
+                ).T
+                if p["smoothing"] != 0:
+                    from ..helpers.smoothing import (
+                        fractional_octave_smoothing,
+                    )
 
-                sp = scale_spectrum(
-                    sp,
-                    self.spectrum_scaling,
-                    fft_length,
-                    self.sampling_rate_hz,
-                    getattr(self, "window", None),
-                )
+                    mag = fractional_octave_smoothing(
+                        jnp.abs(sp), None, p["smoothing"], clip_values=True
+                    )
+                    ph = fractional_octave_smoothing(
+                        jnp.unwrap(jnp.angle(sp), axis=0), None,
+                        p["smoothing"],
+                    )
+                    sp = mag * jnp.exp(1j * ph)
+                if self.spectrum_scaling.has_physical_units():
+                    from ..helpers.spectrum_utilities import scale_spectrum
+
+                    sp = scale_spectrum(
+                        sp,
+                        self.spectrum_scaling,
+                        fft_length,
+                        self.sampling_rate_hz,
+                        getattr(self, "window", None),
+                    )
+                return sp
+
+            parts = (
+                (self._time_data, self._time_data_imag)
+                if self.is_complex_signal
+                else (self._time_data,)
+            )
+            if _complex_transfer_broken():
+                # one jitted program; complex never crosses the tunnel
+                sp = run_jitted_complex(_fft_spectrum, *parts)
+            else:
+                sp = _fft_spectrum(*parts)
         freqs = np.fft.rfftfreq(fft_length, 1 / self.sampling_rate_hz)
         if self.activate_cache:
             self._cache["spectrum"] = (freqs, sp)
@@ -514,18 +541,27 @@ class Signal(MultichannelData):
             t, f, S = self._cache["spectrogram"]
             return t.copy(), f.copy(), S.copy()
         p = self._spectrogram_parameters
-        t, f, S = stft(
-            self._time_data.T,
-            sampling_rate_hz=self.sampling_rate_hz,
-            window_length_samples=p["window_length_samples"],
-            window_type=p["window_type"],
-            overlap_percent=p["overlap_percent"],
-            fft_length_samples=p["fft_length_samples"],
-            detrend=p["detrend"],
-            padding=p["padding"],
-            scaling=p["scaling"],
-        )
-        S = jnp.transpose(S, (2, 1, 0))  # (C, frames, F) -> (F, frames, C)
+        from .._config import _complex_transfer_broken, run_jitted_complex
+
+        def _stft(td):
+            t, f, S = stft(
+                td.T,
+                sampling_rate_hz=self.sampling_rate_hz,
+                window_length_samples=p["window_length_samples"],
+                window_type=p["window_type"],
+                overlap_percent=p["overlap_percent"],
+                fft_length_samples=p["fft_length_samples"],
+                detrend=p["detrend"],
+                padding=p["padding"],
+                scaling=p["scaling"],
+            )
+            # (C, frames, F) -> (F, frames, C)
+            return t, f, jnp.transpose(S, (2, 1, 0))
+
+        if _complex_transfer_broken():
+            t, f, S = run_jitted_complex(_stft, self._time_data)
+        else:
+            t, f, S = _stft(self._time_data)
         if self.activate_cache:
             self._cache["spectrogram"] = (t, f, S)
         return t, f, S

@@ -24,7 +24,9 @@ def find_frequencies_above_threshold(
     """First/last frequency whose (normalized) magnitude exceeds the
     threshold (`helpers/other.py:34-42`). Host-side: steers regularization
     windows, a static decision."""
-    denum_db = np.asarray(to_db(jnp.asarray(spec), True))
+    # abs() on host first: `spec` may be a complex numpy spectrum and
+    # complex uploads are unsupported on tunneled backends
+    denum_db = np.asarray(to_db(jnp.asarray(np.abs(np.asarray(spec))), True))
     if normalize:
         denum_db = denum_db - np.max(denum_db)
     freqs = np.asarray(f)[denum_db > threshold_db]

@@ -86,13 +86,20 @@ def spectral_deconvolve(
     fs_hz = output.sampling_rate_hz
     length = original_length * 2 if padding else original_length
 
-    denum_fft = jnp.asarray(denum_fft)
-    num_fft = jnp.asarray(num_fft)
+    from .._config import run_jitted_complex, to_host
+
+    # keep spectra host-side: complex buffers cannot cross the boundary
+    # on tunneled backends, and the regularization window is host math
+    denum_np = to_host(denum_fft)
+    num_np = to_host(num_fft)
+    if denum_np.ndim == 1:
+        denum_np = denum_np[:, None]
+    if num_np.ndim == 1:
+        num_np = num_np[:, None]
     C = output.number_of_channels
 
     if apply_regularization:
         eps_cols = []
-        denum_np = np.asarray(denum_fft)
         for n in range(C):
             n_denum = 0 if multichannel else n
             ssz = start_stop_hz
@@ -118,11 +125,13 @@ def spectral_deconvolve(
     else:
         eps = None
 
-    denum_sel = denum_fft if not multichannel else jnp.repeat(
-        denum_fft, C, axis=1
+    denum_sel = denum_np if not multichannel else np.repeat(
+        denum_np, C, axis=1
     )
-    new_time_data = bk.spectral_deconvolve_core(
-        num_fft, denum_sel, length, eps
+    new_time_data = run_jitted_complex(
+        lambda a, b: bk.spectral_deconvolve_core(a, b, length, eps),
+        num_np,
+        denum_sel,
     )
     new_sig = ImpulseResponse(
         None,

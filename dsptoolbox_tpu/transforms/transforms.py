@@ -297,37 +297,48 @@ def istft(
         parameters["window_length_samples"],
         symmetric=False,
     )
-    S = jnp.asarray(stft)  # (F, K, C)
     scaling_param = parameters["scaling"]
-    td_framed = jnp.fft.irfft(
-        S,
-        axis=0,
-        n=parameters["fft_length_samples"],
-        norm=scaling_param.fft_norm(),
-    )
-    td_framed = td_framed[: parameters["window_length_samples"], ...]
-    if scaling_param.has_physical_units():
-        td_framed = td_framed / scaling_param.get_scaling_factor(
-            parameters["fft_length_samples"]
-            or parameters["window_length_samples"],
-            sampling_rate_hz,
-            window,
+
+    def _istft_core(S):  # S (F, K, C) complex
+        td_framed = jnp.fft.irfft(
+            S,
+            axis=0,
+            n=parameters["fft_length_samples"],
+            norm=scaling_param.fft_norm(),
         )
-    step = int(
-        (1 - parameters["overlap_percent"] / 100) * len(window)
-    )
-    # channels-first frames for the device kernel: (C, K, L)
-    frames_cf = jnp.transpose(td_framed, (2, 1, 0))
-    if parameters["padding"]:
-        td = reconstruct_framed_signal(frames_cf, step, window)
-        overlap = int(parameters["overlap_percent"] / 100 * len(window))
-        td = td[..., overlap:-overlap]
-    else:
-        extra = jnp.zeros_like(frames_cf[:, :1, :])
-        frames_cf = jnp.concatenate([extra, frames_cf, extra], axis=1)
-        td = reconstruct_framed_signal(frames_cf, step, window)
-        td = td[..., step:-step]
-    td = np.asarray(td.T)
+        td_framed = td_framed[: parameters["window_length_samples"], ...]
+        if scaling_param.has_physical_units():
+            td_framed = td_framed / scaling_param.get_scaling_factor(
+                parameters["fft_length_samples"]
+                or parameters["window_length_samples"],
+                sampling_rate_hz,
+                window,
+            )
+        step = int(
+            (1 - parameters["overlap_percent"] / 100) * len(window)
+        )
+        # channels-first frames for the device kernel: (C, K, L)
+        frames_cf = jnp.transpose(td_framed, (2, 1, 0))
+        if parameters["padding"]:
+            td = reconstruct_framed_signal(frames_cf, step, window)
+            overlap = int(
+                parameters["overlap_percent"] / 100 * len(window)
+            )
+            td = td[..., overlap:-overlap]
+        else:
+            extra = jnp.zeros_like(frames_cf[:, :1, :])
+            frames_cf = jnp.concatenate(
+                [extra, frames_cf, extra], axis=1
+            )
+            td = reconstruct_framed_signal(frames_cf, step, window)
+            td = td[..., step:-step]
+        return td
+
+    from .._config import run_jitted_complex
+
+    # one jitted program with real output: complex spectra never cross
+    # the host boundary (required on tunneled backends)
+    td = np.asarray(run_jitted_complex(_istft_core, stft).T)
     if original_signal is not None:
         td = np.asarray(
             pad_trim_axis(
