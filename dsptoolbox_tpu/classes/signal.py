@@ -406,19 +406,28 @@ class Signal(MultichannelData):
         if not force_computation and "spectrum" in self._cache:
             f, sp = self._cache["spectrum"]
             return f.copy(), sp.copy()
+        from .._config import _complex_transfer_broken, run_jitted_complex
+
         p = self._spectrum_parameters
         if self.spectrum_method == SpectrumMethod.WelchPeriodogram:
-            sp = welch(
-                self._time_data.T,
-                None,
-                sampling_rate_hz=self.sampling_rate_hz,
-                window_length_samples=p["window_length_samples"],
-                window_type=p["window_type"],
-                overlap_percent=p["overlap_percent"],
-                detrend=p["detrend"],
-                average=p["average"],
-                scaling=p["scaling"],
-            ).T
+
+            def _welch_sp(td):
+                return welch(
+                    td.T,
+                    None,
+                    sampling_rate_hz=self.sampling_rate_hz,
+                    window_length_samples=p["window_length_samples"],
+                    window_type=p["window_type"],
+                    overlap_percent=p["overlap_percent"],
+                    detrend=p["detrend"],
+                    average=p["average"],
+                    scaling=p["scaling"],
+                ).T
+
+            if _complex_transfer_broken():
+                sp = run_jitted_complex(_welch_sp, self._time_data)
+            else:
+                sp = _welch_sp(self._time_data)
             # parity: the reference's _welch squeezes its input
             # (`_spectral_methods.py:69`), so mono Welch spectra are 1-D
             # while the FFT branch stays (F, 1)
@@ -506,18 +515,27 @@ class Signal(MultichannelData):
         if not force_computation and "csm" in self._cache:
             f, csm = self._cache["csm"]
             return f.copy(), csm.copy()
+        from .._config import _complex_transfer_broken, run_jitted_complex
+
         p = self._spectrum_parameters
         if self.spectrum_method == SpectrumMethod.WelchPeriodogram:
-            f, csm = csm_welch(
-                self._time_data.T,
-                sampling_rate_hz=self.sampling_rate_hz,
-                window_length_samples=p["window_length_samples"],
-                window_type=p["window_type"],
-                overlap_percent=p["overlap_percent"],
-                detrend=p["detrend"],
-                average=p["average"],
-                scaling=p["scaling"],
-            )
+
+            def _csm(td):
+                return csm_welch(
+                    td.T,
+                    sampling_rate_hz=self.sampling_rate_hz,
+                    window_length_samples=p["window_length_samples"],
+                    window_type=p["window_type"],
+                    overlap_percent=p["overlap_percent"],
+                    detrend=p["detrend"],
+                    average=p["average"],
+                    scaling=p["scaling"],
+                )
+
+            if _complex_transfer_broken():
+                f, csm = run_jitted_complex(_csm, self._time_data)
+            else:
+                f, csm = _csm(self._time_data)
         else:
             old_scaling = self.spectrum_scaling
             self._spectrum_parameters["scaling"] = SpectrumScaling.FFTBackward
@@ -525,12 +543,19 @@ class Signal(MultichannelData):
             f, sp = self.get_spectrum()
             self._spectrum_parameters["scaling"] = old_scaling
             self._cache.pop("spectrum", None)
-            csm = csm_from_spectrum(
-                sp,
-                old_scaling,
-                getattr(self, "window", None),
-                self.sampling_rate_hz,
-            )
+
+            def _csm_fft(sp_in):
+                return csm_from_spectrum(
+                    sp_in,
+                    old_scaling,
+                    getattr(self, "window", None),
+                    self.sampling_rate_hz,
+                )
+
+            if _complex_transfer_broken():
+                csm = run_jitted_complex(_csm_fft, sp)
+            else:
+                csm = _csm_fft(sp)
         if self.activate_cache:
             self._cache["csm"] = (f, csm)
         return f, csm

@@ -88,22 +88,30 @@ def noise(
         shape[:id_low] = 1e-20
     shape[0] = 0.0
 
-    mag = mag * jnp.asarray(shape, default_float())[:, None]
-    phase_fix = np.ones(F)
-    ph = ph.at[0, :].set(0.0)
-    if l_samples % 2 == 0:
-        ph = ph.at[-1, :].set(0.0)
-    del phase_fix
+    def _synthesize(mag_in, ph_in):
+        # one jitted program: the complex spectrum never leaves the device
+        mag_s = mag_in * jnp.asarray(shape, default_float())[:, None]
+        ph_s = ph_in.at[0, :].set(0.0)
+        if l_samples % 2 == 0:
+            ph_s = ph_s.at[-1, :].set(0.0)
+        vec = jnp.fft.irfft(
+            mag_s * jnp.exp(1j * ph_s), n=l_samples, axis=0
+        )
+        vec = _normalize(
+            vec.T, peak_level_dbfs, peak_normalization=True,
+            per_channel=True,
+        ).T
+        if fade is not None:
+            fade_length = 0.05 * length_seconds
+            vec = _fade(vec.T, fade_length, fade, sampling_rate_hz, True).T
+            vec = _fade(
+                vec.T, fade_length, fade, sampling_rate_hz, False
+            ).T
+        return pad_trim_axis(vec, l_samples + p_samples, axis=0)
 
-    vec = jnp.fft.irfft(mag * jnp.exp(1j * ph), n=l_samples, axis=0)
-    vec = _normalize(
-        vec.T, peak_level_dbfs, peak_normalization=True, per_channel=True
-    ).T
-    if fade is not None:
-        fade_length = 0.05 * length_seconds
-        vec = _fade(vec.T, fade_length, fade, sampling_rate_hz, True).T
-        vec = _fade(vec.T, fade_length, fade, sampling_rate_hz, False).T
-    time_data = pad_trim_axis(vec, l_samples + p_samples, axis=0)
+    from .._config import run_jitted_complex
+
+    time_data = run_jitted_complex(_synthesize, mag, ph)
     return Signal(None, np.asarray(time_data), sampling_rate_hz)
 
 

@@ -392,12 +392,17 @@ def min_phase_from_mag(
         )
     )
     mag = spectrum.get_interpolated_spectrum(f_vec, SpectrumType.Magnitude)
-    phase = minimum_phase_from_magnitude(
-        mag, False, True, original_length % 2 == 1
-    )
-    time_data = jnp.fft.irfft(
-        mag * jnp.exp(1j * phase), axis=0, n=original_length
-    )
+    from .._config import run_jitted_complex
+
+    def _min_phase_ir(mag_in):
+        phase = minimum_phase_from_magnitude(
+            mag_in, False, True, original_length % 2 == 1
+        )
+        return jnp.fft.irfft(
+            mag_in * jnp.exp(1j * phase), axis=0, n=original_length
+        )
+
+    time_data = run_jitted_complex(_min_phase_ir, np.asarray(mag))
     return ImpulseResponse.from_time_data(
         np.asarray(time_data), sampling_rate_hz
     )

@@ -70,17 +70,27 @@ __all__ = [
 
 def cepstrum(signal: Signal, complex: bool = True):
     """Complex or real cepstrum (`transforms.py:59-87`)."""
-    sp = jnp.fft.fft(jnp.asarray(signal.time_data), axis=0)
-    if complex:
-        return np.asarray(jnp.fft.ifft(jnp.log(sp), axis=0))
-    return np.asarray(jnp.fft.ifft(jnp.log(jnp.abs(sp)), axis=0))
+    from .._config import run_jitted_complex
+
+    def _cep(td):
+        sp = jnp.fft.fft(td, axis=0)
+        if complex:
+            return jnp.fft.ifft(jnp.log(sp), axis=0)
+        return jnp.fft.ifft(jnp.log(jnp.abs(sp)), axis=0)
+
+    return np.asarray(run_jitted_complex(_cep, signal.time_data))
 
 
 def from_complex_cepstrum(cepstrum, sampling_rate_hz: int) -> Signal:
     """Inverse of the complex cepstrum (`transforms.py:89-111`)."""
-    td = jnp.fft.ifft(
-        jnp.exp(jnp.fft.fft(jnp.asarray(cepstrum), axis=0)), axis=0
-    ).real
+    from .._config import run_jitted_complex
+
+    td = run_jitted_complex(
+        lambda c: jnp.fft.ifft(
+            jnp.exp(jnp.fft.fft(c, axis=0)), axis=0
+        ).real,
+        np.asarray(cepstrum),
+    )
     return Signal.from_time_data(np.asarray(td), sampling_rate_hz)
 
 
@@ -442,10 +452,12 @@ def hilbert(signal):
     from ..helpers.latency import analytic_signal
 
     if isinstance(signal, Signal):
-        out = np.asarray(
-            analytic_signal(jnp.asarray(signal.time_data), axis=0)
+        from .._config import run_jitted_complex
+
+        out = run_jitted_complex(
+            lambda td: analytic_signal(td, axis=0), signal.time_data
         )
-        return signal.copy_with_new_time_data(out)
+        return signal.copy_with_new_time_data(np.asarray(out))
     if isinstance(signal, MultiBandSignal):
         new_mb = signal.copy()
         new_mb.bands = [hilbert(b) for b in new_mb.bands]
