@@ -369,9 +369,9 @@ def classic_steering(wave_number, grid: Grid, mic: MicArray):
     N = mic.number_of_points
     rt0 = grid.get_distances_to_point(mic.array_center_coordinates)
     rti = grid.get_distances_to_point(mic.coordinates).T
-    k = jnp.asarray(wave_number)[:, nxs, nxs]
-    diff = jnp.asarray(rti[nxs, :, :] - rt0[nxs, nxs, :])
-    return np.asarray(1 / N * jnp.exp(-1j * k * diff))
+    k = np.asarray(wave_number)[:, nxs, nxs]
+    diff = rti[nxs, :, :] - rt0[nxs, nxs, :]
+    return 1 / N * np.exp(-1j * k * diff)
 
 
 def inverse_steering(wave_number, grid: Grid, mic: MicArray):
@@ -381,10 +381,10 @@ def inverse_steering(wave_number, grid: Grid, mic: MicArray):
     N = mic.number_of_points
     rt0 = grid.get_distances_to_point(mic.array_center_coordinates)
     rti = grid.get_distances_to_point(mic.coordinates).T
-    k = jnp.asarray(wave_number)[:, nxs, nxs]
-    diff = jnp.asarray(rti[nxs, :, :] - rt0[nxs, nxs, :])
-    amp = jnp.asarray(rti[nxs, :, :] / N / rt0[nxs, nxs, :])
-    return np.asarray(amp * jnp.exp(-1j * k * diff))
+    k = np.asarray(wave_number)[:, nxs, nxs]
+    diff = rti[nxs, :, :] - rt0[nxs, nxs, :]
+    amp = rti[nxs, :, :] / N / rt0[nxs, nxs, :]
+    return amp * np.exp(-1j * k * diff)
 
 
 def true_power_steering(wave_number, grid: Grid, mic: MicArray):
@@ -396,12 +396,10 @@ def true_power_steering(wave_number, grid: Grid, mic: MicArray):
     rtj = np.sum(
         1 / mic.get_distances_to_point(grid.coordinates) ** 2, axis=0
     )
-    k = jnp.asarray(wave_number)[:, nxs, nxs]
-    diff = jnp.asarray(rti[nxs, :, :] - rt0[nxs, nxs, :])
-    amp = jnp.asarray(
-        1 / rt0[nxs, nxs, :] / rti[nxs, :, :] / rtj[nxs, nxs, :]
-    )
-    return np.asarray(amp * jnp.exp(-1j * k * diff))
+    k = np.asarray(wave_number)[:, nxs, nxs]
+    diff = rti[nxs, :, :] - rt0[nxs, nxs, :]
+    amp = 1 / rt0[nxs, nxs, :] / rti[nxs, :, :] / rtj[nxs, nxs, :]
+    return amp * np.exp(-1j * k * diff)
 
 
 def true_location_steering(wave_number, grid: Grid, mic: MicArray):
@@ -414,10 +412,10 @@ def true_location_steering(wave_number, grid: Grid, mic: MicArray):
     rtj = N * np.sum(
         1 / mic.get_distances_to_point(grid.coordinates) ** 2, axis=0
     )
-    k = jnp.asarray(wave_number)[:, nxs, nxs]
-    diff = jnp.asarray(rti[nxs, :, :] - rt0[nxs, nxs, :])
-    amp = jnp.asarray(1 / rti[nxs, :, :] / jnp.sqrt(rtj)[nxs, nxs, :])
-    return np.asarray(amp * jnp.exp(-1j * k * diff))
+    k = np.asarray(wave_number)[:, nxs, nxs]
+    diff = rti[nxs, :, :] - rt0[nxs, nxs, :]
+    amp = 1 / rti[nxs, :, :] / np.sqrt(rtj)[nxs, nxs, :]
+    return amp * np.exp(-1j * k * diff)
 
 
 class SteeringVector:
@@ -580,16 +578,21 @@ class BeamformerDASFrequency(BeamformerGridded):
             csm = csm * (n_ch / (n_ch - 1))
             eye = np.eye(csm.shape[-1], dtype=bool)
             csm[:, eye] = 0
-        hj = jnp.asarray(h)  # (F, M, G)
-        csm_j = jnp.asarray(csm)  # (F, M, N)
-        # map[g, f] = h*_mg C_mn h_ng — one einsum on the MXU
-        map_fg = jnp.einsum(
-            "fmg,fmn,fng->gf",
-            jnp.conj(hj),
-            csm_j,
-            hj,
-            precision=_HIGH,
-        ).real
+        from .._config import run_jitted_complex
+
+        # map[g, f] = h*_mg C_mn h_ng — one einsum on the MXU, complex
+        # inputs split/recombined at the boundary (tunnel-safe)
+        map_fg = run_jitted_complex(
+            lambda hj, csm_j: jnp.einsum(
+                "fmg,fmn,fng->gf",
+                jnp.conj(hj),
+                csm_j,
+                hj,
+                precision=_HIGH,
+            ).real,
+            np.asarray(h),
+            np.asarray(csm),
+        )
         map = np.array(map_fg)
         if remove_csm_diagonal:
             map[map < 0] = 0

@@ -619,10 +619,14 @@ def minimum_phase(
             )
             min_phases[:, n] = np.angle(np.fft.rfft(temp))
         return f, min_phases
-    sp = minimum_phase_spectrum_from_real_cepstrum(
-        jnp.asarray(signal.time_data.T), padding_factor
-    ).T
-    sp = np.asarray(sp)
+    from .._config import run_jitted_complex
+
+    sp = run_jitted_complex(
+        lambda td: minimum_phase_spectrum_from_real_cepstrum(
+            td.T, padding_factor
+        ).T,
+        signal.time_data,
+    )
     f = np.fft.fftfreq(sp.shape[0], 1 / signal.sampling_rate_hz)
     if sp.shape[0] % 2 == 0:
         f[sp.shape[0] // 2] *= -1

@@ -421,20 +421,26 @@ def cwt(
 ):
     """Continuous wavelet transform: batched device convolution per scale
     (`transforms.py:687-761`)."""
+    from .._config import run_jitted_complex
+
     if channel is None:
         channel = np.arange(signal.number_of_channels)
     channel = np.atleast_1d(channel)
-    td = jnp.asarray(signal.time_data[:, channel].T)  # (C, T)
-    rows = []
+    td_np = np.asarray(signal.time_data)[:, channel].T  # (C, T)
+    wavelets = []
     for f in frequencies:
         wv = np.asarray(wavelet.get_wavelet(f, signal.sampling_rate_hz))
-        wv = wv / np.abs(wv).sum()
-        out = fft_convolve(
-            td.astype(jnp.complex64), jnp.asarray(wv, jnp.complex64), "same"
-        )
-        rows.append(out)
-    scalogram = jnp.stack(rows, axis=0)  # (F, C, T)
-    scalogram = jnp.transpose(scalogram, (0, 2, 1))  # (F, T, C)
+        wavelets.append(wv / np.abs(wv).sum())
+
+    def _cwt_all(td, *wvs):
+        rows = [
+            fft_convolve(td.astype(jnp.complex64), wv, "same")
+            for wv in wvs
+        ]
+        scal = jnp.stack(rows, axis=0)  # (F, C, T)
+        return jnp.transpose(scal, (0, 2, 1))  # (F, T, C)
+
+    scalogram = run_jitted_complex(_cwt_all, td_np, *wavelets)
     if synchrosqueezed:
         return squeeze_scalogram(
             np.asarray(scalogram),
