@@ -251,10 +251,6 @@ class SpectralSubtractor(AudioEffect):
 
         self._compute_window(signal.sampling_rate_hz)
         frames, original_length = self._frame(signal)  # (C, K, L)
-        wj = jnp.asarray(self.window)
-        spec = jnp.fft.rfft(frames * wj, axis=-1)  # (C, K, F)
-        phase = jnp.angle(spec)
-        power = jnp.abs(spec) ** self.subtraction_exponent
 
         noise_psds = []
         for n in range(signal.number_of_channels):
@@ -278,52 +274,79 @@ class SpectralSubtractor(AudioEffect):
             else:
                 noise_psd = np.abs(self.spectrum_to_subtract.copy())
             noise_psds.append(noise_psd ** (self.subtraction_exponent / 2))
-        noise_j = jnp.asarray(np.stack(noise_psds, 0))[:, None, :]  # (C,1,F)
-        sub = jnp.clip(power - self.subtraction_factor * noise_j, min=0)
-        new_frames = jnp.fft.irfft(
-            sub ** (1 / self.subtraction_exponent) * jnp.exp(1j * phase),
-            axis=-1,
-            n=len(self.window),
+        noise_np = np.stack(noise_psds, 0)[:, None, :]  # (C, 1, F)
+
+        from .._config import run_jitted_complex
+
+        def _subtract(frames_in, noise_in):
+            wj = jnp.asarray(self.window)
+            spec = jnp.fft.rfft(frames_in * wj, axis=-1)  # (C, K, F)
+            phase = jnp.angle(spec)
+            power = jnp.abs(spec) ** self.subtraction_exponent
+            sub = jnp.clip(
+                power - self.subtraction_factor * noise_in, min=0
+            )
+            return jnp.fft.irfft(
+                sub ** (1 / self.subtraction_exponent)
+                * jnp.exp(1j * phase),
+                axis=-1,
+                n=len(self.window),
+            )
+
+        new_frames = run_jitted_complex(_subtract, frames, noise_np)
+        return self._reconstruct(
+            jnp.asarray(new_frames), original_length, signal
         )
-        return self._reconstruct(new_frames, original_length, signal)
 
     def _apply_adaptive_mode(self, signal: Signal) -> Signal:
         self._compute_window(signal.sampling_rate_hz)
         frames, original_length = self._frame(signal)  # (C, K, L)
-        rms_db = np.asarray(to_db(jnp.var(frames, axis=-1), False))  # (C, K)
-        wj = jnp.asarray(self.window)
-        spec = jnp.fft.rfft(frames * wj, axis=-1)
-        phase = jnp.angle(spec)
-        mag = jnp.abs(spec)
-        power = mag**self.subtraction_exponent
 
-        # adaptive noise PSD recursion over frames, bins/channels batched
-        below = jnp.asarray(rms_db < self.threshold_rms_dbfs)  # (C, K)
-        ff = self.noise_forgetting_factor
+        from .._config import run_jitted_complex
 
-        def step(noise_psd, inp):
-            mag_k, below_k = inp  # (C, F), (C,)
-            updated = noise_psd * ff + mag_k * (1 - ff)
-            noise_psd = jnp.where(below_k[:, None], updated, noise_psd)
-            return noise_psd, noise_psd
+        def _adaptive(frames_in):
+            rms_db = to_db(jnp.var(frames_in, axis=-1), False)  # (C, K)
+            wj = jnp.asarray(self.window)
+            spec = jnp.fft.rfft(frames_in * wj, axis=-1)
+            phase = jnp.angle(spec)
+            mag = jnp.abs(spec)
+            power = mag**self.subtraction_exponent
 
-        init = jnp.zeros((mag.shape[0], mag.shape[2]), mag.dtype)
-        _, noise_track = jax.lax.scan(
-            step, init, (jnp.moveaxis(mag, 1, 0), below.T)
-        )  # (K, C, F)
-        noise_track = jnp.moveaxis(noise_track, 0, 1)  # (C, K, F)
-        sub = jnp.clip(
-            power
-            - self.subtraction_factor
-            * noise_track**self.subtraction_exponent,
-            min=0,
+            # adaptive noise PSD recursion over frames, batched over
+            # bins/channels
+            below = rms_db < self.threshold_rms_dbfs  # (C, K)
+            ff = self.noise_forgetting_factor
+
+            def step(noise_psd, inp):
+                mag_k, below_k = inp  # (C, F), (C,)
+                updated = noise_psd * ff + mag_k * (1 - ff)
+                noise_psd = jnp.where(
+                    below_k[:, None], updated, noise_psd
+                )
+                return noise_psd, noise_psd
+
+            init = jnp.zeros((mag.shape[0], mag.shape[2]), mag.dtype)
+            _, noise_track = jax.lax.scan(
+                step, init, (jnp.moveaxis(mag, 1, 0), below.T)
+            )  # (K, C, F)
+            noise_track = jnp.moveaxis(noise_track, 0, 1)  # (C, K, F)
+            sub = jnp.clip(
+                power
+                - self.subtraction_factor
+                * noise_track**self.subtraction_exponent,
+                min=0,
+            )
+            return jnp.fft.irfft(
+                sub ** (1 / self.subtraction_exponent)
+                * jnp.exp(1j * phase),
+                axis=-1,
+                n=len(self.window),
+            )
+
+        new_frames = run_jitted_complex(_adaptive, frames)
+        return self._reconstruct(
+            jnp.asarray(new_frames), original_length, signal
         )
-        new_frames = jnp.fft.irfft(
-            sub ** (1 / self.subtraction_exponent) * jnp.exp(1j * phase),
-            axis=-1,
-            n=len(self.window),
-        )
-        return self._reconstruct(new_frames, original_length, signal)
 
 
 class Distortion(AudioEffect):

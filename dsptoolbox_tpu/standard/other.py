@@ -127,7 +127,13 @@ def envelope(
         signal = detrend(signal, 1)
         td = signal.time_data_jax
         if analytic:
-            return np.abs(np.asarray(analytic_signal(td, axis=0)))
+            from .._config import run_jitted_complex
+
+            return np.asarray(
+                run_jitted_complex(
+                    lambda v: jnp.abs(analytic_signal(v, axis=0)), td
+                )
+            )
         assert window_length_samples is not None, (
             "Some window length must be passed"
         )
