@@ -128,17 +128,23 @@ def group_delay_filter(ba, length_samples: int = 512, fs_hz: int = 48000):
     return f, gd / fs_hz
 
 
-def _replace_channels(signal, y: jnp.ndarray, channels, warn_complex: bool):
+def _replace_channels(signal, y, channels, warn_complex: bool):
     """Insert filtered channels ``y (T, len(channels))`` back into a copy of
     ``signal``; complex output goes to time_data_imaginary with a warning."""
-    new_td = jnp.asarray(signal.time_data)
-    if jnp.iscomplexobj(y):
+    if np.iscomplexobj(y):
+        # host-side assembly: complex buffers cannot cross the device
+        # boundary on tunneled backends
         if warn_complex:
             warn(
                 "Filter output is complex. Imaginary part is saved in "
                 "Signal as time_data_imaginary"
             )
-        new_td = new_td.astype(y.dtype)
+        from .._config import to_host
+
+        new_td = np.asarray(signal.time_data).astype(np.complex128)
+        new_td[:, np.asarray(channels)] = to_host(y)
+        return signal.copy_with_new_time_data(new_td)
+    new_td = jnp.asarray(signal.time_data)
     new_td = new_td.at[:, jnp.asarray(channels)].set(y)
     return signal.copy_with_new_time_data(np.asarray(new_td))
 
@@ -156,6 +162,7 @@ def filter_on_signal(
     if channels is None:
         channels = np.arange(signal.number_of_channels)
     x = signal.time_data_jax[:, jnp.asarray(channels)].T  # (C_sel, T)
+    complex_sos = np.iscomplexobj(sos)
     if zi is not None:
         zi_arr = jnp.asarray(np.stack(zi, axis=0))  # (C_all, S, 2)
         zi_sel = zi_arr[jnp.asarray(channels)]
@@ -164,7 +171,16 @@ def filter_on_signal(
         zi_new = [np.asarray(zi_arr[c]) for c in range(zi_arr.shape[0])]
     else:
         zi_new = None
-        if zero_phase:
+        from .._config import _complex_transfer_broken, run_jitted_complex
+
+        if complex_sos and _complex_transfer_broken():
+            # complex SOS (gammatone): the whole filtering must be one
+            # jitted program — complex buffers cannot exist eagerly here
+            fn = sosfiltfilt if zero_phase else (
+                lambda s_, x_: sosfilt(s_, x_)[0]
+            )
+            y = run_jitted_complex(lambda xv: fn(sos, xv), x)
+        elif zero_phase:
             y = sosfiltfilt(sos, x)
         else:
             y, _ = sosfilt(sos, x)

@@ -874,9 +874,13 @@ class Signal(MultichannelData):
         return new_signal
 
     # ======== MultichannelData hooks ========================================
-    def _get_data(self) -> jnp.ndarray:
+    def _get_data(self):
         if self.is_complex_signal:
-            return self._time_data + 1j * self._time_data_imag
+            # compose on host: complex buffers cannot exist eagerly on
+            # tunneled backends (each part transfers as a real array)
+            return np.asarray(self._time_data) + 1j * np.asarray(
+                self._time_data_imag
+            )
         return self._time_data
 
     def _set_data(self, data) -> None:

@@ -496,29 +496,38 @@ def vqt(
     )
     octs = octaves[1] - octaves[0] + 1
     T_out = signal.time_data.shape[0]
-    pieces = []
-    for oc in range(octs):
-        outs = []
-        for k in kernels:
-            out = fft_convolve(
-                td.astype(jnp.complex64), jnp.asarray(k, jnp.complex64),
-                "same",
-            )
-            outs.append(out)
-        acc = jnp.stack(outs, axis=0)  # (bins, C, T_oct)
-        if oc != 0:
-            acc = resample_poly(acc, up=2**oc, down=1)
-        acc = resample_poly(acc, up=decimation, down=1)
-        diff = acc.shape[-1] - T_out
-        if diff > 0:
-            acc = acc[..., :T_out]
-        elif diff < 0:
-            acc = jnp.pad(acc, ((0, 0), (0, 0), (0, -diff)))
-        pieces.append(acc)
-        td = resample_poly(td, up=1, down=2)
-    cqt = jnp.concatenate(pieces, axis=0)  # (F, C, T)
-    cqt = jnp.flip(cqt, axis=0)
-    cqt = jnp.transpose(cqt, (0, 2, 1))
+
+    def _vqt_core(td_in):
+        td_loc = td_in
+        pieces = []
+        for oc in range(octs):
+            outs = []
+            for k in kernels:
+                out = fft_convolve(
+                    td_loc.astype(jnp.complex64),
+                    jnp.asarray(k, jnp.complex64),
+                    "same",
+                )
+                outs.append(out)
+            acc = jnp.stack(outs, axis=0)  # (bins, C, T_oct)
+            if oc != 0:
+                acc = resample_poly(acc, up=2**oc, down=1)
+            acc = resample_poly(acc, up=decimation, down=1)
+            diff = acc.shape[-1] - T_out
+            if diff > 0:
+                acc = acc[..., :T_out]
+            elif diff < 0:
+                acc = jnp.pad(acc, ((0, 0), (0, 0), (0, -diff)))
+            pieces.append(acc)
+            td_loc = resample_poly(td_loc, up=1, down=2)
+        cqt_ = jnp.concatenate(pieces, axis=0)  # (F, C, T)
+        cqt_ = jnp.flip(cqt_, axis=0)
+        return jnp.transpose(cqt_, (0, 2, 1))
+
+    from .._config import run_jitted_complex
+
+    # one jitted program across all octaves (complex stays on device)
+    cqt = run_jitted_complex(_vqt_core, td)
     f = a4_tuning * 2 ** (
         np.arange(octaves[0] - 4 - 9 / 12, octaves[1] - 4 + 2 / 12, 1 / 12)
     )
