@@ -136,6 +136,21 @@ class Spectrum(MultichannelData):
 
     @spectral_data.setter
     def spectral_data(self, new_data):
+        from .._config import _complex_transfer_broken, to_host
+
+        # np.iscomplexobj inspects the dtype only — no transfer happens
+        if np.iscomplexobj(new_data) and _complex_transfer_broken():
+            # complex buffers cannot live on tunneled devices: store the
+            # spectrum host-side; device consumers re-enter through
+            # run_jitted_complex
+            data = np.atleast_2d(to_host(new_data))
+            if data.shape[0] == 1 and data.shape[1] > 1:
+                data = data.T
+            assert data.shape[0] == len(self.frequency_vector_hz), (
+                "Spectral data does not match frequency vector length"
+            )
+            self.__spectral_data = data.astype(np.complex128)
+            return
         data = jnp.atleast_2d(jnp.asarray(new_data))
         if data.shape[0] == 1 and data.shape[1] > 1:
             data = data.T

@@ -64,8 +64,12 @@ def _prepare_psd(insig1, insig2, method, f_range_hz, spectrum_parameters):
     insig2.set_spectrum_parameters(method=method, **spectrum_parameters)
     f, spec1 = insig1.get_spectrum()
     f, spec2 = insig2.get_spectrum()
-    psd1 = jnp.abs(jnp.asarray(spec1))
-    psd2 = jnp.abs(jnp.asarray(spec2))
+    from .._config import to_host
+
+    # abs() on host: spectra may be complex (FFT method) and complex
+    # buffers cannot cross the device boundary on tunneled backends
+    psd1 = jnp.asarray(np.abs(to_host(spec1)))
+    psd2 = jnp.asarray(np.abs(to_host(spec2)))
     if insig1.spectrum_scaling.is_amplitude_scaling():
         psd1 = psd1**2
         psd2 = psd2**2

@@ -429,3 +429,50 @@ def frequency_vector_with_frequency_resolution(
     length_time_data = int(sampling_rate_hz / delta_f_hz + 0.5)
     f_vec = np.fft.rfftfreq(length_time_data, 1 / sampling_rate_hz)
     return f_vec, f_vec[1] - f_vec[0], length_time_data
+
+
+def complex_smoothing_host(
+    spectrum: np.ndarray,
+    frequency_vector: np.ndarray,
+    octave_fraction: float,
+    window_y: np.ndarray,
+) -> np.ndarray:
+    """Host-side complex smoothing, numerically identical to the operator
+    path (`_complex_smoothing_operator`) but O(F·W) in time and memory.
+
+    Used for long spectra where the dense (F, F) operator would not fit —
+    the reference's numba kernel (`_transfer_functions.py:414-476`) has
+    the same complexity."""
+    x = np.atleast_2d(np.asarray(spectrum))
+    transposed = False
+    if x.shape[0] == 1 and np.asarray(spectrum).ndim == 1:
+        x = x.T
+        transposed = True
+    frequency_vector = np.asarray(frequency_vector, dtype=np.float64)
+    n_bins = len(frequency_vector)
+    delta_f = frequency_vector[1] - frequency_vector[0]
+    window_y = np.asarray(window_y, dtype=np.float64)
+    window_x = np.linspace(-1.0, 1.0, len(window_y))
+    factor = 2.0 ** (1.0 / octave_fraction / 2.0)
+    out = np.array(x, dtype=np.result_type(x.dtype, np.float64))
+    for i in range(n_bins):
+        f0 = frequency_vector[i]
+        ind_low = i - int((f0 - f0 / factor) / delta_f + 0.5)
+        ind_high = i + int((f0 * factor - f0) / delta_f + 0.5) + 1
+        window_length = ind_high - ind_low
+        ind_low_c = max(ind_low, 0)
+        ind_high_c = min(ind_high, n_bins)
+        effective = ind_high_c - ind_low_c
+        if ind_low_c + 2 >= ind_high_c:
+            continue
+        w = np.interp(
+            np.logspace(np.log10(3.0), np.log10(1.0), window_length)[
+                :effective
+            ]
+            - 2.0,
+            window_x,
+            window_y,
+        )
+        w = w / w.sum()
+        out[i] = w @ x[ind_low_c:ind_high_c]
+    return out[:, 0] if transposed else out

@@ -302,24 +302,30 @@ def compute_transfer_function(
     if input.number_of_channels == 1 and output.number_of_channels > 1:
         x = jnp.repeat(x, output.number_of_channels, axis=0)
 
-    G_xx = welch(x, None, **kwargs)
-    G_yy = welch(y, None, **kwargs)
-    G_xy = welch(x, y, **kwargs)
-    if mode == TransferFunctionType.H1:
-        tf = G_xy / G_xx
-    elif mode == TransferFunctionType.H2:
-        G_yx = welch(y, x, **kwargs)
-        tf = G_yy / G_yx
-    elif mode == TransferFunctionType.H3:
-        tf = G_xy / jnp.abs(G_xy) * (G_yy / G_xx) ** 0.5
-    else:
-        raise ValueError("Unsupported transfer function type")
-    coherence = jnp.abs(G_xy) ** 2 / G_xx / G_yy
+    def _estimate(x_in, y_in):
+        G_xx = welch(x_in, None, **kwargs)
+        G_yy = welch(y_in, None, **kwargs)
+        G_xy = welch(x_in, y_in, **kwargs)
+        if mode == TransferFunctionType.H1:
+            tf = G_xy / G_xx
+        elif mode == TransferFunctionType.H2:
+            G_yx = welch(y_in, x_in, **kwargs)
+            tf = G_yy / G_yx
+        elif mode == TransferFunctionType.H3:
+            tf = G_xy / jnp.abs(G_xy) * (G_yy / G_xx) ** 0.5
+        else:
+            raise ValueError("Unsupported transfer function type")
+        coherence = jnp.abs(G_xy) ** 2 / G_xx / G_yy
+        return tf.T, coherence.T.real
+
+    from .._config import run_jitted_complex
+
+    tf_t, coherence_t = run_jitted_complex(_estimate, x, y)
     spec = Spectrum(
         np.fft.rfftfreq(window_length_samples, 1 / input.sampling_rate_hz),
-        tf.T,
+        np.asarray(tf_t),
     )
-    spec.set_coherence(np.asarray(coherence.T.real))
+    spec.set_coherence(np.asarray(coherence_t))
     return spec
 
 
@@ -821,8 +827,11 @@ def window_frequency_dependent(
     alpha = (alpha_factor / cycles_per_freq) ** 2.0
     ind_max = np.argmax(np.abs(ir.time_data), axis=0)
     freqs_normalized = f * (T / fs)
-    spec = bk.fdw_core(
-        jnp.asarray(ir.time_data), freqs_normalized, alpha, ind_max
+    from .._config import run_jitted_complex
+
+    spec = run_jitted_complex(
+        lambda td: bk.fdw_core(td, freqs_normalized, alpha, ind_max),
+        ir.time_data,
     )
     spec = np.asarray(spec)
     return Spectrum(np.hstack([0.0, f]), np.pad(spec, ((1, 0), (0, 0))))
@@ -1047,37 +1056,58 @@ def complex_smoothing(
     (`transfer_functions.py:1788-1876`; numba kernel #1 → static banded
     operator matmul, see `_backend.complex_smoothing_core`)."""
     assert octave_fraction > 0.0, "Octave fraction must be greater than 0"
-    f, sp = ir.get_spectrum()
-    sp = jnp.asarray(sp)
+    f, sp_host = ir.get_spectrum()
     window_values = window(3000, True)
 
-    def smooth(x):
-        return bk.complex_smoothing_core(
-            x, f, octave_fraction, window_values
-        )
+    # long spectra: the dense (F, F) operator would not fit (memory /
+    # compile payload); use the O(F·W) host kernel — identical math
+    use_host = len(f) > 4096
 
-    if smoothing_domain == SmoothingDomain.RealImaginary:
-        out = smooth(sp)
-    elif smoothing_domain == SmoothingDomain.MagnitudePhase:
-        s = smooth(
-            jnp.abs(sp) + 1j * jnp.unwrap(jnp.angle(sp), axis=0)
-        )
-        out = jnp.real(s) * jnp.exp(1j * jnp.imag(s))
-    elif smoothing_domain == SmoothingDomain.PowerPhase:
-        s = smooth(
-            jnp.abs(sp) ** 2.0 + 1j * jnp.unwrap(jnp.angle(sp), axis=0)
-        )
-        out = jnp.real(s) ** 0.5 * jnp.exp(1j * jnp.imag(s))
-    elif smoothing_domain == SmoothingDomain.Power:
-        s = smooth(jnp.abs(sp) ** 2.0)
-        out = s**0.5 * jnp.exp(1j * jnp.angle(sp))
-    elif smoothing_domain == SmoothingDomain.Magnitude:
-        s = smooth(jnp.abs(sp))
-        out = s * jnp.exp(1j * jnp.angle(sp))
-    elif smoothing_domain == SmoothingDomain.EquivalentComplex:
-        s1 = smooth(sp)
-        s2 = smooth(jnp.abs(sp) ** 2.0)
-        out = jnp.real(s2) ** 0.5 * jnp.exp(1j * jnp.angle(s1))
-    else:
+    def _smooth_all(sp):
+        # xp: numpy on the host path (no eager complex device buffers),
+        # jax.numpy inside the jitted program otherwise
+        xp = np if use_host else jnp
+
+        def smooth(x):
+            if use_host:
+                return bk.complex_smoothing_host(
+                    x, f, octave_fraction, window_values
+                )
+            return bk.complex_smoothing_core(
+                x, f, octave_fraction, window_values
+            )
+
+        if smoothing_domain == SmoothingDomain.RealImaginary:
+            return smooth(sp)
+        if smoothing_domain == SmoothingDomain.MagnitudePhase:
+            s = smooth(
+                xp.abs(sp) + 1j * xp.unwrap(xp.angle(sp), axis=0)
+            )
+            return xp.real(s) * xp.exp(1j * xp.imag(s))
+        if smoothing_domain == SmoothingDomain.PowerPhase:
+            s = smooth(
+                xp.abs(sp) ** 2.0
+                + 1j * xp.unwrap(xp.angle(sp), axis=0)
+            )
+            return xp.real(s) ** 0.5 * xp.exp(1j * xp.imag(s))
+        if smoothing_domain == SmoothingDomain.Power:
+            s = smooth(xp.abs(sp) ** 2.0)
+            return s**0.5 * xp.exp(1j * xp.angle(sp))
+        if smoothing_domain == SmoothingDomain.Magnitude:
+            s = smooth(xp.abs(sp))
+            return s * xp.exp(1j * xp.angle(sp))
+        if smoothing_domain == SmoothingDomain.EquivalentComplex:
+            s1 = smooth(sp)
+            s2 = smooth(xp.abs(sp) ** 2.0)
+            return xp.real(s2) ** 0.5 * xp.exp(1j * xp.angle(s1))
         raise ValueError("Invalid smoothing domain")
+
+    from .._config import run_jitted_complex, to_host
+
+    if use_host:
+        # pure numpy path (jnp.* functions accept/return numpy here via
+        # the host kernel; the surrounding trig ops run eagerly on host)
+        out = _smooth_all(to_host(sp_host))
+    else:
+        out = run_jitted_complex(_smooth_all, to_host(sp_host))
     return Spectrum(f, np.asarray(out))

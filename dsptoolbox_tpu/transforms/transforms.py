@@ -677,7 +677,11 @@ def dft(signal: Signal, frequency_vector_hz: np.ndarray):
     f_normalized = np.asarray(frequency_vector_hz) * (
         signal.time_data.shape[0] / signal.sampling_rate_hz
     )
-    spec = dft_core(jnp.asarray(signal.time_data), f_normalized)
+    from .._config import run_jitted_complex
+
+    spec = run_jitted_complex(
+        lambda td: dft_core(td, f_normalized), signal.time_data
+    )
     return np.asarray(spec)
 
 
