@@ -364,7 +364,6 @@ class Filter:
         upfirdn kernel; IIR filters filter then subsample."""
         import jax.numpy as jnp
 
-        from ..ops.fft_conv import upfirdn
 
         from ..helpers.polyphase import polyphase_decomposition
         from ..ops.fft_conv import fft_convolve

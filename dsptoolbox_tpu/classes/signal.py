@@ -28,7 +28,6 @@ from ..helpers.other import check_format_in_path
 from ..helpers.spectrum_utilities import get_normalized_spectrum, wrap_phase
 from ..ops.pad_trim import pad_trim_axis
 from ..ops.spectral import csm_from_spectrum, csm_welch, stft, welch
-from ..ops.windows import get_window
 from ..standard.enums import (
     MagnitudeNormalization,
     SpectrumMethod,

@@ -7,7 +7,6 @@ via `Filter.filter_and_resample_signal`.
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..classes.filter import Filter
 from ..classes.filterbank import FilterBank

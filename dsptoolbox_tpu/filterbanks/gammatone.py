@@ -13,7 +13,6 @@ import numpy as np
 from ..classes.filterbank import FilterBank
 from ..classes.multibandsignal import MultiBandSignal
 from ..classes.signal import Signal
-from ..standard.enums import FilterBankMode
 
 
 class GammaToneFilterBank(FilterBank):

@@ -22,7 +22,6 @@ from functools import lru_cache
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["fft", "ifft", "rfft", "irfft"]

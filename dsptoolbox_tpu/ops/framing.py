@@ -17,7 +17,6 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from .._config import default_float
 
 
 def compute_number_frames(

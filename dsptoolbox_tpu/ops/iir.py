@@ -20,13 +20,11 @@ only the data path runs on device.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .._config import default_float
 
 
 def _affine_combine(a, b):

@@ -95,7 +95,6 @@ def windowed_frames_fused(
     Eligibility: 2D input, window % step == 0, batch % 8 == 0,
     step % 128 == 0, running on a TPU-like backend.
     """
-    import math
 
     from .framing import compute_number_frames
 

@@ -16,8 +16,6 @@ the reference are reproduced intentionally and marked with "parity:" comments.
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from warnings import warn
 
 import jax

@@ -17,7 +17,6 @@ shardings so that multi-channel workloads scale across a mesh:
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from warnings import warn
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

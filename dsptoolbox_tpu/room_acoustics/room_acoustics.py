@@ -20,7 +20,7 @@ from ..standard.enums import (
 from ..standard.pad_trim_methods import pad_trim
 from . import _backend as bk
 from .enums import ReverbTime, RoomAcousticsDescriptor
-from .rooms import Room, ShoeboxRoom
+from .rooms import ShoeboxRoom
 
 
 def reverb_time(

@@ -6,7 +6,6 @@ and adds frequency-grid and sample-format utilities.
 
 from __future__ import annotations
 
-from typing import Any
 
 import numpy as np
 
@@ -15,7 +14,7 @@ from .helpers.bytes_conversion import (
     bytes_to_array_24bits as _bytes_to_array_24bits,
 )
 from .helpers.gain_and_level import from_db, to_db
-from .helpers.interpolation import pchip_interpolate
+from .helpers.interpolation import pchip_interpolate  # noqa: F401  (re-export)
 from .helpers.other import next_power_2
 from .helpers.smoothing import (
     fractional_octave_smoothing,
