@@ -172,24 +172,40 @@ class FIRUniformPartitioned(FIRFilterOverlapSave):
         self._prepare_partitions(n_channels)
 
     def _prepare_partitions(self, n_channels: int):
+        import jax
+
         self.n_partitions = len(self.fir) // self.blocksize + 1
         partitioned = np.zeros((self.blocksize, self.n_partitions))
         for n in range(self.n_partitions):
             part = self.fir[n * self.blocksize : (n + 1) * self.blocksize]
             partitioned[: len(part), n] = part
-        self.partitioned_spectrum = jnp.fft.rfft(
-            jnp.asarray(partitioned), axis=0, n=self.fft_size
-        )
+        part_spec = np.fft.rfft(partitioned, axis=0, n=self.fft_size)
         self.buffer_ind = 0
         self.buffer_index_helper = np.arange(self.n_partitions)
-        self.buffer_spectra = jnp.zeros(
-            (self.fft_size // 2 + 1, self.n_partitions, n_channels),
-            dtype=jnp.complex64,
+        # frequency-domain delay line as a stacked-real state so only real
+        # buffers ever cross the host boundary (tunnel-safe); the complex
+        # arithmetic lives inside one jitted step
+        self._state = jnp.zeros(
+            (2, self.fft_size // 2 + 1, self.n_partitions, n_channels),
+            dtype=jnp.float32,
         )
         self.input_buffer = np.zeros((self.fft_size, n_channels))
+        part_c = jnp.asarray(np.stack([part_spec.real, part_spec.imag]))
+
+        @jax.jit
+        def _step(state, x_buf, ind, sel):
+            X = jnp.fft.rfft(x_buf)
+            state = state.at[0, :, ind].set(X.real.astype(jnp.float32))
+            state = state.at[1, :, ind].set(X.imag.astype(jnp.float32))
+            buf = state[0, :, sel] + 1j * state[1, :, sel]  # (P, F)
+            ps = part_c[0] + 1j * part_c[1]  # (F, P)
+            out = jnp.sum(ps * buf.T, axis=1)
+            return state, jnp.fft.irfft(out)
+
+        self._step = _step
 
     def reset_state(self):
-        self.buffer_spectra = jnp.zeros_like(self.buffer_spectra)
+        self._state = jnp.zeros_like(self._state)
         self.input_buffer.fill(0.0)
 
     def process_block(self, block, channel: int):
@@ -197,17 +213,16 @@ class FIRUniformPartitioned(FIRFilterOverlapSave):
             -self.blocksize :, channel
         ]
         self.input_buffer[-self.blocksize :, channel] = np.asarray(block)
-        self.buffer_spectra = self.buffer_spectra.at[
-            :, self.buffer_ind, channel
-        ].set(jnp.fft.rfft(jnp.asarray(self.input_buffer[:, channel])))
         sel = (self.buffer_ind - self.buffer_index_helper) % self.n_partitions
-        output = jnp.sum(
-            self.partitioned_spectrum
-            * self.buffer_spectra[:, jnp.asarray(sel), channel],
-            axis=1,
+        st_ch, out = self._step(
+            self._state[..., channel],
+            jnp.asarray(self.input_buffer[:, channel], jnp.float32),
+            self.buffer_ind,
+            jnp.asarray(sel),
         )
+        self._state = self._state.at[..., channel].set(st_ch)
         self.buffer_ind = (self.buffer_ind + 1) % self.n_partitions
-        return np.asarray(jnp.fft.irfft(output))[-self.blocksize :]
+        return np.asarray(out)[-self.blocksize :]
 
 
 class FIRUniformPartitionedMultichannel(FIRUniformPartitioned):
@@ -226,6 +241,8 @@ class FIRUniformPartitionedMultichannel(FIRUniformPartitioned):
         self._prepare_partitions_mc()
 
     def _prepare_partitions_mc(self):
+        import jax
+
         self.n_partitions = self.fir.shape[0] // self.blocksize + 1
         self.n_channels = self.fir.shape[1]
         partitioned = np.zeros(
@@ -234,30 +251,41 @@ class FIRUniformPartitionedMultichannel(FIRUniformPartitioned):
         for n in range(self.n_partitions):
             part = self.fir[n * self.blocksize : (n + 1) * self.blocksize]
             partitioned[: len(part), n, :] = part
-        self.partitioned_spectrum = jnp.fft.rfft(
-            jnp.asarray(partitioned), axis=0, n=self.fft_size
-        )
+        part_spec = np.fft.rfft(partitioned, axis=0, n=self.fft_size)
         self.buffer_ind = 0
         self.buffer_index_helper = np.arange(self.n_partitions)
-        self.buffer_spectra = jnp.zeros(
-            (self.fft_size // 2 + 1, self.n_partitions, self.n_channels),
-            dtype=jnp.complex64,
+        self._state = jnp.zeros(
+            (2, self.fft_size // 2 + 1, self.n_partitions, self.n_channels),
+            dtype=jnp.float32,
         )
         self.input_buffer = np.zeros((self.fft_size, self.n_channels))
+        part_c = jnp.asarray(np.stack([part_spec.real, part_spec.imag]))
+
+        @jax.jit
+        def _step_mc(state, x_buf, ind, sel):
+            X = jnp.fft.rfft(x_buf, axis=0)  # (F, C)
+            state = state.at[0, :, ind, :].set(X.real.astype(jnp.float32))
+            state = state.at[1, :, ind, :].set(X.imag.astype(jnp.float32))
+            buf = (
+                state[0][:, sel, :] + 1j * state[1][:, sel, :]
+            )  # (F, P, C)
+            ps = part_c[0] + 1j * part_c[1]  # (F, P, C)
+            out = jnp.sum(ps * buf, axis=1)  # (F, C)
+            return state, jnp.fft.irfft(out, axis=0)
+
+        self._step_mc = _step_mc
 
     def process_block(self, block):  # type: ignore[override]
         self.input_buffer[: self.blocksize] = self.input_buffer[
             -self.blocksize :
         ]
         self.input_buffer[-self.blocksize :] = np.asarray(block)
-        self.buffer_spectra = self.buffer_spectra.at[:, self.buffer_ind].set(
-            jnp.fft.rfft(jnp.asarray(self.input_buffer), axis=0)
-        )
         sel = (self.buffer_ind - self.buffer_index_helper) % self.n_partitions
-        output = jnp.sum(
-            self.partitioned_spectrum
-            * self.buffer_spectra[:, jnp.asarray(sel), :],
-            axis=1,
+        self._state, out = self._step_mc(
+            self._state,
+            jnp.asarray(self.input_buffer, jnp.float32),
+            self.buffer_ind,
+            jnp.asarray(sel),
         )
         self.buffer_ind = (self.buffer_ind + 1) % self.n_partitions
-        return np.asarray(jnp.fft.irfft(output, axis=0))[-self.blocksize :]
+        return np.asarray(out)[-self.blocksize :]
