@@ -159,6 +159,29 @@ def main():
     )
     stage("beamforming DAS map + synthetic RIR")
 
+    # ---- realtime streaming classes
+    import scipy.signal as ssig
+
+    from dsptoolbox_tpu import realtime as rt
+
+    rng = np.random.default_rng(0)
+    xblk = rng.standard_normal(1024) * 0.3
+    b, a = ssig.butter(4, 0.3)
+    fi = rt.IIRFilter(b, a)
+    fi.set_n_channels(1)
+    for blk in xblk.reshape(8, 128):
+        fi.process_block(blk, 0)
+    fu = rt.FIRUniformPartitioned(ssig.firwin(400, 0.25))
+    fu.prepare(128, 1)
+    for blk in xblk.reshape(8, 128):
+        fu.process_block(blk, 0)
+    kz = rt.KautzFilter(np.array([0.6 + 0.4j, 0.3 + 0.1j]), 8000)
+    ir_td = ssig.lfilter(*ssig.butter(2, 0.2), np.eye(1, 256).squeeze())
+    kz.fit_coefficients_to_ir(
+        dsp.ImpulseResponse(None, ir_td[:, None], 8000)
+    )
+    stage("realtime streaming (IIR/UPOLS/Kautz)")
+
     print("[tpu-smoke] ALL STAGES PASSED", flush=True)
 
 
