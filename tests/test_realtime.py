@@ -298,3 +298,54 @@ class TestDesigners:
             .get_filter()
         )
         assert len(longer) - 10 == len(min_len_filter)
+
+
+class TestKautzOracle:
+    def test_fit_matches_reference(self, ref, close):
+        import scipy.signal as sig
+
+        b, a = sig.butter(2, 0.2)
+        ir_td = sig.lfilter(b, a, np.eye(1, 256).squeeze())
+        poles = np.array([0.6 + 0.4j, 0.3 + 0.1j])
+        k_m = rt.KautzFilter(poles, FS)
+        k_r = ref.filterbanks.KautzFilter(poles.copy(), FS)
+        ir_m = dsp.ImpulseResponse(None, ir_td[:, None].copy(), FS)
+        ir_r = ref.ImpulseResponse(None, ir_td[:, None].copy(), FS)
+        k_m.fit_coefficients_to_ir(ir_m)
+        k_r.fit_coefficients_to_ir(ir_r)
+        d_m = dsp.ImpulseResponse(
+            None, np.eye(1, 256).squeeze()[:, None], FS
+        )
+        d_r = ref.ImpulseResponse(
+            None, np.eye(1, 256).squeeze()[:, None], FS
+        )
+        out_m = k_m.filter_signal(d_m).time_data
+        out_r = k_r.filter_signal(d_r).time_data
+        close(out_m, out_r, 1e-4, "kautz fit+filter")
+
+
+class TestParallelFilterOracle:
+    def test_fit_matches_reference(self, ref, close):
+        import scipy.signal as sig
+
+        b, a = sig.butter(2, [0.1, 0.3], btype="bandpass")
+        ir_td = sig.lfilter(b, a, np.eye(1, 512).squeeze())
+        r = np.roots(a)
+        poles = np.array([p for p in r if p.imag >= 0])
+        f_m = rt.ParallelFilter(poles, n_fir=16, sampling_rate_hz=FS)
+        f_r = ref.filterbanks.ParallelFilter(
+            poles.copy(), 16, sampling_rate_hz=FS
+        )
+        ir_m = dsp.ImpulseResponse(None, ir_td[:, None].copy(), FS)
+        ir_r = ref.ImpulseResponse(None, ir_td[:, None].copy(), FS)
+        f_m.fit_to_ir(ir_m)
+        f_r.fit_to_ir(ir_r)
+        d_m = dsp.ImpulseResponse(
+            None, np.eye(1, 512).squeeze()[:, None], FS
+        )
+        d_r = ref.ImpulseResponse(
+            None, np.eye(1, 512).squeeze()[:, None], FS
+        )
+        out_m = f_m.filter_signal(d_m).time_data
+        out_r = f_r.filter_signal(d_r).time_data
+        close(out_m, out_r, 1e-3, "parallel filter fit+filter")
