@@ -9,6 +9,11 @@ from .room_acoustics import (
     generate_synthetic_rir,
     reverb_time,
 )
+from .batch import (  # noqa: F401
+    batch_descriptors,
+    batch_energy_decay,
+    batch_reverb_times,
+)
 from .rooms import Room, ShoeboxRoom
 
 __all__ = [

@@ -1,0 +1,129 @@
+"""Batched room-acoustics descriptors: one jitted program over fleets of
+RIRs.
+
+TPU-native extension beyond the reference API (which loops channels on the
+host, `room_acoustics.py:34-140`): production acoustic pipelines evaluate
+thousands of measured or synthesized RIRs; here the whole fleet is a
+``(B, T)`` array and every descriptor is computed in one batched device
+program — masked least-squares fits instead of data-dependent trimming,
+`vmap`-free broadcasting throughout. Shard the batch axis with
+`dsptoolbox_tpu.parallel.sharded_map_reduce` (or `shard_batch`) to scale
+across a mesh.
+
+Conventions: each row is one RIR; the direct sound is located with the
+energy peak (`argmax |h|`). Descriptors follow ISO 3382 definitions (D50,
+C80, center time, EDT/T20/T30 from the Schroeder backward integral).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "batch_energy_decay",
+    "batch_descriptors",
+    "batch_reverb_times",
+]
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _start_indices(rirs: jnp.ndarray) -> jnp.ndarray:
+    """Direct-sound index per row: energy peak."""
+    return jnp.argmax(jnp.abs(rirs), axis=-1)
+
+
+def _mask_from_start(T: int, start: jnp.ndarray) -> jnp.ndarray:
+    t = jnp.arange(T)[None, :]
+    return (t >= start[:, None]).astype(jnp.float32)
+
+
+def batch_energy_decay(rirs: jnp.ndarray) -> jnp.ndarray:
+    """Schroeder backward-integrated energy decay curves in dB, ``(B, T)``.
+
+    Rows are aligned to their direct-sound peak (samples before the peak
+    are excluded from the integral); 0 dB at the decay start.
+    """
+    rirs = jnp.atleast_2d(jnp.asarray(rirs))
+    T = rirs.shape[-1]
+    start = _start_indices(rirs)
+    mask = _mask_from_start(T, start)
+    e = (rirs**2) * mask
+    # backward cumulative integral
+    edc = jnp.flip(jnp.cumsum(jnp.flip(e, axis=-1), axis=-1), axis=-1)
+    total = edc[:, :1]
+    edc_db = 10.0 * jnp.log10(
+        jnp.maximum(edc, 1e-30) / jnp.maximum(total, 1e-30)
+    )
+    return edc_db
+
+
+def batch_descriptors(
+    rirs: jnp.ndarray, sampling_rate_hz: int
+) -> dict[str, jnp.ndarray]:
+    """D50, C80 and center time for a fleet of RIRs ``(B, T)`` in one
+    jitted program. Returns a dict of ``(B,)`` arrays."""
+    rirs = jnp.atleast_2d(jnp.asarray(rirs))
+    B, T = rirs.shape
+    start = _start_indices(rirs)
+    t_idx = jnp.arange(T)[None, :]
+    rel = t_idx - start[:, None]  # samples since direct sound
+    e = rirs**2 * (rel >= 0)
+
+    n50 = int(50e-3 * sampling_rate_hz)
+    n80 = int(80e-3 * sampling_rate_hz)
+    e_total = jnp.sum(e, axis=-1)
+    e_50 = jnp.sum(e * (rel < n50), axis=-1)
+    e_80 = jnp.sum(e * (rel < n80), axis=-1)
+    d50 = e_50 / jnp.maximum(e_total, 1e-30)
+    c80 = 10.0 * jnp.log10(
+        jnp.maximum(e_80, 1e-30)
+        / jnp.maximum(e_total - e_80, 1e-30)
+    )
+    ts = (
+        jnp.sum(e * jnp.maximum(rel, 0), axis=-1)
+        / jnp.maximum(e_total, 1e-30)
+        / sampling_rate_hz
+    )
+    return {"d50": d50, "c80": c80, "center_time_s": ts}
+
+
+def _masked_linear_fit(
+    x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row least-squares line fit of y over x restricted to mask.
+
+    Returns (slope, intercept), each (B,)."""
+    w = mask.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+    mx = jnp.sum(w * x, axis=-1) / n
+    my = jnp.sum(w * y, axis=-1) / n
+    cov = jnp.sum(w * (x - mx[:, None]) * (y - my[:, None]), axis=-1)
+    var = jnp.maximum(
+        jnp.sum(w * (x - mx[:, None]) ** 2, axis=-1), 1e-30
+    )
+    slope = cov / var
+    return slope, my - slope * mx
+
+
+def batch_reverb_times(
+    rirs: jnp.ndarray,
+    sampling_rate_hz: int,
+    mode: str = "T20",
+) -> jnp.ndarray:
+    """EDT/T20/T30 for a fleet of RIRs ``(B, T)`` via masked linear fits
+    on the Schroeder decay (ISO 3382 evaluation ranges), one jitted
+    program. Returns seconds, ``(B,)``."""
+    ranges = {"EDT": (0.0, -10.0), "T20": (-5.0, -25.0),
+              "T30": (-5.0, -35.0)}
+    assert mode in ranges, f"mode must be one of {sorted(ranges)}"
+    hi, lo = ranges[mode]
+    edc_db = batch_energy_decay(rirs)
+    B, T = edc_db.shape
+    t = (jnp.arange(T) / sampling_rate_hz)[None, :] * jnp.ones((B, 1))
+    mask = (edc_db <= hi) & (edc_db >= lo)
+    slope, _ = _masked_linear_fit(t, edc_db, mask)
+    # time to decay 60 dB from the fitted slope
+    return -60.0 / jnp.minimum(slope, -1e-10)

@@ -136,3 +136,64 @@ class TestConvolveRIR:
         out_m = ra.convolve_rir_on_signal(s_m, rir_m)
         out_r = ref.room_acoustics.convolve_rir_on_signal(s_r, rir_r)
         close(out_m.time_data, out_r.time_data, 5e-5, "convolve rir")
+
+
+class TestBatchedDescriptors:
+    """TPU-native batched descriptor battery (BASELINE config 4)."""
+
+    def _fleet(self, n=8):
+        import scipy.signal as sig
+
+        rng = np.random.default_rng(0)
+        fs = 16000
+        T = 8000
+        rirs = np.zeros((n, T))
+        for i in range(n):
+            t60 = 0.2 + 0.05 * i
+            tail = rng.standard_normal(T) * np.exp(
+                -np.arange(T) / fs * (6.9 / t60)
+            )
+            b, a = sig.butter(2, 0.4)
+            rirs[i] = sig.lfilter(b, a, tail)
+            rirs[i, : i * 7] = 0.0  # varying direct-sound delay
+            rirs[i, i * 7] = np.max(np.abs(rirs[i])) * 3  # direct peak
+        return rirs, fs
+
+    def test_matches_per_rir_reference_path(self, ref):
+        rirs, fs = self._fleet()
+        out = ra.batch_descriptors(rirs, fs)
+        rts = ra.batch_reverb_times(rirs, fs, "T20")
+        for i in range(rirs.shape[0]):
+            r = ref.ImpulseResponse(None, rirs[i][:, None].copy(), fs)
+            d50_ref = ref.room_acoustics.descriptors(
+                r, ref.room_acoustics.RoomAcousticsDescriptor.D50
+            )[0]
+            c80_ref = ref.room_acoustics.descriptors(
+                r, ref.room_acoustics.RoomAcousticsDescriptor.C80
+            )[0]
+            np.testing.assert_allclose(
+                float(out["d50"][i]), d50_ref, atol=0.08,
+                err_msg=f"d50 row {i}",
+            )
+            np.testing.assert_allclose(
+                float(out["c80"][i]), c80_ref, atol=1.5,
+                err_msg=f"c80 row {i}",
+            )
+            rt_ref, _ = ref.room_acoustics.reverb_time(
+                r, ref.room_acoustics.ReverbTime.T20
+            )
+            np.testing.assert_allclose(
+                float(rts[i]), rt_ref[0], rtol=0.15,
+                err_msg=f"t20 row {i}",
+            )
+
+    def test_jit_batch_shapes(self):
+        import jax
+
+        rirs, fs = self._fleet(16)
+        fn = jax.jit(lambda r: ra.batch_descriptors(r, fs))
+        out = fn(rirs.astype(np.float32))
+        assert out["d50"].shape == (16,)
+        edc = ra.batch_energy_decay(rirs.astype(np.float32))
+        assert edc.shape == rirs.shape
+        assert np.all(np.asarray(edc)[:, 0] <= 0.0 + 1e-5)
