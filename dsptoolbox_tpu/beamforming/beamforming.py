@@ -311,6 +311,26 @@ class MicArray(BasePoints):
         self.__aperture = None
         self.__min_distance = None
 
+    @staticmethod
+    def from_xml(path: str) -> "MicArray":
+        """Load an Acoular-style microphone-array geometry XML
+        (``<pos x=".." y=".." z=".." />`` entries, like
+        `example_data/array.xml`)."""
+        import xml.etree.ElementTree as ET
+
+        root = ET.parse(path).getroot()
+        xs, ys, zs = [], [], []
+        for pos in root.iter("pos"):
+            xs.append(float(pos.attrib["x"]))
+            ys.append(float(pos.attrib["y"]))
+            zs.append(float(pos.attrib["z"]))
+        assert xs, f"No <pos> entries found in {path}"
+        return MicArray(
+            dict(
+                x=np.asarray(xs), y=np.asarray(ys), z=np.asarray(zs)
+            )
+        )
+
     @property
     def aperture(self):
         if self.__aperture is None:

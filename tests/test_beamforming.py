@@ -223,3 +223,36 @@ class TestTimeBeamformer:
         close(
             out_m.time_data, out_r.time_data, 1e-3, "DAS time output"
         )
+
+
+class TestArrayXml:
+    """BASELINE config 5: array.xml geometry -> beamforming sweep."""
+
+    def test_from_xml_geometry(self):
+        ma = bf.MicArray.from_xml(f"{EXAMPLE}/array.xml")
+        assert ma.number_of_points == 64
+        assert ma.aperture > 0
+
+    def test_das_sweep_localizes_source(self):
+        ma = bf.MicArray.from_xml(f"{EXAMPLE}/array.xml")
+        center = ma.array_center_coordinates
+        true_pos = [center[0] + 0.1, center[1], center[2] + 0.5]
+        src = bf.MonopoleSource(
+            dsp.generators.noise(0.4, 16000, seed=3), true_pos
+        )
+        sig = src.get_signals_on_array(ma)
+        xs = np.linspace(center[0] - 0.3, center[0] + 0.3, 13)
+        ys = np.linspace(center[1] - 0.3, center[1] + 0.3, 13)
+        g = bf.Regular2DGrid(xs, ys, ["x", "y"], value3=center[2] + 0.5)
+        st = bf.SteeringVector(
+            formulation=bf.SteeringVectorType.TrueLocation
+        )
+        m = np.asarray(
+            bf.BeamformerDASFrequency(sig, ma, g, st).get_beamformer_map(
+                2000, 3
+            )
+        )
+        peak = np.unravel_index(np.argmax(m), m.shape)
+        px, py = xs[peak[0]], ys[peak[1]]
+        assert abs(px - true_pos[0]) < 0.11, (px, true_pos[0])
+        assert abs(py - true_pos[1]) < 0.11, (py, true_pos[1])
