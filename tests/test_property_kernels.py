@@ -1,0 +1,128 @@
+"""Property-based parity tests for the core device kernels.
+
+Hypothesis drives randomized filter designs, signal lengths and block
+sizes; every draw must match the scipy reference within fp32 tolerance.
+This guards the blocked-IIR state-space math (operator construction,
+doubling prefix, remainder blocks, zi layout) far beyond the fixed cases
+in `test_ops_filtering.py`.
+"""
+
+import numpy as np
+import scipy.signal as sig
+from hypothesis import given, settings, strategies as st
+
+import jax.numpy as jnp
+
+from dsptoolbox_tpu.ops.fft_conv import fft_convolve, resample_poly
+from dsptoolbox_tpu.ops.framing import frame_signal
+from dsptoolbox_tpu.ops.iir_block import sosfilt_block
+
+# fp32 kernels vs f64 scipy: scale-relative tolerance
+TOL = 5e-4
+
+
+def _rel_err(got, want):
+    scale = np.max(np.abs(want)) or 1.0
+    return np.max(np.abs(np.asarray(got) - want)) / scale
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    order=st.integers(1, 4),
+    T=st.integers(3, 700),
+    block=st.sampled_from([None, 8, 33, 128]),
+    cutoff=st.floats(0.05, 0.9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_sosfilt_block_matches_scipy(order, T, block, cutoff, seed):
+    rng = np.random.default_rng(seed)
+    sos = sig.butter(order, cutoff, output="sos")
+    x = rng.standard_normal((2, T)).astype(np.float32)
+    y, zf = sosfilt_block(sos, jnp.asarray(x), block_size=block)
+    want, zf_want = sig.sosfilt(
+        sos, x.astype(np.float64), axis=-1,
+        zi=np.zeros((sos.shape[0], x.shape[0], 2)),
+    )
+    assert _rel_err(y, want) < TOL
+    # zf layout (..., S, 2) vs scipy's (S, C, 2)
+    zf_want_t = np.moveaxis(zf_want, 1, 0)
+    assert _rel_err(zf, zf_want_t) < TOL
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    order=st.integers(1, 3),
+    T=st.integers(8, 500),
+    cutoff=st.floats(0.05, 0.9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_sosfilt_block_with_state(order, T, cutoff, seed):
+    rng = np.random.default_rng(seed)
+    sos = sig.butter(order, cutoff, output="sos")
+    x = rng.standard_normal((1, T)).astype(np.float32)
+    zi = rng.standard_normal((1, sos.shape[0], 2)).astype(np.float32) * 0.1
+    y, zf = sosfilt_block(sos, jnp.asarray(x), zi=jnp.asarray(zi))
+    zi_sp = np.moveaxis(zi.astype(np.float64), 0, 1)  # (S, C, 2)
+    want, zf_want = sig.sosfilt(
+        sos, x.astype(np.float64), axis=-1, zi=zi_sp
+    )
+    assert _rel_err(y, want) < TOL
+    assert _rel_err(zf, np.moveaxis(zf_want, 1, 0)) < TOL
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    T=st.integers(2, 400),
+    K=st.integers(1, 100),
+    mode=st.sampled_from(["full", "same", "valid"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fft_convolve_matches_scipy(T, K, mode, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(T).astype(np.float32)
+    h = rng.standard_normal(K).astype(np.float32)
+    if mode == "valid" and K > T:
+        x, h = h, x  # scipy valid-mode requires len(x) >= len(h)
+    got = fft_convolve(jnp.asarray(x), jnp.asarray(h), mode)
+    want = sig.convolve(
+        np.asarray(x, np.float64), np.asarray(h, np.float64), mode
+    )
+    assert got.shape == want.shape
+    assert _rel_err(got, want) < TOL
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    T=st.integers(32, 600),
+    up=st.integers(1, 5),
+    down=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resample_poly_matches_scipy(T, up, down, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(T).astype(np.float32)
+    got = resample_poly(jnp.asarray(x), up, down)
+    want = sig.resample_poly(np.asarray(x, np.float64), up, down)
+    assert got.shape == want.shape
+    assert _rel_err(got, want) < 2e-3
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    T=st.integers(16, 800),
+    L=st.integers(4, 64),
+    data=st.data(),
+)
+def test_frame_signal_matches_reference_convention(T, L, data):
+    step = data.draw(st.integers(1, L))
+    x = np.arange(T, dtype=np.float32)
+    frames = np.asarray(frame_signal(jnp.asarray(x), L, step, True))
+    # reference convention: ceil(T/step) frames; frame k starts at k*step
+    n_frames = int(np.ceil(T / step))
+    assert frames.shape == (n_frames, L)
+    for k in (0, n_frames // 2, n_frames - 1):
+        start = k * step
+        want = np.zeros(L, np.float32)
+        n_avail = max(0, min(L, T - start))
+        want[:n_avail] = x[start : start + n_avail]
+        np.testing.assert_array_equal(frames[k], want)
