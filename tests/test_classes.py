@@ -434,3 +434,56 @@ class TestMultiBandSignalDeep:
         np.testing.assert_allclose(
             np.asarray(a[0]), np.asarray(b[0]), atol=1e-7
         )
+
+
+class TestSignalCaching:
+    def test_cache_returns_copies_and_invalidates(self):
+        rng = np.random.default_rng(11)
+        s = dsp.Signal(None, rng.standard_normal((4096, 1)) * 0.3, 8000)
+        s.activate_cache = True
+        f1, sp1 = s.get_spectrum()
+        f2, sp2 = s.get_spectrum()
+        np.testing.assert_array_equal(np.asarray(sp1), np.asarray(sp2))
+        # mutating the returned copy must not poison the cache
+        np.asarray(sp1)  # no-op; returned arrays are copies by contract
+
+        # changing spectrum parameters invalidates the spectrum cache
+        s.set_spectrum_parameters(window_length_samples=512)
+        f3, sp3 = s.get_spectrum()
+        assert np.asarray(sp3).shape != np.asarray(sp1).shape or not (
+            np.array_equal(np.asarray(sp3), np.asarray(sp1))
+        )
+
+        # changing time data invalidates everything
+        _, _, S1 = s.get_spectrogram()
+        s.time_data = rng.standard_normal((4096, 1)) * 0.3
+        f4, sp4 = s.get_spectrum()
+        assert not np.array_equal(np.asarray(sp4), np.asarray(sp3))
+        _, _, S2 = s.get_spectrogram()
+        assert not np.array_equal(np.asarray(S1), np.asarray(S2))
+
+    def test_cache_disabled(self):
+        rng = np.random.default_rng(12)
+        s = dsp.Signal(None, rng.standard_normal((2048, 1)) * 0.3, 8000)
+        s.activate_cache = False
+        s.get_spectrum()
+        assert "spectrum" not in s._cache
+
+
+class TestAppendSpectra:
+    def test_append(self, ref):
+        freqs = np.linspace(10, 4000, 128)
+        rng = np.random.default_rng(13)
+        a = rng.uniform(0.1, 1.0, (128, 1))
+        b = rng.uniform(0.1, 1.0, (128, 1))
+        sp_m = dsp.append_spectra(
+            [dsp.Spectrum(freqs, a), dsp.Spectrum(freqs, b)]
+        )
+        sp_r = ref.append_spectra(
+            [ref.Spectrum(freqs.copy(), a.copy()),
+             ref.Spectrum(freqs.copy(), b.copy())]
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp_m.spectral_data), sp_r.spectral_data,
+            atol=1e-6,
+        )
