@@ -21,9 +21,9 @@ from .gain_and_level import from_db, to_db
 from .smoothing import fractional_octave_smoothing
 
 
-def wrap_phase(phase: jnp.ndarray) -> jnp.ndarray:
+def wrap_phase(phase_vector: jnp.ndarray) -> jnp.ndarray:
     """Wrap phase into [-pi, pi) (`helpers/spectrum_utilities.py:11`)."""
-    return (phase + jnp.pi) % (2 * jnp.pi) - jnp.pi
+    return (phase_vector + jnp.pi) % (2 * jnp.pi) - jnp.pi
 
 
 def find_nearest_points_index_in_vector(points, vector) -> np.ndarray:

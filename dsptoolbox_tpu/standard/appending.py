@@ -102,7 +102,7 @@ def append_filterbanks(fbs: list) -> FilterBank:
 
 
 def append_spectra(
-    spectra: list, complex_handling: bool = False
+    spectra: list, complex_if_available: bool = False
 ) -> Spectrum:
     """Append the channels of several spectra sharing a frequency vector
     (`standard/appending.py:160-204`)."""
@@ -115,7 +115,7 @@ def append_spectra(
             sp.frequency_vector_hz, f0
         ), "Frequency vectors do not match"
         d = np.asarray(sp.spectral_data)
-        if complex_handling and not np.iscomplexobj(d):
+        if complex_if_available and not np.iscomplexobj(d):
             d = d.astype(np.complex128)
         data.append(d)
     if any(np.iscomplexobj(d) for d in data) and not all(
