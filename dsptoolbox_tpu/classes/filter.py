@@ -554,8 +554,8 @@ class Filter:
         length_samples: int = 512,
         range_hz=[20, 20e3],
         normalize=None,
-        show_info_box: bool = True,
         zero_phase: bool = False,
+        show_info_box: bool = True,
     ):
         """Magnitude response plot via the filter IR
         (`classes/filter.py:973-1033`)."""
@@ -588,7 +588,12 @@ class Filter:
             info_box=self.metadata_str if show_info_box else None,
         )
 
-    def plot_group_delay(self, length_samples: int = 512, range_hz=[20, 20e3]):
+    def plot_group_delay(
+        self,
+        length_samples: int = 512,
+        range_hz=[20, 20e3],
+        show_info_box: bool = False,
+    ):
         """Group delay plot (`classes/filter.py:1034-1103`)."""
         from ..plots import general_plot
 
@@ -601,6 +606,7 @@ class Filter:
             (gd[1:] * 1e3)[:, None],
             range_hz,
             ylabel="Group delay / ms",
+            info_box=self.metadata_str if show_info_box else None,
         )
 
     def plot_phase(
@@ -608,6 +614,7 @@ class Filter:
         length_samples: int = 512,
         range_hz=[20, 20e3],
         unwrap: bool = False,
+        show_info_box: bool = False,
     ):
         """Phase response plot (`classes/filter.py:1104-1160`)."""
         ir = self.get_ir(length_samples)

@@ -318,8 +318,8 @@ class FilterBank:
 
     def get_ir(
         self,
-        mode: FilterBankMode = FilterBankMode.Parallel,
         length_samples: int = 1024,
+        mode: FilterBankMode = FilterBankMode.Parallel,
         zero_phase: bool = False,
     ):
         """Impulse responses of the bank (`classes/filterbank.py:534-600`)."""
@@ -341,10 +341,10 @@ class FilterBank:
     # ======== Plots =========================================================
     def plot_magnitude(
         self,
+        length_samples: int = 1024,
         mode: FilterBankMode = FilterBankMode.Parallel,
         range_hz=[20, 20e3],
-        length_samples: int = 1024,
-        test_zi: bool = False,
+        zero_phase: bool = False,
     ):
         """Magnitude responses of all bands
         (`classes/filterbank.py:662-770`)."""
@@ -352,7 +352,7 @@ class FilterBank:
         from ..plots import general_plot
 
         d = self.get_ir(
-            FilterBankMode.Parallel, length_samples=length_samples
+            length_samples, FilterBankMode.Parallel, zero_phase=zero_phase
         )
         fs = (
             self.sampling_rate_hz
@@ -377,15 +377,15 @@ class FilterBank:
 
     def plot_phase(
         self,
+        length_samples: int = 1024,
         mode: FilterBankMode = FilterBankMode.Parallel,
         range_hz=[20, 20e3],
-        length_samples: int = 1024,
         unwrap: bool = False,
     ):
         """Phase responses (`classes/filterbank.py:771-870`)."""
         from ..plots import general_plot
 
-        d = self.get_ir(FilterBankMode.Parallel, length_samples=length_samples)
+        d = self.get_ir(length_samples, FilterBankMode.Parallel)
         fs = (
             self.sampling_rate_hz
             if self.same_sampling_rate
@@ -415,9 +415,9 @@ class FilterBank:
 
     def plot_group_delay(
         self,
+        length_samples: int = 1024,
         mode: FilterBankMode = FilterBankMode.Parallel,
         range_hz=[20, 20e3],
-        length_samples: int = 1024,
     ):
         """Group delays (`classes/filterbank.py:871-1008`)."""
         import jax.numpy as jnp
@@ -425,7 +425,7 @@ class FilterBank:
         from ..plots import general_plot
         from ..standard.backend import group_delay_direct
 
-        d = self.get_ir(FilterBankMode.Parallel, length_samples=length_samples)
+        d = self.get_ir(length_samples, FilterBankMode.Parallel)
         fs = (
             self.sampling_rate_hz
             if self.same_sampling_rate

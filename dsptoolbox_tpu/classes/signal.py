@@ -715,9 +715,16 @@ class Signal(MultichannelData):
         )
         return fig, ax
 
-    def plot_group_delay(self, range_hz=[20.0, 20e3], smoothing: int = 0):
+    def plot_group_delay(
+        self,
+        range_hz=[20.0, 20e3],
+        smoothing: int = 0,
+        remove_ir_latency=None,
+    ):
         """Group delay plot (FFT spectrum, -dφ/dω;
-        `classes/signal.py:1296-1382`)."""
+        `classes/signal.py:1296-1382`). ``remove_ir_latency``: None,
+        "peak", "min_phase" or per-channel delays in samples."""
+        from .._config import to_host
         from ..plots import general_plot
         from ..standard.backend import group_delay_direct
 
@@ -730,7 +737,46 @@ class Signal(MultichannelData):
         f, sp = self.get_spectrum(force_computation=True)
         self._spectrum_parameters = prior
         self._cache.pop("spectrum", None)
-        gd = group_delay_direct(jnp.angle(sp), f[1] - f[0], axis=0)
+        ph = np.angle(to_host(sp))
+        if ph.ndim == 1:
+            ph = ph[:, None]
+        if remove_ir_latency is not None:
+            from ..helpers.latency import (
+                get_fractional_impulse_peak_index,
+                remove_ir_latency_from_phase,
+            )
+
+            if isinstance(remove_ir_latency, str):
+                mode_ = remove_ir_latency.lower()
+                if mode_ == "peak":
+                    delays = get_fractional_impulse_peak_index(
+                        self.time_data, 1
+                    )
+                elif mode_ == "min_phase":
+                    from ..helpers.latency import fractional_latency
+                    from ..helpers.minimum_phase import (
+                        min_phase_ir_from_real_cepstrum,
+                    )
+
+                    min_ir = np.asarray(
+                        min_phase_ir_from_real_cepstrum(
+                            jnp.asarray(self.time_data.T), 8
+                        )
+                    ).T[: len(self), :]
+                    delays = fractional_latency(
+                        self.time_data, min_ir, 1
+                    )
+                else:
+                    raise ValueError("No valid latency removal")
+            else:
+                delays = np.atleast_1d(remove_ir_latency)
+            ph = np.asarray(
+                remove_ir_latency_from_phase(
+                    f, jnp.asarray(ph), np.asarray(delays),
+                    self.sampling_rate_hz,
+                )
+            )
+        gd = group_delay_direct(jnp.asarray(ph), f[1] - f[0], axis=0)
         if smoothing != 0:
             from ..helpers.smoothing import fractional_octave_smoothing
 
@@ -744,7 +790,7 @@ class Signal(MultichannelData):
         )
 
     def plot_spectrogram(
-        self, channel_number: int = 0, logfreqs: bool = True, dynamic_range_db=50
+        self, channel_number: int = 0, log_freqs: bool = True, dynamic_range_db=50
     ):
         """Spectrogram heatmap of one channel
         (`classes/signal.py:1384-1449`)."""
@@ -762,7 +808,7 @@ class Signal(MultichannelData):
             xlabel="Time / s",
             ylabel="Frequency / Hz",
             zlabel="Magnitude / dB",
-            ylog=logfreqs,
+            ylog=log_freqs,
         )
         return fig, ax
 
@@ -811,13 +857,13 @@ class Signal(MultichannelData):
             labels=[f"Channel {n}" for n in range(self.number_of_channels)],
         )
 
-    def plot_csm(self, range_hz=[20.0, 20e3], logx: bool = True, with_phase=True):
+    def plot_csm(self, range_hz=[20.0, 20e3], with_phase=True):
         """Lower-triangle CSM magnitude (+phase) matrix plot
         (`classes/signal.py:1547-1569`, `classes/plots.py:_csm_plot`)."""
         from ._plots import csm_plot
 
         f, csm = self.get_csm()
-        return csm_plot(f, np.asarray(csm), range_hz, logx, with_phase)
+        return csm_plot(f, np.asarray(csm), range_hz, True, with_phase)
 
     # ======== Saving / copying ==============================================
     def save_signal(self, path: str, mode: str = "wav", bit_depth: int = 32):

@@ -563,10 +563,11 @@ class Spectrum(MultichannelData):
         normalization: MagnitudeNormalization = (
             MagnitudeNormalization.NoNormalization
         ),
-        range_hz=None,
-        range_db=None,
+        dynamic_range_db=None,
     ):
         """Magnitude plot (`classes/spectrum.py:887-946`)."""
+        range_hz = None
+        range_db = dynamic_range_db
         from ..helpers.spectrum_utilities import get_normalized_spectrum
         from ..plots import general_plot
 
