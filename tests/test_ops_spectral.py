@@ -247,3 +247,36 @@ class TestPallasFraming:
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), atol=1e-6
             )
+
+
+class TestBluesteinFFT:
+    """Opt-in general-length FFT (`ops/fft.py`) must be an exact DFT."""
+
+    def test_matches_numpy_all_paths(self, monkeypatch):
+        monkeypatch.setenv("DSPTB_BLUESTEIN_FFT", "1")
+        import jax.numpy as jnp
+
+        from dsptoolbox_tpu.ops import fft as dfft
+
+        rng = np.random.default_rng(0)
+        for n in (7, 96, 1000, 1013):  # incl. a prime
+            x = rng.standard_normal((3, n)).astype(np.float32)
+            got = np.asarray(dfft.rfft(jnp.asarray(x), axis=-1))
+            want = np.fft.rfft(x, axis=-1)
+            scale = np.max(np.abs(want))
+            assert np.max(np.abs(got - want)) / scale < 1e-5, n
+            back = np.asarray(
+                dfft.irfft(jnp.asarray(got), n=n, axis=-1)
+            )
+            assert np.max(np.abs(back - x)) < 1e-5, n
+            # complex fft/ifft roundtrip
+            z = (
+                rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+            ).astype(np.complex64)
+            Z = np.asarray(dfft.fft(jnp.asarray(z), axis=-1))
+            wantZ = np.fft.fft(z, axis=-1)
+            assert (
+                np.max(np.abs(Z - wantZ)) / np.max(np.abs(wantZ)) < 1e-5
+            ), n
+            back2 = np.asarray(dfft.ifft(jnp.asarray(Z), axis=-1))
+            assert np.max(np.abs(back2 - z)) < 1e-4, n
