@@ -80,7 +80,7 @@ class TestSteeringVector:
         np.testing.assert_allclose(h_m, h_r, atol=1e-5)
 
 
-@pytest.fixture
+@pytest.fixture(scope="module")
 def array_signal_pair(ref):
     """Chirp monopole at [0, 0.4, 0.5] captured on a planar array."""
     ma_pts = {k: v.copy() for k, v in POINTS.items()}
