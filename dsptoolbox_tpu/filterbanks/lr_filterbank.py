@@ -367,6 +367,17 @@ class LRFilterBank:
         print(self.info)
         return self
 
+    def save_filterbank(self, path: str = "filterbank"):
+        """Pickle persistence (`_filterbank.py:635-660`)."""
+        from pickle import HIGHEST_PROTOCOL, dump
+
+        from ..helpers.other import check_format_in_path
+
+        path = check_format_in_path(path, "pkl")
+        with open(path, "wb") as data_file:
+            dump(self, data_file, HIGHEST_PROTOCOL)
+        return self
+
     def copy(self):
         from copy import deepcopy
 

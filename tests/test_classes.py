@@ -487,3 +487,38 @@ class TestAppendSpectra:
             np.asarray(sp_m.spectral_data), sp_r.spectral_data,
             atol=1e-6,
         )
+
+
+class TestPersistence:
+    def test_signal_pkl_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(14)
+        s = dsp.Signal(None, rng.standard_normal((512, 2)) * 0.2, 8000)
+        s.save_signal(str(tmp_path / "s"), mode="pkl")
+        s2 = dsp.load_pkl_object(str(tmp_path / "s.pkl"))
+        np.testing.assert_array_equal(s2.time_data, s.time_data)
+        assert s2.sampling_rate_hz == s.sampling_rate_hz
+
+    def test_filterbank_pkl_roundtrip(self, tmp_path):
+        fb = dsp.filterbanks.linkwitz_riley_crossovers(
+            [500], order=4, sampling_rate_hz=8000
+        )
+        fb.save_filterbank(str(tmp_path / "fb"))
+        fb2 = dsp.load_pkl_object(str(tmp_path / "fb.pkl"))
+        assert fb2.number_of_filters == fb.number_of_filters
+        rng = np.random.default_rng(15)
+        s = dsp.Signal(None, rng.standard_normal((512, 1)) * 0.2, 8000)
+        out1 = fb.filter_signal(s, dsp.FilterBankMode.Summed)
+        out2 = fb2.filter_signal(s, dsp.FilterBankMode.Summed)
+        np.testing.assert_allclose(
+            out1.time_data, out2.time_data, atol=1e-7
+        )
+
+    def test_spectrum_pkl_roundtrip(self, tmp_path):
+        freqs = np.linspace(10, 4000, 64)
+        rng = np.random.default_rng(16)
+        sp = dsp.Spectrum(freqs, rng.uniform(0.1, 1.0, (64, 1)))
+        sp.save_spectrum(str(tmp_path / "sp"))
+        sp2 = dsp.load_pkl_object(str(tmp_path / "sp.pkl"))
+        np.testing.assert_allclose(
+            np.asarray(sp2.spectral_data), np.asarray(sp.spectral_data)
+        )
