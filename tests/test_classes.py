@@ -504,7 +504,7 @@ class TestPersistence:
         )
         fb.save_filterbank(str(tmp_path / "fb"))
         fb2 = dsp.load_pkl_object(str(tmp_path / "fb.pkl"))
-        assert fb2.number_of_filters == fb.number_of_filters
+        assert fb2.number_of_bands == fb.number_of_bands
         rng = np.random.default_rng(15)
         s = dsp.Signal(None, rng.standard_normal((512, 1)) * 0.2, 8000)
         out1 = fb.filter_signal(s, dsp.FilterBankMode.Summed)
