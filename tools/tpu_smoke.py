@@ -1,5 +1,7 @@
 """Hardware validation sweep: run the public API end-to-end on a real TPU.
 
+Takes ~8-10 minutes over a tunneled backend (every stage compiles).
+
 Usage (on a machine with TPU access):
     python tools/tpu_smoke.py
 
@@ -44,7 +46,7 @@ def main():
     stage(f"RT20 = {np.round(np.asarray(rt), 3)}")
 
     # ---- spectra / spectrogram / istft
-    s = dsp.pad_trim(dsp.Signal(f"{EXAMPLE}/speech.flac"), 2**16)
+    s = dsp.pad_trim(dsp.Signal(f"{EXAMPLE}/speech.flac"), 2**15)
     t, f, sp = s.get_spectrogram()
     back = dsp.transforms.istft(sp, original_signal=s)
     err = float(np.max(np.abs(back.time_data - s.time_data)))
@@ -140,7 +142,7 @@ def main():
         dict(x=xx.flatten(), y=yy.flatten(), z=np.zeros(xx.size))
     )
     src = bfm.MonopoleSource(
-        dsp.generators.noise(0.5, 16000, seed=0), [0, 0.4, 0.5]
+        dsp.generators.noise(0.25, 16000, seed=0), [0, 0.4, 0.5]
     )
     sig = src.get_signals_on_array(ma)
     g = bfm.Regular2DGrid(
@@ -165,15 +167,15 @@ def main():
     from dsptoolbox_tpu import realtime as rt
 
     rng = np.random.default_rng(0)
-    xblk = rng.standard_normal(1024) * 0.3
+    xblk = rng.standard_normal(512) * 0.3
     b, a = ssig.butter(4, 0.3)
     fi = rt.IIRFilter(b, a)
     fi.set_n_channels(1)
-    for blk in xblk.reshape(8, 128):
+    for blk in xblk.reshape(4, 128):
         fi.process_block(blk, 0)
     fu = rt.FIRUniformPartitioned(ssig.firwin(400, 0.25))
     fu.prepare(128, 1)
-    for blk in xblk.reshape(8, 128):
+    for blk in xblk.reshape(4, 128):
         fu.process_block(blk, 0)
     kz = rt.KautzFilter(np.array([0.6 + 0.4j, 0.3 + 0.1j]), 8000)
     ir_td = ssig.lfilter(*ssig.butter(2, 0.2), np.eye(1, 256).squeeze())
