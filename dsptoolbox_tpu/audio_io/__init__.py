@@ -15,6 +15,7 @@ from .audio_io import (
 )
 
 __all__ = [
+    "default_config",
     "print_device_info",
     "set_latency",
     "set_blocksize",

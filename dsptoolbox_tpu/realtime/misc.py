@@ -187,6 +187,70 @@ class StateVariableFilter(RealtimeFilter):
             info={"bands": ["lowpass", "highpass", "bandpass", "allpass"]},
         )
 
+    def get_ir(self, length_samples: int):
+        """Dirac through the filter → MultiBandSignal with the LP/HP/BP/AP
+        band IRs (`sv_filter.py:147-164`)."""
+        from ..generators import dirac
+
+        d = dirac(length_samples, sampling_rate_hz=self.sampling_rate_hz)
+        self.reset_state()
+        return self.filter_signal(d)
+
+    def _bands_signal(self, length_samples: int):
+        from ..standard.enums import SpectrumMethod
+
+        d = self.get_ir(length_samples).get_all_bands()
+        d.spectrum_method = SpectrumMethod.FFT
+        return d
+
+    def plot_magnitude(
+        self,
+        length_samples: int,
+        range_hz: list | None = [20, 20e3],
+        range_db: list | None = None,
+    ):
+        """Magnitude response of each band output (`sv_filter.py:166-198`).
+
+        Deviation from the reference: its implementation passes
+        ``normalize=None`` into the spectrum normalizer, which raises
+        ``ValueError: No valid normalization`` — the method is unusable
+        there. Here the clear intent (no normalization) is honored.
+        """
+        from ..standard.enums import MagnitudeNormalization
+
+        d = self._bands_signal(length_samples)
+        fig, ax = d.plot_magnitude(
+            range_hz=range_hz,
+            normalize=MagnitudeNormalization.NoNormalization,
+            range_db=range_db,
+            smoothing=0,
+        )
+        ax.legend(["Lowpass", "Highpass", "Bandpass", "Allpass"])
+        return fig, ax
+
+    def plot_group_delay(
+        self,
+        length_samples: int,
+        range_hz: list | None = [20.0, 20e3],
+    ):
+        """Group delay of each band output (`sv_filter.py:200-224`)."""
+        d = self._bands_signal(length_samples)
+        fig, ax = d.plot_group_delay(range_hz=range_hz)
+        ax.legend(["Lowpass", "Highpass", "Bandpass", "Allpass"])
+        return fig, ax
+
+    def plot_phase(
+        self,
+        length_samples: int,
+        range_hz: list | None = [20, 20e3],
+        unwrap: bool = False,
+    ):
+        """Phase of each band output (`sv_filter.py:226-253`)."""
+        d = self._bands_signal(length_samples)
+        fig, ax = d.plot_phase(range_hz=range_hz, unwrap=unwrap)
+        ax.legend(["Lowpass", "Highpass", "Bandpass", "Allpass"])
+        return fig, ax
+
 
 class StateSpaceFilter(RealtimeFilter):
     """A,B,C,D state-space realization (`state_space_filter.py:10-106`)."""

@@ -3,7 +3,9 @@
 The reference leaves hardware IO untested ("Tests for audio io module
 should be manual", reference `tests/test_audio_io.py:1-4`); here a fake
 backend exercises the full API: playback, recording, duplex loopback,
-device/default configuration.
+device/default configuration. The fake mirrors the sounddevice call
+surface the reference uses (`input_mapping`/`output_mapping`/`mapping`
+1-based channel selectors, `sd.default`, `sleep(ms)`).
 """
 
 import sys
@@ -19,7 +21,7 @@ import dsptoolbox_tpu as dsp
 def fake_sd(monkeypatch):
     """Install a loopback sounddevice fake for the duration of a test."""
     sd = types.ModuleType("sounddevice")
-    state = {"played": None}
+    state = {"played": None, "slept_ms": None}
 
     sd.default = types.SimpleNamespace(
         device=None, samplerate=None, blocksize=None, latency=None
@@ -31,27 +33,32 @@ def fake_sd(monkeypatch):
     sd.DeviceList = DeviceList
     sd.query_devices = lambda *a, **k: (
         {"name": "fake", "index": a[0]} if a else DeviceList(
-            [{"name": "fake", "index": 0}]
+            [{"name": "fake", "index": 0}, {"name": "other", "index": 1}]
         )
     )
 
-    def playrec(data, samplerate, channels, blocking=True, **kw):
+    def playrec(data, samplerate, input_mapping, output_mapping,
+                blocking=True, **kw):
         state["played"] = np.array(data)
-        out = np.zeros((len(data), channels))
+        out = np.zeros((len(data), len(input_mapping)))
         # loopback: copy first played channel into every record channel
-        for c in range(channels):
+        for c in range(len(input_mapping)):
             out[:, c] = np.asarray(data)[:, 0]
         return out
 
-    def rec(frames, samplerate, channels, blocking=True, **kw):
+    def rec(frames, samplerate, mapping, blocking=True, **kw):
         rng = np.random.default_rng(0)
-        return rng.standard_normal((frames, channels)) * 1e-3
+        return rng.standard_normal((frames, len(mapping))) * 1e-3
 
-    def play(data, samplerate, blocking=True, **kw):
+    def play(data, samplerate, mapping=None, blocking=True, **kw):
         state["played"] = np.array(data)
 
     sd.playrec, sd.rec, sd.play = playrec, rec, play
-    sd.sleep = lambda ms: None
+
+    def _sleep(ms):
+        state["slept_ms"] = ms
+
+    sd.sleep = _sleep
 
     class CallbackStop(Exception):
         pass
@@ -60,7 +67,7 @@ def fake_sd(monkeypatch):
 
     class OutputStream:
         def __init__(self, *a, **k):
-            pass
+            self.kwargs = k
 
     sd.OutputStream = OutputStream
 
@@ -78,12 +85,19 @@ def _tone(fs=8000, n=4000):
 class TestAudioIO:
     def test_defaults_and_device(self, fake_sd):
         sd, _ = fake_sd
-        dsp.audio_io.set_latency(0.1)
-        assert sd.default.latency == 0.1
+        dsp.audio_io.set_latency(True, False)
+        assert sd.default.latency == ("low", "high")
         dsp.audio_io.set_blocksize(256)
         assert sd.default.blocksize == 256
-        dsp.audio_io.set_device(0)
+        dsp.audio_io.set_device(0, sampling_rate_hz=44100)
         assert sd.default.device == 0
+        assert sd.default.samplerate == 44100
+        # name-substring device selection
+        dsp.audio_io.set_device("other")
+        assert sd.default.device == 1
+        # 2-list of indices
+        dsp.audio_io.set_device([0, 1])
+        assert sd.default.device == [0, 1]
         assert dsp.audio_io.default_config.blocksize == 256
 
     def test_print_device_info(self, fake_sd):
@@ -93,12 +107,18 @@ class TestAudioIO:
     def test_play(self, fake_sd):
         _, state = fake_sd
         s = _tone()
-        dsp.audio_io.play(s)
+        dsp.audio_io.play(s, normalized_dbfs=None)
         np.testing.assert_allclose(state["played"], s.time_data)
+        # peak normalization to -6 dBFS
+        dsp.audio_io.play(s)
+        peak = np.max(np.abs(state["played"]))
+        np.testing.assert_allclose(peak, 10 ** (-6 / 20), rtol=1e-6)
 
     def test_play_and_record_loopback(self, fake_sd):
         s = _tone()
-        rec = dsp.audio_io.play_and_record(s, record_channels=[1, 2])
+        rec = dsp.audio_io.play_and_record(
+            s, normalized_dbfs=None, rec_channels=[1, 2]
+        )
         assert rec.number_of_channels == 2
         assert rec.sampling_rate_hz == s.sampling_rate_hz
         np.testing.assert_allclose(
@@ -111,3 +131,11 @@ class TestAudioIO:
         )
         assert len(rec) == 4000
         assert rec.sampling_rate_hz == 8000
+
+    def test_sleep_and_output_stream(self, fake_sd):
+        _, state = fake_sd
+        dsp.audio_io.sleep(0.25)
+        assert state["slept_ms"] == 250
+        stream = dsp.audio_io.output_stream(_tone(), blocksize=128)
+        assert stream.kwargs["blocksize"] == 128
+        assert stream.kwargs["channels"] == 1

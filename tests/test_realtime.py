@@ -170,6 +170,31 @@ class TestStateVariableFilter:
         )
 
 
+    def test_get_ir_and_plots(self):
+        """Oracle: reference SVF IR (`sv_filter.py:147-164`)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        f = rt.StateVariableFilter(1000.0, 0.5, FS)
+        mb = f.get_ir(512)
+        assert mb.number_of_bands == 4
+        assert mb.bands[0].time_data.shape[0] == 512
+        # LP band IR of a dirac: first sample equals the LP path gain
+        # g^2 * intermediate_value (two integrators, zero state)
+        expected0 = f.g**2 * f.intermediate_value
+        np.testing.assert_allclose(
+            mb.bands[0].time_data[0, 0], expected0, rtol=1e-6
+        )
+        for fig, _ in (
+            f.plot_magnitude(256),
+            f.plot_group_delay(256),
+            f.plot_phase(256, unwrap=True),
+        ):
+            plt.close(fig)
+
+
 class TestStateSpaceFilter:
     def test_matches_lfilter(self, noise):
         b, a = sig.butter(2, 0.25)
