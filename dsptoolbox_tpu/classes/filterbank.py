@@ -363,13 +363,17 @@ class FilterBank:
         specs = []
         for b in d.bands:
             sp = np.fft.rfft(b.time_data[:, 0])
-            specs.append(np.asarray(to_db(sp, True)))
+            # host magnitude first: complex arrays must not cross the
+            # device boundary eagerly on tunneled backends
+            specs.append(np.asarray(to_db(np.abs(sp), True)))
         mat = np.stack(specs, axis=1)
         if mode == FilterBankMode.Summed:
             total = np.sum(
                 np.stack([b.time_data[:, 0] for b in d.bands], 1), axis=1
             )
-            mat = np.asarray(to_db(np.fft.rfft(total), True))[:, None]
+            mat = np.asarray(to_db(np.abs(np.fft.rfft(total)), True))[
+                :, None
+            ]
         labels = [f"Filter {n}" for n in range(mat.shape[1])]
         return general_plot(
             f, mat, range_hz, ylabel="Magnitude / dB", labels=labels

@@ -827,8 +827,12 @@ class Signal(MultichannelData):
             "Phase cannot be plotted since the spectrum is not complex. Set "
             "the spectrum method to FFT"
         )
+        from .._config import to_host
+
         f, sp = self.get_spectrum()
-        ph = jnp.angle(sp)
+        # presentation boundary: host math (complex arrays must not cross
+        # the device boundary eagerly on tunneled backends)
+        ph = np.angle(to_host(sp))
         if remove_ir_latency:
             from ..helpers.latency import (
                 get_fractional_impulse_peak_index,
@@ -836,19 +840,22 @@ class Signal(MultichannelData):
             )
 
             lat = get_fractional_impulse_peak_index(self.time_data)
-            ph = remove_ir_latency_from_phase(
-                f, ph, lat, self.sampling_rate_hz
+            ph = np.asarray(
+                remove_ir_latency_from_phase(
+                    f, ph, lat, self.sampling_rate_hz
+                )
             )
         if smoothing != 0:
             from ..helpers.smoothing import fractional_octave_smoothing
 
-            ph = wrap_phase(
+            ph = np.asarray(
                 fractional_octave_smoothing(
-                    jnp.unwrap(ph, axis=0), None, smoothing
+                    np.unwrap(ph, axis=0), None, smoothing
                 )
             )
+            ph = (ph + np.pi) % (2 * np.pi) - np.pi
         if unwrap:
-            ph = jnp.unwrap(ph, axis=0)
+            ph = np.unwrap(ph, axis=0)
         return general_plot(
             f,
             np.asarray(ph),

@@ -63,17 +63,24 @@ class Spectrum(MultichannelData):
             assert sig.spectrum_scaling.outputs_complex_spectrum(
                 sig.spectrum_method
             ), "Method or scaling do not deliver a complex spectrum"
+        from .._config import to_host
+
         f, sp = sig.get_spectrum()
-        sp = jnp.asarray(sp)
+        # keep host/device placement as-is: the spectral_data setter decides
+        # where complex data may live (complex transfers break on tunneled
+        # backends, so no eager jnp.asarray here)
         if complex:
-            assert jnp.iscomplexobj(sp), "Spectrum of signal is not complex"
+            assert np.iscomplexobj(sp) or jnp.iscomplexobj(sp), (
+                "Spectrum of signal is not complex"
+            )
             return Spectrum(f, sp)
+        mag = np.abs(to_host(sp))
         return Spectrum(
             f,
             (
-                jnp.abs(sp)
+                mag
                 if sig.spectrum_scaling.is_amplitude_scaling()
-                else jnp.abs(sp) ** 0.5
+                else mag**0.5
             ),
         )
 

@@ -199,38 +199,13 @@ class LRFilterBank:
                     out_np[:, ch, cn] = np.asarray(band)
                 out_np[:, ch, self.number_of_cross] = np.asarray(x)
             new_time_data = out_np
-        elif zero_phase:
-            outs = []
-            x = in_sig
-            for cn in range(self.number_of_cross):
-                factor = (
-                    1
-                    if self.order[cn] % 2 == 1 or self.order[cn] == 2
-                    else 2
-                )
-                valid = self.sos[cn][0].shape[0] // factor
-                outs.append(sosfiltfilt(self.sos[cn][0][:valid], x))
-                x = sosfiltfilt(self.sos[cn][1][:valid], x)
-            outs.append(x)
-            new_time_data = np.stack(
-                [np.asarray(o.T) for o in outs], axis=-1
-            )
         else:
-            outs = []
-            x = in_sig
-            for cn in range(self.number_of_cross):
-                band, _ = sosfilt(self.sos[cn][0], x)
-                high, _ = sosfilt(self.sos[cn][1], x)
-                x = high
-                for ap_n in range(cn + 1, self.number_of_cross):
-                    lo, _ = sosfilt(self.sos[ap_n][0], band)
-                    hi, _ = sosfilt(self.sos[ap_n][1], band)
-                    band = lo + hi
-                outs.append(band)
-            outs.append(x)
-            new_time_data = np.stack(
-                [np.asarray(o.T) for o in outs], axis=-1
-            )
+            # One jitted program for the whole split cascade: eager op-by-op
+            # execution would pay a host round-trip per op on tunneled
+            # backends. jit caches per (T, C) shape on the instance.
+            new_time_data = np.asarray(
+                self._band_split_program(zero_phase)(in_sig)
+            ).transpose(2, 1, 0)
 
         bands = [
             s.copy_with_new_time_data(new_time_data[:, :, n])
@@ -266,6 +241,58 @@ class LRFilterBank:
         ap_zi[1] = np.asarray(zf_h)
         return s_l + s_h
 
+    def __getstate__(self):
+        # jitted programs are runtime caches: not picklable/deepcopyable
+        state = self.__dict__.copy()
+        state.pop("_jit_filtered", None)
+        state.pop("_jit_zero_phase", None)
+        return state
+
+    def _band_split_program(self, zero_phase: bool):
+        """Jitted band-split cascade ``x (C, T) → (B, C, T)``; built once
+        per mode and cached on the instance (jit handles shape variants)."""
+        import jax
+
+        key = "_jit_zero_phase" if zero_phase else "_jit_filtered"
+        cached = self.__dict__.get(key)
+        if cached is not None:
+            return cached
+
+        if zero_phase:
+
+            def program(x):
+                outs = []
+                for cn in range(self.number_of_cross):
+                    factor = (
+                        1
+                        if self.order[cn] % 2 == 1 or self.order[cn] == 2
+                        else 2
+                    )
+                    valid = self.sos[cn][0].shape[0] // factor
+                    outs.append(sosfiltfilt(self.sos[cn][0][:valid], x))
+                    x = sosfiltfilt(self.sos[cn][1][:valid], x)
+                outs.append(x)
+                return jnp.stack(outs, axis=0)
+
+        else:
+
+            def program(x):
+                outs = []
+                for cn in range(self.number_of_cross):
+                    band, _ = sosfilt(self.sos[cn][0], x)
+                    x, _ = sosfilt(self.sos[cn][1], x)
+                    for ap_n in range(cn + 1, self.number_of_cross):
+                        lo, _ = sosfilt(self.sos[ap_n][0], band)
+                        hi, _ = sosfilt(self.sos[ap_n][1], band)
+                        band = lo + hi
+                    outs.append(band)
+                outs.append(x)
+                return jnp.stack(outs, axis=0)
+
+        jitted = jax.jit(program)
+        self.__dict__[key] = jitted
+        return jitted
+
     # ======== getters / plots ===============================================
     def get_ir(
         self,
@@ -298,8 +325,10 @@ class LRFilterBank:
             length_samples, FilterBankMode.Parallel, zero_phase=zero_phase
         )
         f = np.fft.rfftfreq(length_samples, 1 / self.sampling_rate_hz)
+        # host magnitude first: complex arrays must not cross the device
+        # boundary eagerly on tunneled backends
         specs = [
-            np.asarray(to_db(np.fft.rfft(b.time_data[:, 0]), True))
+            np.asarray(to_db(np.abs(np.fft.rfft(b.time_data[:, 0])), True))
             for b in ir.bands
         ]
         mat = np.stack(specs, axis=1)
@@ -307,7 +336,9 @@ class LRFilterBank:
             total = np.sum(
                 np.stack([b.time_data[:, 0] for b in ir.bands], 1), axis=1
             )
-            mat = np.asarray(to_db(np.fft.rfft(total), True))[:, None]
+            mat = np.asarray(to_db(np.abs(np.fft.rfft(total)), True))[
+                :, None
+            ]
         return general_plot(
             f,
             mat,

@@ -96,12 +96,23 @@ def get_normalized_spectrum(
     calibrated_data: bool,
 ):
     """Magnitude (dB) spectrum with range selection, smoothing and
-    normalization (`helpers/spectrum_utilities.py:60-226`)."""
+    normalization (`helpers/spectrum_utilities.py:60-226`).
+
+    Presentation boundary: the result feeds matplotlib, so the math runs
+    host-side in numpy after one (complex-safe) device→host materialization.
+    Only the fractional-octave smoothing kernel stays on device (real data).
+    Eager device math here would be pathological on remote/tunneled TPU
+    backends — each op is a round-trip, and complex host↔device transfers
+    are unsupported on some of them.
+    """
+    from .._config import to_host
+
+    spectra = to_host(spectra)
     one_dimensional = spectra.ndim < 2
     if one_dimensional:
         spectra = spectra[..., None]
     if phase:
-        assert jnp.iscomplexobj(spectra), (
+        assert np.iscomplexobj(spectra), (
             "Phase computation is not possible since the spectra are not "
             "complex"
         )
@@ -131,34 +142,52 @@ def get_normalized_spectrum(
         id1, id2 = 0, len(f)
 
     spectra = spectra[id1:id2]
-    mag = jnp.abs(spectra)
+    mag = np.abs(spectra)
     f = f[id1:id2]
 
     if smoothing != 0:
         if is_amplitude_scaling:
-            mag = fractional_octave_smoothing(mag, None, smoothing)
+            mag = np.asarray(
+                fractional_octave_smoothing(mag, None, smoothing)
+            )
         else:
-            mag = fractional_octave_smoothing(mag**0.5, None, smoothing) ** 2
+            mag = (
+                np.asarray(
+                    fractional_octave_smoothing(mag**0.5, None, smoothing)
+                )
+                ** 2
+            )
 
-    mag_db = to_db(mag / scale_factor, is_amplitude_scaling, 500)
+    def _to_db_np(x, amplitude_input, dynamic_range_db=None):
+        factor = 20.0 if amplitude_input else 10.0
+        x_abs = np.abs(x)
+        if dynamic_range_db is not None:
+            min_val = np.max(x_abs) * 10.0 ** (
+                -abs(dynamic_range_db) / factor
+            )
+        else:
+            min_val = float(np.finfo(np.float64).smallest_normal)
+        return factor * np.log10(np.clip(x_abs, min_val, None))
+
+    mag_db = _to_db_np(mag / scale_factor, is_amplitude_scaling, 500)
 
     if normalize == MagnitudeNormalization.OneKhz:
-        norm_db = get_exact_gain_1khz(f, mag_db)
+        norm_db = np.asarray(get_exact_gain_1khz(f, mag_db))
     elif normalize == MagnitudeNormalization.OneKhzFirstChannel:
-        norm_db = jnp.ones(spectra.shape[1]) * get_exact_gain_1khz(
-            f, mag_db[:, 0]
+        norm_db = np.ones(spectra.shape[1]) * np.asarray(
+            get_exact_gain_1khz(f, mag_db[:, 0])
         )
     elif normalize == MagnitudeNormalization.Max:
-        norm_db = jnp.max(mag_db, axis=0)
+        norm_db = np.max(mag_db, axis=0)
     elif normalize == MagnitudeNormalization.MaxFirstChannel:
-        norm_db = jnp.max(mag_db[:, 0], axis=0, keepdims=True)
+        norm_db = np.max(mag_db[:, 0], axis=0, keepdims=True)
     elif normalize == MagnitudeNormalization.Energy:
-        norm_db = to_db(
-            jnp.mean(mag**2.0 if is_amplitude_scaling else mag, axis=0), False
+        norm_db = _to_db_np(
+            np.mean(mag**2.0 if is_amplitude_scaling else mag, axis=0), False
         )
     elif normalize == MagnitudeNormalization.EnergyFirstChannel:
-        norm_db = to_db(
-            jnp.mean(
+        norm_db = _to_db_np(
+            np.mean(
                 mag[:, 0] ** 2.0 if is_amplitude_scaling else mag,
                 axis=0,
                 keepdims=True,
@@ -166,26 +195,28 @@ def get_normalized_spectrum(
             False,
         )
     elif normalize == MagnitudeNormalization.NoNormalization:
-        norm_db = jnp.zeros(mag.shape[1])
+        norm_db = np.zeros(mag.shape[1])
     else:
         raise ValueError("No valid normalization")
 
+    norm_db = np.atleast_1d(norm_db)
     mag_db = mag_db - norm_db[None, :]
 
     phase_spectra = None
     if phase:
-        phase_spectra = jnp.angle(spectra)
+        phase_spectra = np.angle(spectra)
         if smoothing != 0:
-            phase_spectra = wrap_phase(
+            smoothed = np.asarray(
                 fractional_octave_smoothing(
-                    jnp.unwrap(phase_spectra, axis=0), None, smoothing
+                    np.unwrap(phase_spectra, axis=0), None, smoothing
                 )
             )
+            phase_spectra = (smoothed + np.pi) % (2 * np.pi) - np.pi
 
     if one_dimensional:
-        mag_db = jnp.squeeze(mag_db)
+        mag_db = np.squeeze(mag_db)
         if phase:
-            phase_spectra = jnp.squeeze(phase_spectra)
+            phase_spectra = np.squeeze(phase_spectra)
     if phase:
         return f, mag_db, phase_spectra
     return f, mag_db
