@@ -73,6 +73,12 @@ def _install_audio_stubs():
         sys.modules["sounddevice"] = sd
 
 
+# Install at import time: test_api_parity's audit would otherwise install a
+# non-reading soundfile stub first (alphabetically first test file) and break
+# every later file-loading oracle test in the same process.
+_install_audio_stubs()
+
+
 @pytest.fixture(scope="session")
 def ref():
     """The reference dsptoolbox package, importable as a numerical oracle."""

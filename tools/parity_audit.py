@@ -56,10 +56,15 @@ def _stub_env():
     try:
         import soundfile  # noqa: F401
     except Exception:
+        def _read(path, **kw):
+            import dsptoolbox_tpu.io as dtio
+
+            return dtio.read_audio(path)
+
         _install_stub(
             "soundfile",
             {
-                "read": lambda *a, **k: None,
+                "read": _read,
                 "write": lambda *a, **k: None,
             },
         )
