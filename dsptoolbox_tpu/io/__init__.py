@@ -10,5 +10,13 @@ uses (`classes/signal.py:106`).
 
 from .wav import read_wav, write_wav
 from .audio import read_audio, write_audio
+from .serialization import save_object, load_object
 
-__all__ = ["read_audio", "write_audio", "read_wav", "write_wav"]
+__all__ = [
+    "read_audio",
+    "write_audio",
+    "read_wav",
+    "write_wav",
+    "save_object",
+    "load_object",
+]

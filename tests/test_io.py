@@ -78,3 +78,88 @@ class TestFlacWrite:
         np.testing.assert_allclose(
             s2.time_data, s.time_data, atol=2**-22
         )
+
+
+class TestSafeSerialization:
+    """npz+JSON persistence (`io/serialization.py`), the safe replacement
+    for the reference's pickle saves (`classes/signal.py:1604-1606`)."""
+
+    def test_signal_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(3)
+        s = dsp.Signal(None, rng.standard_normal((500, 2)) * 0.4, 44100)
+        path = dsp.io.save_object(s, str(tmp_path / "sig"))
+        s2 = dsp.io.load_object(path)
+        assert type(s2).__name__ == "Signal"
+        assert s2.sampling_rate_hz == 44100
+        np.testing.assert_allclose(s2.time_data, s.time_data)
+
+    def test_impulse_response_with_window_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(4)
+        td = rng.standard_normal(256) * np.exp(-np.arange(256) / 30.0)
+        ir = dsp.ImpulseResponse.from_time_data(td, 48000)
+        ir.window = np.hanning(256)
+        path = dsp.io.save_object(ir, str(tmp_path / "ir.npz"))
+        ir2 = dsp.io.load_object(path)
+        assert type(ir2).__name__ == "ImpulseResponse"
+        np.testing.assert_allclose(ir2.time_data, ir.time_data)
+        np.testing.assert_allclose(ir2.window, ir.window)
+
+    def test_filter_roundtrips_all_representations(self, tmp_path):
+        from dsptoolbox_tpu.standard.enums import FilterCoefficientsType as FT
+
+        filts = {
+            "sos": dsp.Filter.iir_filter(
+                4, 1000.0, dsp.standard.enums.FilterPassType.Lowpass,
+                sampling_rate_hz=48000,
+            ),
+            "ba": dsp.Filter.fir_filter(
+                32, 2000.0, dsp.standard.enums.FilterPassType.Lowpass,
+                sampling_rate_hz=48000,
+            ),
+        }
+        for name, f in filts.items():
+            path = dsp.io.save_object(f, str(tmp_path / name))
+            f2 = dsp.io.load_object(path)
+            assert f2.sampling_rate_hz == f.sampling_rate_hz
+            c1 = f.get_coefficients(FT.Ba)
+            c2 = f2.get_coefficients(FT.Ba)
+            np.testing.assert_allclose(c2[0], c1[0], rtol=1e-12)
+            np.testing.assert_allclose(c2[1], c1[1], rtol=1e-12)
+
+    def test_filterbank_roundtrip(self, tmp_path):
+        fb, _, _ = dsp.filterbanks.fractional_octave_bands(
+            frequency_range_hz=[250, 2000], sampling_rate_hz=24000
+        )
+        path = dsp.io.save_object(fb, str(tmp_path / "fb"))
+        fb2 = dsp.io.load_object(path)
+        assert fb2.number_of_filters == fb.number_of_filters
+        np.testing.assert_allclose(
+            fb2.filters[0].sos, fb.filters[0].sos, rtol=1e-12
+        )
+
+    def test_multiband_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(5)
+        bands = [
+            dsp.Signal(None, rng.standard_normal((300, 1)) * 0.2, 16000)
+            for _ in range(3)
+        ]
+        mb = dsp.MultiBandSignal(bands)
+        path = dsp.io.save_object(mb, str(tmp_path / "mb"))
+        mb2 = dsp.io.load_object(path)
+        assert mb2.number_of_bands == 3
+        for b1, b2 in zip(mb.bands, mb2.bands):
+            np.testing.assert_allclose(b2.time_data, b1.time_data)
+
+    def test_spectrum_roundtrip(self, tmp_path):
+        f = np.linspace(10, 1000, 128)
+        sp = dsp.Spectrum(f, np.abs(np.sin(f / 50.0)) + 0.1)
+        path = dsp.io.save_object(sp, str(tmp_path / "spec"))
+        sp2 = dsp.io.load_object(path)
+        np.testing.assert_allclose(
+            sp2.frequency_vector_hz, sp.frequency_vector_hz
+        )
+        np.testing.assert_allclose(sp2.spectral_data, sp.spectral_data)
+
+    def test_rejects_unknown_type(self, tmp_path):
+        with pytest.raises(TypeError):
+            dsp.io.save_object(object(), str(tmp_path / "bad"))

@@ -1,0 +1,441 @@
+"""Benchmark suite: all five BASELINE.json configs on the real TPU.
+
+Prints one JSON line per config with throughput and (where available) the
+pure scipy/numpy reference-equivalent timing measured on the host CPU.
+`bench.py` remains the single-line headline benchmark for the driver; this
+suite populates the measured-baselines table in BASELINE.md.
+
+Run:  python tools/bench_suite.py [--ref]   (--ref also times the scipy path)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EXAMPLE = "/root/reference/example_data"
+
+
+def _sync(x):
+    import jax
+
+    jax.block_until_ready(x)
+
+
+def timeit(fn, n_iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn()
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / n_iters
+
+
+def config1_deconvolution():
+    """chirp.wav -> rir.wav: regularized spectral deconvolution + windowed
+    IR + RT60 (the canonical measurement chain, E2E through the library)."""
+    import dsptoolbox_tpu as dsp
+
+    chirp = dsp.Signal(f"{EXAMPLE}/chirp.wav")
+    rec = dsp.Signal(f"{EXAMPLE}/chirp.wav")
+
+    def run():
+        ir = dsp.transfer_functions.spectral_deconvolve(
+            rec, chirp, padding=False, keep_original_length=True
+        )
+        ir_w, _ = dsp.transfer_functions.window_ir(ir, 2**14)
+        return ir_w.time_data_jax
+
+    dt = timeit(run, n_iters=5)
+    audio_s = chirp.length_samples / chirp.sampling_rate_hz
+    return {
+        "config": 1,
+        "metric": "spectral_deconvolve+window_ir E2E",
+        "value": round(audio_s / dt, 1),
+        "unit": "x realtime per chip (library E2E incl. host)",
+        "seconds_per_iter": round(dt, 4),
+    }
+
+
+def config2_stft_welch_csm():
+    """speech.flac: STFT -> ISTFT roundtrip + Welch PSD + CSM (device ops,
+    steady-state jitted)."""
+    import jax
+    import jax.numpy as jnp
+
+    import dsptoolbox_tpu as dsp
+    from dsptoolbox_tpu.ops.framing import reconstruct_framed_signal
+    from dsptoolbox_tpu.ops.spectral import csm_welch, stft, welch
+    from dsptoolbox_tpu.ops.windows import get_window
+    from dsptoolbox_tpu.standard.enums import Window
+
+    s = dsp.Signal(f"{EXAMPLE}/speech.flac")
+    x = jnp.asarray(np.asarray(s.time_data).T.astype(np.float32))
+    fs = s.sampling_rate_hz
+    T = x.shape[-1]
+    wl = 1024
+    step = wl // 2
+    win = get_window(Window.Hann, wl, symmetric=False)
+
+    @jax.jit
+    def run(x):
+        _, _, S = stft(
+            x, sampling_rate_hz=fs, window_length_samples=wl,
+            overlap_percent=50.0,
+        )
+        frames = jnp.fft.irfft(S, n=wl, axis=-1)
+        y = reconstruct_framed_signal(
+            frames, step, win, original_signal_length=T
+        )
+        psd = welch(
+            x, None, sampling_rate_hz=fs, window_length_samples=wl,
+        )
+        x2 = jnp.concatenate([x, y[..., :T].reshape(x.shape)], axis=0)
+        _, C = csm_welch(
+            x2, sampling_rate_hz=fs, window_length_samples=wl
+        )
+        return y, psd, C
+
+    dt = timeit(lambda: run(x))
+    audio_s = T / fs
+    return {
+        "config": 2,
+        "metric": "STFT+ISTFT+Welch+CSM",
+        "value": round(audio_s / dt, 1),
+        "unit": "x realtime per chip (fp32)",
+        "seconds_per_iter": round(dt, 5),
+    }
+
+
+def config3_filterbanks():
+    """fuer_elise.wav: LR crossover + gammatone filtering + polyphase
+    resampling, batched over channels."""
+    import jax.numpy as jnp
+
+    import dsptoolbox_tpu as dsp
+    from dsptoolbox_tpu.standard.enums import FilterBankMode
+
+    s = dsp.Signal(f"{EXAMPLE}/fuer_elise.wav")
+    fs = s.sampling_rate_hz
+    fb = dsp.filterbanks.linkwitz_riley_crossovers(
+        [250.0, 1000.0, 4000.0], [4, 4, 4], sampling_rate_hz=fs
+    )
+    gt = dsp.filterbanks.auditory_filters_gammatone(
+        [500.0, 4000.0], sampling_rate_hz=fs
+    )
+
+    def run():
+        mb = fb.filter_signal(s, FilterBankMode.Parallel)
+        gt_bands = gt.filter_signal(s, FilterBankMode.Parallel)
+        r = dsp.resample(s, fs // 3)
+        return (
+            mb.bands[0].time_data_jax,
+            gt_bands.bands[0].time_data_jax,
+            r.time_data_jax,
+        )
+
+    dt = timeit(run, n_iters=5)
+    audio_s = s.length_samples / fs
+    return {
+        "config": 3,
+        "metric": "LR4 3-way + gammatone + resample E2E",
+        "value": round(audio_s / dt, 1),
+        "unit": "x realtime per chip (library E2E incl. host)",
+        "seconds_per_iter": round(dt, 4),
+    }
+
+
+def config4_rir_battery(n_rirs=1000):
+    """rir.wav-style battery: D50/C80/center-time/T20 over a batch of
+    synthetic RIRs (batched device kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsptoolbox_tpu.room_acoustics import batch_descriptors
+
+    fs = 16000
+    T = fs // 2
+    rng = np.random.default_rng(0)
+    t = np.arange(T) / fs
+    decays = rng.uniform(3.0, 12.0, n_rirs)
+    rirs = (
+        rng.standard_normal((n_rirs, T)) * np.exp(-decays[:, None] * t)
+    ).astype(np.float32)
+    rirs[:, 0] = 1.0
+    rirs_j = jnp.asarray(rirs)
+
+    def run():
+        return batch_descriptors(rirs_j, fs)
+
+    dt = timeit(run)
+    return {
+        "config": 4,
+        "metric": "batched RIR descriptors (D50+C80+Ts+T20)",
+        "value": round(n_rirs / dt, 0),
+        "unit": "RIRs/s per chip",
+        "seconds_per_iter": round(dt, 5),
+    }
+
+
+def config5_beamforming():
+    """array.xml: DAS + MVDR beamforming map over a grid sweep (E2E)."""
+    import dsptoolbox_tpu as dsp
+    from dsptoolbox_tpu import beamforming as bf
+
+    ma = bf.MicArray.from_xml(f"{EXAMPLE}/array.xml")
+    xval = np.arange(-0.3, 0.3, 0.02)
+    yval = np.arange(-0.3, 0.3, 0.02)
+    grid = bf.Regular2DGrid(xval, yval, ["x", "y"], value3=0.5)
+    src = bf.MonopoleSource(
+        dsp.generators.noise(
+            length_seconds=0.5,
+            sampling_rate_hz=16000,
+        ),
+        [0.1, -0.1, 0.5],
+    )
+    sig = src.get_signals_on_array(ma)
+    st = bf.SteeringVector(formulation=bf.SteeringVectorType.TrueLocation)
+
+    das = bf.BeamformerDASFrequency(sig, ma, grid, st)
+
+    def run_das():
+        return das.get_beamformer_map(
+            2000, 3, remove_csm_diagonal=True
+        )
+
+    dt_das = timeit(run_das, n_iters=3, warmup=1)
+
+    mvdr = bf.BeamformerMVDR(sig, ma, grid, st)
+
+    def run_mvdr():
+        return mvdr.get_beamformer_map(2000, 3)
+
+    dt_mvdr = timeit(run_mvdr, n_iters=3, warmup=1)
+    n_points = len(xval) * len(yval)
+    return {
+        "config": 5,
+        "metric": "DAS + MVDR map (1/3-octave @2kHz, "
+        f"{n_points} grid points, {ma.number_of_points} mics)",
+        "value": round(n_points / dt_das, 0),
+        "unit": "DAS grid-points/s per chip",
+        "das_seconds_per_map": round(dt_das, 4),
+        "mvdr_seconds_per_map": round(dt_mvdr, 4),
+    }
+
+
+def _install_reference():
+    """Make the reference package importable without an audio stack (same
+    approach as tests/conftest.py, but without touching jax config)."""
+    import types
+
+    if "soundfile" not in sys.modules:
+        sf = types.ModuleType("soundfile")
+
+        def read(path, **kw):
+            import dsptoolbox_tpu.io as dtio
+
+            data, fs = dtio.read_audio(path)
+            return data, fs
+
+        sf.read = read
+        sf.write = lambda *a, **k: None
+        sys.modules["soundfile"] = sf
+    if "sounddevice" not in sys.modules:
+        sd = types.ModuleType("sounddevice")
+        sd.default = types.SimpleNamespace(
+            device=None, samplerate=None, blocksize=None, latency=None
+        )
+        sd.DeviceList = list
+        sd.query_devices = lambda *a, **k: []
+        sd.playrec = sd.play = sd.rec = lambda *a, **k: None
+        sd.sleep = lambda ms: None
+        sd.CallbackStop = type("CallbackStop", (Exception,), {})
+        sd.OutputStream = object
+        sys.modules["sounddevice"] = sd
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import dsptoolbox as ref
+
+    return ref
+
+
+def _time_host(fn, n_iters=3, warmup=1):
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        fn()
+    return (time.perf_counter() - t0) / n_iters
+
+
+def reference_oracles():
+    """Time the reference package (pure numpy/scipy, f64) on the host CPU
+    for each config; prints one JSON line per config."""
+    ref = _install_reference()
+    results = []
+
+    # config 1
+    chirp = ref.Signal(f"{EXAMPLE}/chirp.wav")
+    rec = ref.Signal(f"{EXAMPLE}/chirp.wav")
+
+    def r1():
+        ir = ref.transfer_functions.spectral_deconvolve(
+            rec, chirp, padding=False, keep_original_length=True
+        )
+        return ref.transfer_functions.window_ir(ir, 2**14)
+
+    dt = _time_host(r1)
+    audio_s = chirp.time_data.shape[0] / chirp.sampling_rate_hz
+    results.append({
+        "config": 1, "reference_seconds_per_iter": round(dt, 4),
+        "reference_x_realtime": round(audio_s / dt, 1),
+    })
+
+    # config 2
+    s = ref.Signal(f"{EXAMPLE}/speech.flac")
+    s.set_spectrogram_parameters(window_length_samples=1024)
+
+    def r2():
+        t, f, S = s.get_spectrogram()
+        y = ref.transforms.istft(S, original_signal=s)
+        f2, sp = s.get_spectrum(force_computation=True)
+        two = ref.append_signals([s, y])
+        return two.get_csm(force_computation=True)
+
+    dt = _time_host(r2)
+    audio_s = s.time_data.shape[0] / s.sampling_rate_hz
+    results.append({
+        "config": 2, "reference_seconds_per_iter": round(dt, 5),
+        "reference_x_realtime": round(audio_s / dt, 1),
+    })
+
+    # config 3
+    s3 = ref.Signal(f"{EXAMPLE}/fuer_elise.wav")
+    fs3 = s3.sampling_rate_hz
+    fb = ref.filterbanks.linkwitz_riley_crossovers(
+        [250.0, 1000.0, 4000.0], [4, 4, 4], sampling_rate_hz=fs3
+    )
+    gt = ref.filterbanks.auditory_filters_gammatone(
+        [500.0, 4000.0], sampling_rate_hz=fs3
+    )
+    from dsptoolbox.standard.enums import FilterBankMode as RefMode
+
+    def r3():
+        mb = fb.filter_signal(s3, RefMode.Parallel)
+        gtb = gt.filter_signal(s3, RefMode.Parallel)
+        return ref.resample(s3, fs3 // 3)
+
+    dt = _time_host(r3)
+    audio_s = s3.time_data.shape[0] / fs3
+    results.append({
+        "config": 3, "reference_seconds_per_iter": round(dt, 4),
+        "reference_x_realtime": round(audio_s / dt, 1),
+    })
+
+    # config 4 (time a 50-RIR slice of the 1000-RIR battery)
+    fs4 = 16000
+    T = fs4 // 2
+    rng = np.random.default_rng(0)
+    t4 = np.arange(T) / fs4
+    n_slice = 50
+    decays = rng.uniform(3.0, 12.0, n_slice)
+    rirs = rng.standard_normal((n_slice, T)) * np.exp(
+        -decays[:, None] * t4
+    )
+    rirs[:, 0] = 1.0
+    from dsptoolbox.room_acoustics.enums import RoomAcousticsDescriptor
+
+    def r4():
+        out = []
+        for n in range(n_slice):
+            rir_sig = ref.ImpulseResponse(None, rirs[n], fs4)
+            out.append([
+                ref.room_acoustics.descriptors(
+                    rir_sig, RoomAcousticsDescriptor.D50
+                ),
+                ref.room_acoustics.descriptors(
+                    rir_sig, RoomAcousticsDescriptor.C80
+                ),
+                ref.room_acoustics.descriptors(
+                    rir_sig, RoomAcousticsDescriptor.CenterTime
+                ),
+            ])
+        return out
+
+    dt = _time_host(r4, n_iters=1, warmup=1)
+    results.append({
+        "config": 4, "reference_rirs_per_s": round(n_slice / dt, 1),
+    })
+
+    # config 5
+    ma = ref.beamforming.MicArray(f"{EXAMPLE}/array.xml")
+    xval = np.arange(-0.3, 0.3, 0.02)
+    yval = np.arange(-0.3, 0.3, 0.02)
+    grid = ref.beamforming.Regular2DGrid(
+        xval, yval, ["x", "y"], value3=0.5
+    )
+    src = ref.beamforming.MonopoleSource(
+        ref.generators.noise(
+            length_seconds=0.5, sampling_rate_hz=16000
+        ),
+        [0.1, -0.1, 0.5],
+    )
+    sig5 = src.get_signals_on_array(ma)
+    st = ref.beamforming.SteeringVector(
+        formulation=ref.beamforming.SteeringVectorType.TrueLocation
+    )
+    das = ref.beamforming.BeamformerDASFrequency(sig5, ma, grid, st)
+
+    def r5():
+        return das.get_beamformer_map(2000, 3, remove_csm_diagonal=True)
+
+    dt = _time_host(r5, n_iters=1, warmup=1)
+    results.append({
+        "config": 5,
+        "reference_das_seconds_per_map": round(dt, 3),
+        "reference_das_grid_points_per_s": round(
+            len(xval) * len(yval) / dt, 1
+        ),
+    })
+
+    for r in results:
+        print(json.dumps(r), flush=True)
+    return results
+
+
+def main():
+    if "--cpu" in sys.argv:
+        # the environment's sitecustomize pins an experimental TPU backend;
+        # env vars alone don't override it
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if "--ref" in sys.argv:
+        return reference_oracles()
+    results = []
+    for fn in (
+        config1_deconvolution,
+        config2_stft_welch_csm,
+        config3_filterbanks,
+        config4_rir_battery,
+        config5_beamforming,
+    ):
+        try:
+            r = fn()
+        except Exception as e:  # keep the suite running
+            r = {"config": fn.__name__, "error": f"{type(e).__name__}: {e}"}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()
