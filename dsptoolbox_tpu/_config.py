@@ -68,10 +68,18 @@ def _complex_transfer_broken() -> bool:
     return _COMPLEX_TRANSFER_BROKEN
 
 
+def _split_complex(v):
+    return (v.real, v.imag)
+
+
+_SPLIT_COMPLEX_JIT = None
+
+
 def to_host(x):
     """Materialize a device array to numpy, complex-safe on backends with
     broken complex transfers: the split into (real, imag) happens inside
     one jitted program so only real buffers cross the boundary."""
+    global _SPLIT_COMPLEX_JIT
     import numpy as np
 
     import jax
@@ -81,8 +89,120 @@ def to_host(x):
         return np.asarray(x)
     if not _complex_transfer_broken():
         return np.asarray(x)
-    re, im = jax.jit(lambda v: (v.real, v.imag))(x)
+    if _SPLIT_COMPLEX_JIT is None:
+        # module-level jit: one compile per shape, not one per call
+        _SPLIT_COMPLEX_JIT = jax.jit(_split_complex)
+    re, im = _SPLIT_COMPLEX_JIT(x)
     return np.asarray(re) + 1j * np.asarray(im)
+
+
+class _Unfreezable(Exception):
+    """Raised when a closure value cannot be turned into a cache key."""
+
+
+def _freeze_value(v):
+    """Deterministic hashable token for a value captured in a closure.
+
+    Library call sites pass locally-defined lambdas to
+    :func:`run_jitted_complex`; a fresh function object per call would
+    defeat jax.jit's cache (function identity is part of its key) and force
+    a recompile on *every* call — seconds per op on the tunneled TPU. Two
+    lambdas with the same code object and equal captured values denote the
+    same program, so their frozen closures may share one compiled program.
+    """
+    import enum
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    # enums first: IntEnum subclasses int and would alias as a bare scalar
+    if isinstance(v, enum.Enum):
+        return ("enum", type(v).__qualname__, v.name)
+    if isinstance(v, (int, float, bool, str, bytes, complex, type(None))):
+        return v
+    if isinstance(v, np.ndarray):
+        b = np.ascontiguousarray(v).tobytes()
+        return ("nd", v.shape, str(v.dtype), len(b), hash(b))
+    if isinstance(v, jnp.ndarray):
+        if jnp.iscomplexobj(v) and _complex_transfer_broken():
+            raise _Unfreezable  # cannot pull it to host to hash it
+        b = np.ascontiguousarray(np.asarray(v)).tobytes()
+        return ("jd", v.shape, str(v.dtype), len(b), hash(b))
+    if isinstance(v, (tuple, list)):
+        return (type(v).__name__,) + tuple(_freeze_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(
+            sorted((str(k), _freeze_value(x)) for k, x in v.items())
+        )
+    if callable(v) and hasattr(v, "__code__"):
+        return _freeze_function(v)
+    # generic objects (closures capturing `self`): type + instance dict.
+    # Mutating the object changes the key, forcing a correct retrace.
+    d = getattr(v, "__dict__", None)
+    if d is not None:
+        return (
+            "obj",
+            type(v).__module__,
+            type(v).__qualname__,
+            _freeze_value(d),
+        )
+    raise _Unfreezable
+
+
+def _freeze_function(fn):
+    """Key a function by code object + frozen closure + frozen defaults."""
+    import functools
+
+    if isinstance(fn, functools.partial):
+        return (
+            "partial",
+            _freeze_function(fn.func),
+            tuple(_freeze_value(a) for a in fn.args),
+            tuple(
+                sorted(
+                    (k, _freeze_value(v)) for k, v in fn.keywords.items()
+                )
+            ),
+        )
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        raise _Unfreezable
+    cells = getattr(fn, "__closure__", None) or ()
+    try:
+        frozen_cells = tuple(_freeze_value(c.cell_contents) for c in cells)
+    except ValueError:  # empty cell
+        raise _Unfreezable
+    defaults = getattr(fn, "__defaults__", None) or ()
+    # bound methods share code+closure across instances; the receiver is
+    # part of the program
+    bound_self = getattr(fn, "__self__", None)
+    # the code object itself is the identity token (hashable; holding it in
+    # the key also keeps it alive, so ids cannot be recycled)
+    return (
+        "fn",
+        code,
+        frozen_cells,
+        tuple(_freeze_value(d) for d in defaults),
+        _freeze_value(bound_self) if bound_self is not None else None,
+    )
+
+
+_RJC_CACHE: "dict" = {}
+_RJC_CACHE_MAX = 512
+
+
+def _rjc_cache_get(key):
+    entry = _RJC_CACHE.pop(key, None)
+    if entry is not None:
+        _RJC_CACHE[key] = entry  # re-insert: LRU order
+    return entry
+
+
+def _rjc_cache_put(key, entry) -> None:
+    _RJC_CACHE[key] = entry
+    while len(_RJC_CACHE) > _RJC_CACHE_MAX:
+        _RJC_CACHE.pop(next(iter(_RJC_CACHE)))
 
 
 def run_jitted_complex(fn, *args):
@@ -94,55 +214,84 @@ def run_jitted_complex(fn, *args):
     results is materialized with complex-safe transfers. Use this to wrap
     eager complex pipelines for backends where complex buffers cannot
     cross the host boundary; on healthy backends it is a plain jit call.
+
+    Compiled programs are cached across calls even for locally-defined
+    lambdas: the cache key is the code object plus frozen captured values
+    (see :func:`_freeze_value`), so repeated library calls do not retrace.
     """
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
-    if not _complex_transfer_broken():
-        out = jax.jit(fn)(*args)
-        return jax.tree_util.tree_map(np.asarray, out)
+    broken = _complex_transfer_broken()
 
     split_args = []
     spec = []
     for a in args:
         a_np = a if isinstance(a, jnp.ndarray) else np.asarray(a)
-        if np.iscomplexobj(a_np) and not isinstance(a_np, jnp.ndarray):
+        if (
+            broken
+            and np.iscomplexobj(a_np)
+            and not isinstance(a_np, jnp.ndarray)
+        ):
             split_args.extend([np.real(a_np), np.imag(a_np)])
             spec.append(True)
         else:
             split_args.append(a_np)
             spec.append(False)
 
-    meta: dict = {}
+    try:
+        key = (
+            _freeze_function(fn),
+            tuple(spec),
+            tuple(
+                (a.shape, str(a.dtype)) for a in split_args
+            ),
+            broken,
+        )
+    except (_Unfreezable, RecursionError):
+        key = None
 
-    def wrapper(*flat):
-        rebuilt = []
-        it = iter(flat)
-        for is_c in spec:
-            if is_c:
-                re = next(it)
-                rebuilt.append(re + 1j * next(it))
-            else:
-                rebuilt.append(next(it))
-        out = fn(*rebuilt)
-        leaves, treedef = jax.tree_util.tree_flatten(out)
-        flags = [bool(jnp.iscomplexobj(v)) for v in leaves]
-        meta["treedef"] = treedef
-        meta["flags"] = flags
-        expanded = []
-        for v, is_c in zip(leaves, flags):
-            if is_c:
-                expanded.extend([v.real, v.imag])
-            else:
-                expanded.append(v)
-        return tuple(expanded)
+    entry = _rjc_cache_get(key) if key is not None else None
+    if entry is None:
+        meta: dict = {}
 
-    res = jax.jit(wrapper)(*split_args)
+        def wrapper(*flat):
+            rebuilt = []
+            it = iter(flat)
+            for is_c in spec:
+                if is_c:
+                    re = next(it)
+                    rebuilt.append(re + 1j * next(it))
+                else:
+                    rebuilt.append(next(it))
+            out = fn(*rebuilt)
+            leaves, treedef = jax.tree_util.tree_flatten(out)
+            flags = [bool(jnp.iscomplexobj(v)) for v in leaves]
+            meta["treedef"] = treedef
+            meta["flags"] = flags
+            expanded = []
+            split_out = []
+            for v, is_c in zip(leaves, flags):
+                if is_c and broken:
+                    expanded.extend([v.real, v.imag])
+                    split_out.append(True)
+                else:
+                    expanded.append(v)
+                    split_out.append(False)
+            meta["split_out"] = split_out
+            return tuple(expanded)
+
+        entry = {"jitted": jax.jit(wrapper), "meta": meta}
+        if key is not None:
+            _rjc_cache_put(key, entry)
+
+    res = entry["jitted"](*split_args)
+    meta = entry["meta"]
     out_leaves = []
     it = iter(res)
-    for is_c in meta["flags"]:
+    for is_c in meta["split_out"]:
         if is_c:
             re = np.asarray(next(it))
             out_leaves.append(re + 1j * np.asarray(next(it)))

@@ -409,18 +409,27 @@ class Signal(MultichannelData):
 
         p = self._spectrum_parameters
         if self.spectrum_method == SpectrumMethod.WelchPeriodogram:
+            # capture only freezable locals (no `self`) so
+            # run_jitted_complex can reuse the compiled program across calls
+            fs_hz = self.sampling_rate_hz
+            wl = p["window_length_samples"]
+            wt = p["window_type"]
+            ol = p["overlap_percent"]
+            det = p["detrend"]
+            avg = p["average"]
+            scal = p["scaling"]
 
             def _welch_sp(td):
                 return welch(
                     td.T,
                     None,
-                    sampling_rate_hz=self.sampling_rate_hz,
-                    window_length_samples=p["window_length_samples"],
-                    window_type=p["window_type"],
-                    overlap_percent=p["overlap_percent"],
-                    detrend=p["detrend"],
-                    average=p["average"],
-                    scaling=p["scaling"],
+                    sampling_rate_hz=fs_hz,
+                    window_length_samples=wl,
+                    window_type=wt,
+                    overlap_percent=ol,
+                    detrend=det,
+                    average=avg,
+                    scaling=scal,
                 ).T
 
             if _complex_transfer_broken():
@@ -447,6 +456,17 @@ class Signal(MultichannelData):
                 else self.length_samples
             )
 
+            # capture only freezable locals (no `self`) so the compiled
+            # program is reused across calls (see _config._freeze_value)
+            fft_norm = self.spectrum_scaling.fft_norm()
+            smoothing = p["smoothing"]
+            scaling = self.spectrum_scaling
+            has_phys = scaling.has_physical_units()
+            fs_hz = self.sampling_rate_hz
+            win = np.asarray(self.window) if hasattr(
+                self, "window"
+            ) and self.window is not None else None
+
             def _fft_spectrum(*td_parts):
                 td = (
                     td_parts[0]
@@ -456,31 +476,31 @@ class Signal(MultichannelData):
                 sp = jnp.fft.rfft(
                     td.T,
                     axis=-1,
-                    norm=self.spectrum_scaling.fft_norm(),
+                    norm=fft_norm,
                     n=fft_length,
                 ).T
-                if p["smoothing"] != 0:
+                if smoothing != 0:
                     from ..helpers.smoothing import (
                         fractional_octave_smoothing,
                     )
 
                     mag = fractional_octave_smoothing(
-                        jnp.abs(sp), None, p["smoothing"], clip_values=True
+                        jnp.abs(sp), None, smoothing, clip_values=True
                     )
                     ph = fractional_octave_smoothing(
                         jnp.unwrap(jnp.angle(sp), axis=0), None,
-                        p["smoothing"],
+                        smoothing,
                     )
                     sp = mag * jnp.exp(1j * ph)
-                if self.spectrum_scaling.has_physical_units():
+                if has_phys:
                     from ..helpers.spectrum_utilities import scale_spectrum
 
                     sp = scale_spectrum(
                         sp,
-                        self.spectrum_scaling,
+                        scaling,
                         fft_length,
-                        self.sampling_rate_hz,
-                        getattr(self, "window", None),
+                        fs_hz,
+                        win,
                     )
                 return sp
 
@@ -518,17 +538,26 @@ class Signal(MultichannelData):
 
         p = self._spectrum_parameters
         if self.spectrum_method == SpectrumMethod.WelchPeriodogram:
+            # freezable-locals-only closure: lets run_jitted_complex reuse
+            # the compiled program across calls
+            fs_hz = self.sampling_rate_hz
+            wl = p["window_length_samples"]
+            wt = p["window_type"]
+            ol = p["overlap_percent"]
+            det = p["detrend"]
+            avg = p["average"]
+            scal = p["scaling"]
 
             def _csm(td):
                 return csm_welch(
                     td.T,
-                    sampling_rate_hz=self.sampling_rate_hz,
-                    window_length_samples=p["window_length_samples"],
-                    window_type=p["window_type"],
-                    overlap_percent=p["overlap_percent"],
-                    detrend=p["detrend"],
-                    average=p["average"],
-                    scaling=p["scaling"],
+                    sampling_rate_hz=fs_hz,
+                    window_length_samples=wl,
+                    window_type=wt,
+                    overlap_percent=ol,
+                    detrend=det,
+                    average=avg,
+                    scaling=scal,
                 )
 
             if _complex_transfer_broken():
@@ -543,12 +572,16 @@ class Signal(MultichannelData):
             self._spectrum_parameters["scaling"] = old_scaling
             self._cache.pop("spectrum", None)
 
+            win = getattr(self, "window", None)
+            win = np.asarray(win) if win is not None else None
+            fs_hz = self.sampling_rate_hz
+
             def _csm_fft(sp_in):
                 return csm_from_spectrum(
                     sp_in,
                     old_scaling,
-                    getattr(self, "window", None),
-                    self.sampling_rate_hz,
+                    win,
+                    fs_hz,
                 )
 
             if _complex_transfer_broken():
@@ -567,17 +600,27 @@ class Signal(MultichannelData):
         p = self._spectrogram_parameters
         from .._config import _complex_transfer_broken, run_jitted_complex
 
+        # freezable-locals-only closure (program reuse across calls)
+        fs_hz = self.sampling_rate_hz
+        wl = p["window_length_samples"]
+        wt = p["window_type"]
+        ol = p["overlap_percent"]
+        fl = p["fft_length_samples"]
+        det = p["detrend"]
+        pad = p["padding"]
+        scal = p["scaling"]
+
         def _stft(td):
             t, f, S = stft(
                 td.T,
-                sampling_rate_hz=self.sampling_rate_hz,
-                window_length_samples=p["window_length_samples"],
-                window_type=p["window_type"],
-                overlap_percent=p["overlap_percent"],
-                fft_length_samples=p["fft_length_samples"],
-                detrend=p["detrend"],
-                padding=p["padding"],
-                scaling=p["scaling"],
+                sampling_rate_hz=fs_hz,
+                window_length_samples=wl,
+                window_type=wt,
+                overlap_percent=ol,
+                fft_length_samples=fl,
+                detrend=det,
+                padding=pad,
+                scaling=scal,
             )
             # (C, frames, F) -> (F, frames, C)
             return t, f, jnp.transpose(S, (2, 1, 0))
