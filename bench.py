@@ -13,12 +13,25 @@ The baseline target from BASELINE.json is >=1000x realtime per chip (fp32,
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the tunneled backend can take minutes to
+# compile the pipeline; warm runs then load the executable from disk.
+_CACHE_DIR = os.environ.get(
+    "DSPTB_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass  # older jax without these flags
 
 
 def build_pipeline(sos_bank, _unused_reg, T):
@@ -39,9 +52,14 @@ def build_pipeline(sos_bank, _unused_reg, T):
     ]
     bank_ops = sosfilt_bank_operators(np.stack(padded), T)
 
-    # TPU FFTs want power-of-two lengths: pad the deconvolution FFT to the
-    # next power of two (also upgrades circular to linear deconvolution)
-    P = 1 << (T - 1).bit_length()
+    # Pad the deconvolution FFT to a TPU-fast length: 3*2^k beats the next
+    # power of two when it is smaller (measured 5.7 vs 6.2 ms for the
+    # 16x384000 rfft+irfft pair on v5e); other mixed radices are 2x slower.
+    pow2 = 1 << (T - 1).bit_length()
+    three = 3
+    while three < T:
+        three <<= 1
+    P = min(pow2, three)
 
     def pipeline(x, excitation_spectrum_padded, reg_padded):
         # x: (batch, T) audio at 48 kHz
