@@ -205,9 +205,14 @@ def _rjc_cache_put(key, entry) -> None:
         _RJC_CACHE.pop(next(iter(_RJC_CACHE)))
 
 
-def run_jitted_complex(fn, *args):
+def run_jitted_complex(fn, *args, materialize: bool = True):
     """Run ``fn(*args)`` as one jitted program whose complex results are
     returned to the host safely.
+
+    With ``materialize=False`` real result leaves stay device arrays
+    (complex leaves are still recombined host-side when the backend cannot
+    transfer them — producers that must stay fully on-device should return
+    real/imag parts as separate leaves).
 
     ``args`` may be numpy/real device arrays (complex numpy inputs are
     split host-side and recombined inside the program). The pytree of
@@ -295,6 +300,11 @@ def run_jitted_complex(fn, *args):
         if is_c:
             re = np.asarray(next(it))
             out_leaves.append(re + 1j * np.asarray(next(it)))
-        else:
+        elif materialize:
             out_leaves.append(np.asarray(next(it)))
+        else:
+            # keep real leaves on the device: device→host runs at
+            # ~15 MB/s on the tunneled backend, so callers that continue
+            # on-device must not pay a transfer here
+            out_leaves.append(next(it))
     return jax.tree_util.tree_unflatten(meta["treedef"], out_leaves)

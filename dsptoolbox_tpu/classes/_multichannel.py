@@ -27,12 +27,18 @@ class MultichannelData(ABC):
     @abstractmethod
     def _update_state(self) -> None: ...
 
+    def _data_shape(self) -> tuple:
+        """Shape of the underlying data. Subclasses backed by a device
+        array override this to avoid materializing the data host-side
+        just to read its shape."""
+        return self._get_data().shape
+
     @property
     def number_of_channels(self) -> int:
-        return self._get_data().shape[-1]
+        return self._data_shape()[-1]
 
     def __len__(self):
-        return self._get_data().shape[0]
+        return self._data_shape()[0]
 
     def remove_channel(self, channel_number: int = -1):
         """Remove one channel in place."""

@@ -130,7 +130,27 @@ def group_delay_filter(ba, length_samples: int = 512, fs_hz: int = 48000):
 
 def _replace_channels(signal, y, channels, warn_complex: bool):
     """Insert filtered channels ``y (T, len(channels))`` back into a copy of
-    ``signal``; complex output goes to time_data_imaginary with a warning."""
+    ``signal``; complex output goes to time_data_imaginary with a warning.
+
+    ``y`` may be a (T, C) device pair ``DeviceTimeData`` for the
+    full-channel case — then the result stays device-resident (the
+    tunneled backend moves device→host at ~15 MB/s, so per-band host
+    assembly dominated filter-bank E2E time)."""
+    from .signal import DeviceTimeData
+
+    channels_np = np.asarray(channels)
+    full = (
+        channels_np.shape[0] == signal.number_of_channels
+        and np.array_equal(channels_np, np.arange(channels_np.shape[0]))
+    )
+    if isinstance(y, DeviceTimeData):
+        assert full, "device-pair replacement requires all channels"
+        if y.imag is not None and warn_complex:
+            warn(
+                "Filter output is complex. Imaginary part is saved in "
+                "Signal as time_data_imaginary"
+            )
+        return signal.copy_with_new_time_data(y)
     if np.iscomplexobj(y):
         # host-side assembly: complex buffers cannot cross the device
         # boundary on tunneled backends
@@ -142,11 +162,13 @@ def _replace_channels(signal, y, channels, warn_complex: bool):
         from .._config import to_host
 
         new_td = np.asarray(signal.time_data).astype(np.complex128)
-        new_td[:, np.asarray(channels)] = to_host(y)
+        new_td[:, channels_np] = to_host(y)
         return signal.copy_with_new_time_data(new_td)
+    if full and isinstance(y, jnp.ndarray):
+        return signal.copy_with_new_time_data(y)
     new_td = jnp.asarray(signal.time_data)
     new_td = new_td.at[:, jnp.asarray(channels)].set(y)
-    return signal.copy_with_new_time_data(np.asarray(new_td))
+    return signal.copy_with_new_time_data(new_td)
 
 
 def filter_on_signal(

@@ -8,6 +8,7 @@ from __future__ import annotations
 from copy import deepcopy
 from pickle import HIGHEST_PROTOCOL, dump
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..helpers.other import check_format_in_path
@@ -15,6 +16,87 @@ from ..standard.enums import FilterBankMode
 from .filter import Filter
 from .multibandsignal import MultiBandSignal
 from .signal import Signal
+
+
+def _sos_bank_or_none(filters: list) -> "np.ndarray | None":
+    """Stacked ``(B, S_max, 6)`` cascade bank when every filter is SOS and
+    the bank is dtype-homogeneous (all real or all complex, so no band is
+    silently promoted); shorter cascades are padded with exact identity
+    sections. ``None`` when the bank cannot be stacked."""
+    if not filters or not all(
+        getattr(f, "has_sos", False) for f in filters
+    ):
+        return None
+    sos_list = [np.asarray(f.sos) for f in filters]
+    flags = [np.iscomplexobj(s) for s in sos_list]
+    if any(flags) and not all(flags):
+        return None
+    identity = np.array([1.0, 0, 0, 1.0, 0, 0])
+    if flags[0]:
+        identity = identity.astype(np.complex128)
+    max_s = max(s.shape[0] for s in sos_list)
+    return np.stack(
+        [
+            np.vstack([s] + [identity[None]] * (max_s - s.shape[0]))
+            for s in sos_list
+        ]
+    )
+
+
+def _banked_filter_apply(
+    signal: Signal, bank: "np.ndarray", summed: bool = False
+):
+    """All bands in ONE cached jitted program on the device: the 16-band
+    gammatone (or N-way crossover) runs as a single band-batched blocked-IIR
+    dispatch instead of one program per filter — the per-dispatch tunnel
+    latency made the per-filter loop ~10x slower E2E.
+
+    Returns per-band ``(real (T, C), imag (T, C) | None)`` device pairs (a
+    single pair when ``summed``); the data never leaves the device — the
+    tunneled backend's ~15 MB/s device→host path made host assembly the
+    filter-bank bottleneck, and complex buffers cannot cross it at all."""
+    from .._config import run_jitted_complex
+    from ..ops.iir_block import sosfilt_bank_apply, sosfilt_bank_operators
+
+    x = signal.time_data_jax.T  # (C, T)
+    ops = sosfilt_bank_operators(bank, x.shape[-1])
+
+    def fn(xv):
+        y = sosfilt_bank_apply(ops, xv)  # (B, C, T)
+        if summed:
+            y = jnp.sum(y, axis=0)  # (C, T)
+            yt = y.T
+            if jnp.iscomplexobj(yt):
+                peak = jnp.maximum(
+                    jnp.max(jnp.abs(yt.real)), jnp.max(jnp.abs(yt.imag))
+                )
+                return (yt.real, yt.imag), peak
+            return (yt, None), jnp.max(jnp.abs(yt))
+        yt = jnp.swapaxes(y, -1, -2)  # (B, T, C)
+        if jnp.iscomplexobj(yt):
+            # per-band max(|re|, |im|) — the amplitude-constraint peaks for
+            # the whole bank in one (B,) fetch instead of B scalar fetches
+            peaks = jnp.maximum(
+                jnp.max(jnp.abs(yt.real), axis=(1, 2)),
+                jnp.max(jnp.abs(yt.imag), axis=(1, 2)),
+            )
+            return (
+                tuple(
+                    (yt[b].real, yt[b].imag) for b in range(yt.shape[0])
+                ),
+                peaks,
+            )
+        peaks = jnp.max(jnp.abs(yt), axis=(1, 2))
+        return tuple((yt[b], None) for b in range(yt.shape[0])), peaks
+
+    pairs, peaks = run_jitted_complex(fn, x, materialize=False)
+    peaks = np.atleast_1d(np.asarray(peaks))
+    if summed:
+        re, im = pairs
+        return re, im, float(peaks[0])
+    return [
+        (re, im, float(peaks[b])) for b, (re, im) in enumerate(pairs)
+    ]
 
 
 def filterbank_on_signal(
@@ -27,8 +109,35 @@ def filterbank_on_signal(
 ):
     """Apply a list of filters in the selected mode
     (`classes/filter_helpers.py:385-451`)."""
+    from .filter_helpers import _replace_channels
+
     n_filt = len(filters)
+    bankable = (
+        not activate_zi
+        and not zero_phase
+        and same_sampling_rate
+        and n_filt > 1
+    )
     if mode == FilterBankMode.Parallel:
+        if bankable:
+            bank = _sos_bank_or_none(filters)
+            if bank is not None:
+                triples = _banked_filter_apply(signal, bank)
+                channels = np.arange(signal.number_of_channels)
+                from .signal import DeviceTimeData
+
+                bands = [
+                    _replace_channels(
+                        signal,
+                        DeviceTimeData(re, im, peak),
+                        channels,
+                        filters[b].warning_if_complex,
+                    )
+                    for b, (re, im, peak) in enumerate(triples)
+                ]
+                return MultiBandSignal(
+                    bands, same_sampling_rate=same_sampling_rate
+                )
         bands = [
             filters[n].filter_signal(
                 signal, activate_zi=activate_zi, zero_phase=zero_phase
@@ -44,6 +153,17 @@ def filterbank_on_signal(
             )
         return out_sig
     if mode == FilterBankMode.Summed:
+        if bankable:
+            bank = _sos_bank_or_none(filters)
+            if bank is not None:
+                re, im, peak = _banked_filter_apply(
+                    signal, bank, summed=True
+                )
+                from .signal import DeviceTimeData
+
+                return signal.copy_with_new_time_data(
+                    DeviceTimeData(re, im, peak)
+                )
         total = None
         for n in range(n_filt):
             s = filters[n].filter_signal(

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from copy import deepcopy
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..helpers.gain_and_level import to_db
@@ -40,13 +41,13 @@ class ImpulseResponse(Signal):
     def from_signal(signal: Signal) -> "ImpulseResponse":
         ir = ImpulseResponse(
             None,
-            signal.time_data,
+            signal.time_data_jax,  # device-resident, no host round trip
             signal.sampling_rate_hz,
             signal.constrain_amplitude,
         )
         ir.calibrated_signal = signal.calibrated_signal
-        if signal.time_data_imaginary is not None:
-            ir.time_data_imaginary = signal.time_data_imaginary
+        if signal.is_complex_signal:
+            ir.time_data_imaginary = signal._time_data_imag
         return ir
 
     @staticmethod
@@ -215,8 +216,12 @@ class ImpulseResponse(Signal):
         return fig, ax
 
     def copy_with_new_time_data(self, new_time_data) -> "ImpulseResponse":
+        from .signal import DeviceTimeData
+
+        if not isinstance(new_time_data, (jnp.ndarray, DeviceTimeData)):
+            new_time_data = np.asarray(new_time_data)
         new_signal = ImpulseResponse.from_time_data(
-            np.asarray(new_time_data),
+            new_time_data,
             self.sampling_rate_hz,
             self.constrain_amplitude,
         )

@@ -46,7 +46,7 @@ class MultiBandSignal:
         if new_bands:
             self.__number_of_channels = new_bands[0].number_of_channels
             sr = []
-            complex_data = new_bands[0].time_data_imaginary is not None
+            complex_data = new_bands[0].is_complex_signal
             for s in new_bands:
                 assert isinstance(s, Signal), (
                     f"{type(s)} is not a valid band type. Use Signal objects"
@@ -55,7 +55,7 @@ class MultiBandSignal:
                     "Signals have different number of channels. This "
                     "behaviour is not supported"
                 )
-                assert (s.time_data_imaginary is not None) == complex_data, (
+                assert s.is_complex_signal == complex_data, (
                     "Some bands have imaginary time data and others do "
                     "not. This behavior is not supported."
                 )
@@ -122,7 +122,7 @@ class MultiBandSignal:
 
     @property
     def is_complex_signal(self) -> bool:
-        return self.bands[0].time_data_imaginary is not None
+        return self.bands[0].is_complex_signal
 
     def __len__(self):
         return self.number_of_bands
@@ -192,15 +192,21 @@ class MultiBandSignal:
         assert self.same_sampling_rate, (
             "Collapsing is only available for same sampling rate bands"
         )
+        from .signal import DeviceTimeData, _dev_jit
+
+        add = _dev_jit("add", lambda a, b: a + b)
+        total = self.bands[0]._time_data
+        for b in self.bands[1:]:
+            total = add(total, b._time_data)
         if not self.is_complex_signal:
-            total = self.bands[0].time_data.copy()
-            for b in self.bands[1:]:
-                total = total + b.time_data
-        else:
-            total = np.zeros(self.bands[0].time_data.shape, dtype=np.complex128)
-            for b in self.bands:
-                total = total + b.time_data + 1j * b.time_data_imaginary
-        return self.bands[0].copy_with_new_time_data(total)
+            # device-resident sum: band data never crosses the host boundary
+            return self.bands[0].copy_with_new_time_data(total)
+        total_imag = self.bands[0]._time_data_imag
+        for b in self.bands[1:]:
+            total_imag = add(total_imag, b._time_data_imag)
+        return self.bands[0].copy_with_new_time_data(
+            DeviceTimeData(total, total_imag)
+        )
 
     # ======== Getters =======================================================
     def _band_class(self):

@@ -36,6 +36,37 @@ from ..standard.enums import (
 )
 from ._multichannel import MultichannelData
 
+from typing import NamedTuple
+
+
+class DeviceTimeData(NamedTuple):
+    """Real/imaginary device-array pair for device-resident Signal
+    construction. The tunneled TPU backend moves device→host at ~15 MB/s
+    and rejects complex transfers outright, so the class layer accepts
+    (real, imag) device arrays directly instead of a host complex buffer.
+
+    ``peak`` optionally carries the precomputed ``max(|real|, |imag|)`` so
+    the amplitude-constraint check needs no device fetch (a producing
+    program can reduce the peaks of a whole filter bank in one shot)."""
+
+    real: jnp.ndarray
+    imag: jnp.ndarray | None = None
+    peak: float | None = None
+
+
+# Cached device helpers for the setter fast path (module-level jits:
+# one compile per shape, not one per call).
+_DEV_JIT: dict = {}
+
+
+def _dev_jit(name, fn):
+    import jax
+
+    got = _DEV_JIT.get(name)
+    if got is None:
+        got = _DEV_JIT[name] = jax.jit(fn)
+    return got
+
 
 class Signal(MultichannelData):
     """General multichannel audio signal container backed by a device array.
@@ -112,8 +143,77 @@ class Signal(MultichannelData):
         """Time data ``(T, C)`` as the underlying jax device array."""
         return self._time_data
 
+    def _assign_device_time_data(self, data) -> None:
+        """Setter fast path: the arrays never leave the device (no host
+        round trip; semantics identical to the host path below)."""
+        peak_hint = None
+        if isinstance(data, DeviceTimeData):
+            td, td_imag, peak_hint = data.real, data.imag, data.peak
+        elif jnp.iscomplexobj(data):
+            td, td_imag = _dev_jit("split", lambda z: (z.real, z.imag))(data)
+        else:
+            td, td_imag = data, None
+        assert td.ndim <= 2, (
+            f"{td.ndim} are too many dimensions for time data. Dimensions "
+            "should be [time samples, channels]"
+        )
+        if td.ndim < 2:
+            td = td.reshape(-1, 1)
+        if td.shape[1] > td.shape[0]:
+            td = td.T
+        if td_imag is not None:
+            if td_imag.ndim < 2:
+                td_imag = td_imag.reshape(-1, 1)
+            if td_imag.shape[1] > td_imag.shape[0]:
+                td_imag = td_imag.T
+        scale = 1.0
+        if self.constrain_amplitude:
+            if peak_hint is not None:
+                peak = float(peak_hint)
+            elif td_imag is None:
+                peak = float(
+                    _dev_jit("peak1", lambda a: jnp.max(jnp.abs(a)))(td)
+                )
+            else:
+                peak = float(
+                    _dev_jit(
+                        "peak2",
+                        lambda a, b: jnp.maximum(
+                            jnp.max(jnp.abs(a)), jnp.max(jnp.abs(b))
+                        ),
+                    )(td, td_imag)
+                )
+            if peak > 1.0:
+                scale = 1.0 / peak
+                warn(
+                    "Signal was over 0 dBFS, normalizing to 0 dBFS "
+                    "peak level was triggered"
+                )
+                s32 = np.asarray(scale, np.float32)
+                mul = _dev_jit("scale", lambda a, s: a * s)
+                td = mul(td, s32)
+                if td_imag is not None:
+                    td_imag = mul(td_imag, s32)
+        self.__amplitude_scale_factor = scale
+        dt = default_float()
+        cast = _dev_jit(("cast", jnp.dtype(dt).name), lambda a: a.astype(dt))
+        self._time_data = td if td.dtype == dt else cast(td)
+        self._time_data_imag = (
+            None
+            if td_imag is None
+            else (td_imag if td_imag.dtype == dt else cast(td_imag))
+        )
+        self.clear_time_window()
+        self.__update_state()
+
     @time_data.setter
     def time_data(self, new_time_data):
+        if isinstance(new_time_data, DeviceTimeData) or (
+            isinstance(new_time_data, jnp.ndarray)
+            and not isinstance(new_time_data, np.ndarray)
+        ):
+            self._assign_device_time_data(new_time_data)
+            return
         td = np.atleast_2d(np.asarray(new_time_data)).squeeze()
         assert td.ndim <= 2, (
             f"{td.ndim} are too many dimensions for time data. Dimensions "
@@ -164,6 +264,23 @@ class Signal(MultichannelData):
     def time_data_imaginary(self, new_imag):
         if new_imag is None:
             self._time_data_imag = None
+        elif isinstance(new_imag, jnp.ndarray) and not isinstance(
+            new_imag, np.ndarray
+        ):
+            # device fast path: no host round trip
+            if new_imag.ndim < 2:
+                new_imag = new_imag.reshape(-1, 1)
+            if new_imag.shape[0] < new_imag.shape[1]:
+                new_imag = new_imag.T
+            assert new_imag.shape == self._time_data.shape, (
+                "Imaginary part must match time data shape"
+            )
+            dt = default_float()
+            if new_imag.dtype != dt:
+                new_imag = _dev_jit(
+                    ("cast", jnp.dtype(dt).name), lambda a: a.astype(dt)
+                )(new_imag)
+            self._time_data_imag = new_imag
         else:
             new_imag = np.atleast_2d(np.asarray(new_imag))
             if new_imag.shape[0] < new_imag.shape[1]:
@@ -955,8 +1072,10 @@ class Signal(MultichannelData):
         return deepcopy(self)
 
     def copy_with_new_time_data(self, new_time_data) -> "Signal":
+        if not isinstance(new_time_data, (jnp.ndarray, DeviceTimeData)):
+            new_time_data = np.asarray(new_time_data)
         new_signal = Signal.from_time_data(
-            np.asarray(new_time_data),
+            new_time_data,
             self.sampling_rate_hz,
             self.constrain_amplitude,
         )
@@ -977,6 +1096,9 @@ class Signal(MultichannelData):
                 self._time_data_imag
             )
         return self._time_data
+
+    def _data_shape(self) -> tuple:
+        return self._time_data.shape
 
     def _set_data(self, data) -> None:
         self.time_data = np.asarray(data)

@@ -106,7 +106,7 @@ class GammaToneFilterBank(FilterBank):
         """Delay/phase/gain-corrected synthesis
         (`_filterbank.py:783-841`)."""
         condition = all(
-            signal.bands[n].time_data_imaginary is not None
+            signal.bands[n].is_complex_signal
             for n in range(signal.number_of_bands)
         )
         assert condition, (

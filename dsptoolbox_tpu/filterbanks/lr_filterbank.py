@@ -199,18 +199,18 @@ class LRFilterBank:
                     out_np[:, ch, cn] = np.asarray(band)
                 out_np[:, ch, self.number_of_cross] = np.asarray(x)
             new_time_data = out_np
+            bands = [
+                s.copy_with_new_time_data(new_time_data[:, :, n])
+                for n in range(self.number_of_bands)
+            ]
         else:
             # One jitted program for the whole split cascade: eager op-by-op
             # execution would pay a host round-trip per op on tunneled
-            # backends. jit caches per (T, C) shape on the instance.
-            new_time_data = np.asarray(
-                self._band_split_program(zero_phase)(in_sig)
-            ).transpose(2, 1, 0)
-
-        bands = [
-            s.copy_with_new_time_data(new_time_data[:, :, n])
-            for n in range(self.number_of_bands)
-        ]
+            # backends, and the band outputs stay device-resident (the
+            # tunnel moves device→host at ~15 MB/s). jit caches per (T, C)
+            # shape on the instance.
+            band_arrays = self._band_split_program(zero_phase)(in_sig)
+            bands = [s.copy_with_new_time_data(b) for b in band_arrays]
         d = dict(
             readme="MultiBandSignal made using Linkwitz-Riley filter bank",
             filterbank_freqs=self.freqs,
@@ -272,7 +272,8 @@ class LRFilterBank:
                     outs.append(sosfiltfilt(self.sos[cn][0][:valid], x))
                     x = sosfiltfilt(self.sos[cn][1][:valid], x)
                 outs.append(x)
-                return jnp.stack(outs, axis=0)
+                # per-band (T, C) device arrays (no host round trip)
+                return tuple(jnp.swapaxes(b, 0, 1) for b in outs)
 
         else:
 
@@ -287,7 +288,8 @@ class LRFilterBank:
                         band = lo + hi
                     outs.append(band)
                 outs.append(x)
-                return jnp.stack(outs, axis=0)
+                # per-band (T, C) device arrays (no host round trip)
+                return tuple(jnp.swapaxes(b, 0, 1) for b in outs)
 
         jitted = jax.jit(program)
         self.__dict__[key] = jitted

@@ -1,9 +1,10 @@
 """General-length FFTs for TPU backends that only implement power-of-two
 transforms.
 
-The TPU FFT lowering in this environment rejects non-power-of-two lengths
-(UNIMPLEMENTED at execution). Everything in the framework therefore routes
-through these wrappers:
+XLA's TPU FFT handles general lengths (verified on v5e), so by default these
+wrappers are straight pass-throughs to `jnp.fft.*`. For a backend that only
+implements power-of-two transforms, set ``DSPTB_BLUESTEIN_FFT=1`` and route
+length-sensitive call sites through these wrappers:
 
 - power-of-two length (or a backend with a general FFT, e.g. CPU):
   straight `jnp.fft.*`;
@@ -135,6 +136,13 @@ def irfft(x: jnp.ndarray, n: int | None = None, axis: int = -1,
     sl = [slice(None)] * x.ndim
     sl[ax] = slice(0, F)
     half = x[tuple(sl)]
+    if half.shape[ax] < F:
+        # numpy semantics: a short spectrum is zero-padded to N//2+1 bins
+        # *before* mirroring (otherwise the conjugate bins land at the wrong
+        # frequencies)
+        pad = [(0, 0)] * x.ndim
+        pad[ax] = (0, F - half.shape[ax])
+        half = jnp.pad(half, pad)
     # mirror bins 1..ceil(N/2)-1 reversed, conjugated
     sl_m = [slice(None)] * x.ndim
     sl_m[ax] = slice(1, (N + 1) // 2)

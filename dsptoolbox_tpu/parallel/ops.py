@@ -164,7 +164,7 @@ def parallel_filterbank(
     # like any other parameter (tensor parallelism).
     ops = sosfilt_bank_operators(np.asarray(sos_bank), x.shape[-1])
     meta = {k: ops[k] for k in ("L", "n_full", "rem")}
-    tensors = [ops["HmatT"], ops["GyT"], ops["ALT"], ops["MT"], ops["pow"]]
+    tensors = [ops["HmatT"], ops["GyT"], ops["ALT"], ops["MT"]]
     if ops["rem"]:
         tensors += list(ops["rem_ops"])
 
@@ -175,9 +175,8 @@ def parallel_filterbank(
             local_ops["GyT"],
             local_ops["ALT"],
             local_ops["MT"],
-            local_ops["pow"],
-        ) = tens[:5]
-        local_ops["rem_ops"] = list(tens[5:]) if meta["rem"] else None
+        ) = tens[:4]
+        local_ops["rem_ops"] = list(tens[4:]) if meta["rem"] else None
         return sosfilt_bank_apply(local_ops, x_rep)
 
     band_specs = tuple(P(axis, *([None] * (t.ndim - 1))) for t in tensors)

@@ -100,7 +100,7 @@ def fractional_delay(
     if isinstance(sig, Signal):
         if delay_seconds == 0:
             return sig.copy()
-        if sig.time_data_imaginary is not None:
+        if sig.is_complex_signal:
             warn(
                 "Imaginary time data will be ignored in this function. "
                 "Delay it manually by creating another signal object, if "

@@ -132,16 +132,17 @@ def spectral_deconvolve(
         lambda a, b: bk.spectral_deconvolve_core(a, b, length, eps),
         num_np,
         denum_sel,
+        materialize=False,  # the IR stays device-resident
     )
     new_sig = ImpulseResponse(
         None,
-        np.asarray(new_time_data),
+        new_time_data,
         output.sampling_rate_hz,
         constrain_amplitude=False,
     )
     if padding and keep_original_length:
-        new_sig.time_data = np.asarray(
-            pad_trim_axis(new_sig.time_data_jax, original_length, axis=0)
+        new_sig.time_data = pad_trim_axis(
+            new_sig.time_data_jax, original_length, axis=0
         )
     return new_sig
 

@@ -107,3 +107,29 @@ class TestConv:
         got = resample_poly(jnp.asarray(X), up, down)
         assert got.shape == ref.shape
         close(got, ref, 2e-5, f"resample_{up}_{down}")
+
+
+class TestReviewRegressions:
+    """Regressions from the round-1 ops code review."""
+
+    def test_fft_correlate_complex_conjugates(self, close):
+        """scipy.signal.correlate conjugates in2; complex inputs must too."""
+        rng2 = np.random.default_rng(5)
+        a = (
+            rng2.standard_normal(257) + 1j * rng2.standard_normal(257)
+        ).astype(np.complex64)
+        b = (
+            rng2.standard_normal(63) + 1j * rng2.standard_normal(63)
+        ).astype(np.complex64)
+        ref = ss.correlate(a.astype(np.complex128), b.astype(np.complex128))
+        got = fft_correlate(jnp.asarray(a), jnp.asarray(b))
+        close(got, ref, 2e-5, "complex correlate")
+
+    def test_sosfilt_block_empty_input(self):
+        from dsptoolbox_tpu.ops.iir_block import sosfilt_block
+
+        sos = ss.butter(4, 0.3, output="sos")
+        x = jnp.zeros((3, 0), jnp.float32)
+        y, zf = sosfilt_block(sos, x)
+        assert y.shape == (3, 0)
+        assert zf.shape == (3, sos.shape[0], 2)

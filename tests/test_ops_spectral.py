@@ -280,3 +280,76 @@ class TestBluesteinFFT:
             ), n
             back2 = np.asarray(dfft.ifft(jnp.asarray(Z), axis=-1))
             assert np.max(np.abs(back2 - z)) < 1e-4, n
+
+
+class TestReviewRegressions:
+    """Regressions from the round-1 ops code review."""
+
+    def test_stft_zero_step_raises(self):
+        import jax.numpy as jnp
+
+        x = np.zeros((1, 256), np.float32)
+        with pytest.raises(ValueError, match="hop size"):
+            sp.stft(
+                jnp.asarray(x),
+                sampling_rate_hz=48000,
+                window_length_samples=16,
+                overlap_percent=97.0,
+            )
+
+    def test_csm_median_chunked_matches_reference(self, ref):
+        """The chunked median path must still match the reference oracle."""
+        from dsptoolbox.standard._spectral_methods import _csm_welch
+
+        rng2 = np.random.default_rng(7)
+        x = rng2.standard_normal((2048, 3))
+        f_ref, csm_ref = _csm_welch(
+            x,
+            48000,
+            window_length_samples=256,
+            window_type=ref.Window.Hann,
+            overlap_percent=50,
+            detrend=True,
+            average="median",
+            scaling=ref.SpectrumScaling.FFTBackward,
+        )
+        f_got, csm_got = sp.csm_welch(
+            x.T,
+            sampling_rate_hz=48000,
+            window_length_samples=256,
+            window_type=Window.Hann,
+            overlap_percent=50,
+            detrend=True,
+            average="median",
+            scaling=SpectrumScaling.FFTBackward,
+        )
+        np.testing.assert_allclose(np.asarray(f_got), f_ref)
+        assert_close(
+            np.asarray(csm_got), csm_ref, tol=5e-5, name="csm-median-chunked"
+        )
+
+    def test_bluestein_irfft_short_spectrum(self, monkeypatch):
+        """irfft with fewer than n//2+1 bins zero-pads the half spectrum
+        before mirroring (numpy semantics)."""
+        monkeypatch.setenv("DSPTB_BLUESTEIN_FFT", "1")
+        import jax.numpy as jnp
+
+        from dsptoolbox_tpu.ops import fft as dfft
+
+        rng2 = np.random.default_rng(1)
+        spec = (
+            rng2.standard_normal(3) + 1j * rng2.standard_normal(3)
+        ).astype(np.complex64)
+        for n in (12, 13):
+            got = np.asarray(dfft.irfft(jnp.asarray(spec), n=n, axis=-1))
+            want = np.fft.irfft(spec, n=n, axis=-1)
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_frame_signal_short_input_empty(self):
+        import jax.numpy as jnp
+
+        from dsptoolbox_tpu.ops import frame_signal
+
+        x = jnp.ones((2, 100), jnp.float32)
+        frames = frame_signal(x, 512, 256, keep_last_frames=False)
+        assert frames.shape == (2, 0, 512)
