@@ -438,6 +438,35 @@ def true_location_steering(wave_number, grid: Grid, mic: MicArray):
     return amp * np.exp(-1j * k * diff)
 
 
+def _steering_amp_diff(formulation, grid: Grid, mic: MicArray):
+    """Frequency-independent factorization of every Sarradj formulation:
+    ``h[f, m, g] = amp[m, g] * exp(-1j * k[f] * diff[m, g])``. Shipping the
+    small (M, G) factors to the device and building ``h`` in-program avoids
+    uploading the full (F, M, G) complex tensor (~27 MB for 64 mics x 900
+    grid points x 15 bins)."""
+    N = mic.number_of_points
+    rt0 = grid.get_distances_to_point(mic.array_center_coordinates)  # (G,)
+    rti = grid.get_distances_to_point(mic.coordinates).T  # (M, G)
+    diff = rti - rt0[nxs, :]
+    if formulation == SteeringVectorType.Classic:
+        amp = np.full(rti.shape, 1.0 / N)
+    elif formulation == SteeringVectorType.Inverse:
+        amp = rti / N / rt0[nxs, :]
+    elif formulation == SteeringVectorType.TruePower:
+        rtj = np.sum(
+            1 / mic.get_distances_to_point(grid.coordinates) ** 2, axis=0
+        )
+        amp = 1 / rt0[nxs, :] / rti / rtj[nxs, :]
+    elif formulation == SteeringVectorType.TrueLocation:
+        rtj = N * np.sum(
+            1 / mic.get_distances_to_point(grid.coordinates) ** 2, axis=0
+        )
+        amp = 1 / rti / np.sqrt(rtj)[nxs, :]
+    else:
+        raise ValueError("Unsupported steering formulation")
+    return amp, diff
+
+
 class SteeringVector:
     """Dispatch for the 4 Sarradj formulations
     (`beamforming.py:605-648`)."""
@@ -457,13 +486,31 @@ class SteeringVector:
                 "Incorrect formulation. Use either classic, inverse, "
                 "true power or true location"
             )
+        self.formulation = formulation
         self.get_vector = mapping[formulation]
+
+    def get_amp_diff(self, grid: Grid, mic: MicArray):
+        """Frequency-independent ``(amp (M, G), diff (M, G))`` factors of
+        this formulation (see `_steering_amp_diff`)."""
+        return _steering_amp_diff(self.formulation, grid, mic)
 
 
 def _simpson_uniform(y: np.ndarray, dx: float, axis: int = -1) -> np.ndarray:
     from scipy.integrate import simpson
 
     return simpson(y, dx=dx, axis=axis)
+
+
+def _das_map_core(ampj, diffj, kj, csm_re, csm_im):
+    """DAS quadratic form with the steering tensor built on-device:
+    ``h[f,m,g] = amp[m,g] e^{-j k_f diff[m,g]}``, ``map[g,f] = h^H C h``."""
+    h = ampj[None, :, :] * jnp.exp(
+        -1j * (kj[:, None, None] * diffj[None, :, :])
+    )
+    csm_j = csm_re + 1j * csm_im
+    return jnp.einsum(
+        "fmg,fmn,fng->gf", jnp.conj(h), csm_j, h, precision=_HIGH
+    ).real
 
 
 class BaseBeamformer:
@@ -557,25 +604,34 @@ class BeamformerGridded(BaseBeamformer):
         self.grid = grid
         self.st_vec = steering_vector
 
-    def _csm_and_steering(self, center_frequency_hz, octave_fraction):
+    def _csm_slice(self, center_frequency_hz, octave_fraction):
+        """Frequency vector + host CSM for the analysis band only."""
         self.center_frequency_hz = center_frequency_hz
         self.octave_fraction = octave_fraction
         self.f_range_hz = fractional_octave_bandwidth(
             center_frequency_hz, octave_fraction
         )
-        f, csm = self.signal.get_csm()
-        csm = np.array(csm)  # writable copy: subclasses zero the diagonal
+        # device-resident CSM: fetch only the ~15 analysis bins instead of
+        # the full (F, C, C) matrix (>2 s host transfer for 64 channels on
+        # the tunneled backend)
+        f, csm_re, csm_im = self.signal._get_csm_device()
         ids = find_nearest_points_index_in_vector(self.f_range_hz, f)
         id1, id2 = int(ids[0]), int(ids[1])
         if id1 == id2:
             id2 += 1
         f = f[id1:id2]
-        csm = csm[id1:id2]
+        csm = np.asarray(csm_re[id1:id2]) + 1j * np.asarray(
+            csm_im[id1:id2]
+        )
+        self.f_range_hz = np.array([f[0], f[-1]])
+        return f, csm
+
+    def _csm_and_steering(self, center_frequency_hz, octave_fraction):
+        f, csm = self._csm_slice(center_frequency_hz, octave_fraction)
         wave_numbers = f * np.pi * 2 / self.c
         h = self.st_vec.get_vector(
             wave_numbers, grid=self.grid, mic=self.mics
         )
-        self.f_range_hz = np.array([f[0], f[-1]])
         return f, csm, h
 
 
@@ -590,9 +646,8 @@ class BeamformerDASFrequency(BeamformerGridded):
         octave_fraction: int = 3,
         remove_csm_diagonal: bool = True,
     ) -> np.ndarray:
-        f, csm, h = self._csm_and_steering(
-            center_frequency_hz, octave_fraction
-        )
+        f, csm = self._csm_slice(center_frequency_hz, octave_fraction)
+        wave_numbers = f * np.pi * 2 / self.c
         if remove_csm_diagonal:
             n_ch = self.signal.number_of_channels
             csm = csm * (n_ch / (n_ch - 1))
@@ -600,18 +655,17 @@ class BeamformerDASFrequency(BeamformerGridded):
             csm[:, eye] = 0
         from .._config import run_jitted_complex
 
-        # map[g, f] = h*_mg C_mn h_ng — one einsum on the MXU, complex
-        # inputs split/recombined at the boundary (tunnel-safe)
+        # map[g, f] = h*_mg C_mn h_ng — one einsum on the MXU. The steering
+        # tensor is built in-program from its (M, G) factors (uploading the
+        # full (F, M, G) complex h costs ~27 MB; amp/diff are ~1 MB)
+        amp, diff = self.st_vec.get_amp_diff(self.grid, self.mics)
         map_fg = run_jitted_complex(
-            lambda hj, csm_j: jnp.einsum(
-                "fmg,fmn,fng->gf",
-                jnp.conj(hj),
-                csm_j,
-                hj,
-                precision=_HIGH,
-            ).real,
-            np.asarray(h),
-            np.asarray(csm),
+            _das_map_core,
+            np.asarray(amp),
+            np.asarray(diff),
+            np.asarray(wave_numbers),
+            np.ascontiguousarray(csm.real),
+            np.ascontiguousarray(csm.imag),
         )
         map = np.array(map_fg)
         if remove_csm_diagonal:
@@ -797,7 +851,7 @@ class BeamformerMVDR(BeamformerGridded):
         # reference (`beamforming.py:1290-1298`), vectorized over (F, G).
         csm_1 = np.linalg.inv(np.asarray(csm, dtype=np.complex128))
         h64 = np.asarray(h, dtype=np.complex128)  # (F, M, G)
-        sol = np.einsum("fmn,fng->fmg", csm_1, h64)
+        sol = csm_1 @ h64  # batched zgemm (np.einsum would loop naively)
         denom = np.einsum("fmg,fmg->gf", np.conj(h64), sol).real
         map = 1 / denom
         if len(f) > 1:

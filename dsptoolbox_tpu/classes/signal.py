@@ -636,6 +636,126 @@ class Signal(MultichannelData):
             self._cache["spectrum"] = (freqs, sp)
         return freqs, sp
 
+    def _spectrum_param_key(self):
+        """Self-validating cache key for the device spectrum/CSM caches:
+        parameter dict + window content (the host caches are invalidated
+        by the setters; these caches revalidate instead)."""
+        p = self._spectrum_parameters
+        win = getattr(self, "window", None)
+        win_tok = (
+            None if win is None else hash(np.asarray(win).tobytes())
+        )
+        return (tuple(sorted((k, str(v)) for k, v in p.items())), win_tok)
+
+    def _get_spectrum_device(self):
+        """Device-resident spectrum: ``(freqs, real (F, C), imag | None)``
+        with the arrays left on the device. Internal consumers that keep
+        computing on-device (spectral deconvolution) use this instead of
+        `get_spectrum` to skip the complex host materialization (~15 MB/s
+        on the tunneled backend). Welch spectra are real (imag is None);
+        no mono squeeze is applied (always ``(F, C)``)."""
+        entry = self._cache.get("spectrum_dev")
+        if entry is not None and entry[0] == self._spectrum_param_key():
+            _, f, re, im = entry
+            return f.copy(), re, im
+        from .._config import run_jitted_complex
+
+        p = self._spectrum_parameters
+        if self.spectrum_method == SpectrumMethod.WelchPeriodogram:
+            fs_hz = self.sampling_rate_hz
+            wl = p["window_length_samples"]
+            wt = p["window_type"]
+            ol = p["overlap_percent"]
+            det = p["detrend"]
+            avg = p["average"]
+            scal = p["scaling"]
+
+            def _welch_sp(td):
+                return welch(
+                    td.T,
+                    None,
+                    sampling_rate_hz=fs_hz,
+                    window_length_samples=wl,
+                    window_type=wt,
+                    overlap_percent=ol,
+                    detrend=det,
+                    average=avg,
+                    scaling=scal,
+                ).T
+
+            re = run_jitted_complex(
+                _welch_sp, self._time_data, materialize=False
+            )
+            im = None
+            fft_length = wl
+        else:
+            from scipy.fft import next_fast_len
+
+            fft_length = (
+                next_fast_len(self.length_samples, True)
+                if p["pad_to_fast_length"]
+                else self.length_samples
+            )
+            fft_norm = self.spectrum_scaling.fft_norm()
+            smoothing = p["smoothing"]
+            scaling = self.spectrum_scaling
+            has_phys = scaling.has_physical_units()
+            fs_hz = self.sampling_rate_hz
+            win = np.asarray(self.window) if hasattr(
+                self, "window"
+            ) and self.window is not None else None
+
+            def _fft_spectrum_split(*td_parts):
+                td = (
+                    td_parts[0]
+                    if len(td_parts) == 1
+                    else td_parts[0] + 1j * td_parts[1]
+                )
+                sp = jnp.fft.rfft(
+                    td.T,
+                    axis=-1,
+                    norm=fft_norm,
+                    n=fft_length,
+                ).T
+                if smoothing != 0:
+                    from ..helpers.smoothing import (
+                        fractional_octave_smoothing,
+                    )
+
+                    mag = fractional_octave_smoothing(
+                        jnp.abs(sp), None, smoothing, clip_values=True
+                    )
+                    ph = fractional_octave_smoothing(
+                        jnp.unwrap(jnp.angle(sp), axis=0), None,
+                        smoothing,
+                    )
+                    sp = mag * jnp.exp(1j * ph)
+                if has_phys:
+                    from ..helpers.spectrum_utilities import scale_spectrum
+
+                    sp = scale_spectrum(
+                        sp,
+                        scaling,
+                        fft_length,
+                        fs_hz,
+                        win,
+                    )
+                return sp.real, sp.imag
+
+            parts = (
+                (self._time_data, self._time_data_imag)
+                if self.is_complex_signal
+                else (self._time_data,)
+            )
+            re, im = run_jitted_complex(
+                _fft_spectrum_split, *parts, materialize=False
+            )
+        freqs = np.fft.rfftfreq(fft_length, 1 / self.sampling_rate_hz)
+        self._cache["spectrum_dev"] = (
+            self._spectrum_param_key(), freqs, re, im
+        )
+        return freqs.copy(), re, im
+
     def _complex_time_data_or_real(self) -> jnp.ndarray:
         if self.is_complex_signal:
             return self._time_data + 1j * self._time_data_imag
@@ -708,6 +828,56 @@ class Signal(MultichannelData):
         if self.activate_cache:
             self._cache["csm"] = (f, csm)
         return f, csm
+
+    def _get_csm_device(self):
+        """Device-resident CSM: ``(freqs, real (F,C,C), imag (F,C,C))``
+        with the matrices left on the device. Consumers that need only a
+        frequency slice (beamformers pick ~15 bins of a 513-bin CSM) fetch
+        their slice instead of the full matrix — the full 64-channel CSM
+        costs >2 s at the tunneled backend's ~15 MB/s device→host rate.
+        Welch method only; other methods fall back to `get_csm`."""
+        entry = self._cache.get("csm_dev")
+        if entry is not None and entry[0] == self._spectrum_param_key():
+            _, f, re, im = entry
+            return f.copy(), re, im
+        if self.spectrum_method != SpectrumMethod.WelchPeriodogram:
+            f, csm = self.get_csm()
+            re = jnp.asarray(np.real(csm), default_float())
+            im = jnp.asarray(np.imag(csm), default_float())
+            self._cache["csm_dev"] = (
+                self._spectrum_param_key(), np.asarray(f), re, im
+            )
+            return np.asarray(f).copy(), re, im
+        from .._config import run_jitted_complex
+
+        p = self._spectrum_parameters
+        fs_hz = self.sampling_rate_hz
+        wl = p["window_length_samples"]
+        wt = p["window_type"]
+        ol = p["overlap_percent"]
+        det = p["detrend"]
+        avg = p["average"]
+        scal = p["scaling"]
+
+        def _csm_split(td):
+            f, c = csm_welch(
+                td.T,
+                sampling_rate_hz=fs_hz,
+                window_length_samples=wl,
+                window_type=wt,
+                overlap_percent=ol,
+                detrend=det,
+                average=avg,
+                scaling=scal,
+            )
+            return f, c.real, c.imag
+
+        f, re, im = run_jitted_complex(
+            _csm_split, self._time_data, materialize=False
+        )
+        f = np.asarray(f)
+        self._cache["csm_dev"] = (self._spectrum_param_key(), f, re, im)
+        return f.copy(), re, im
 
     def get_spectrogram(self, force_computation: bool = False):
         """(t, f, stft ``(F, n_frames, C)``) (`classes/signal.py:1009-1057`)."""

@@ -17,6 +17,8 @@ C80, center time, EDT/T20/T30 from the Schroeder backward integral).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +42,7 @@ def _mask_from_start(T: int, start: jnp.ndarray) -> jnp.ndarray:
     return (t >= start[:, None]).astype(jnp.float32)
 
 
+@jax.jit
 def batch_energy_decay(rirs: jnp.ndarray) -> jnp.ndarray:
     """Schroeder backward-integrated energy decay curves in dB, ``(B, T)``.
 
@@ -60,6 +63,7 @@ def batch_energy_decay(rirs: jnp.ndarray) -> jnp.ndarray:
     return edc_db
 
 
+@partial(jax.jit, static_argnames="sampling_rate_hz")
 def batch_descriptors(
     rirs: jnp.ndarray, sampling_rate_hz: int
 ) -> dict[str, jnp.ndarray]:
@@ -108,6 +112,7 @@ def _masked_linear_fit(
     return slope, my - slope * mx
 
 
+@partial(jax.jit, static_argnames=("sampling_rate_hz", "mode"))
 def batch_reverb_times(
     rirs: jnp.ndarray,
     sampling_rate_hz: int,

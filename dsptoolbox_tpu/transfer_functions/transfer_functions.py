@@ -81,31 +81,31 @@ def spectral_deconvolve(
     output.spectrum_method = SpectrumMethod.FFT
     input._spectrum_parameters["pad_to_fast_length"] = False
     output._spectrum_parameters["pad_to_fast_length"] = False
-    _, denum_fft = input.get_spectrum()
-    freqs_hz, num_fft = output.get_spectrum()
+    # device-resident spectra: the division consumes them on-device; only
+    # the (small, real) |denum| comes host for the regularization window
+    _, denum_re, denum_im = input._get_spectrum_device()
+    freqs_hz, num_re, num_im = output._get_spectrum_device()
     fs_hz = output.sampling_rate_hz
     length = original_length * 2 if padding else original_length
 
-    from .._config import run_jitted_complex, to_host
+    from .._config import run_jitted_complex
+    from ..classes.signal import _dev_jit
 
-    # keep spectra host-side: complex buffers cannot cross the boundary
-    # on tunneled backends, and the regularization window is host math
-    denum_np = to_host(denum_fft)
-    num_np = to_host(num_fft)
-    if denum_np.ndim == 1:
-        denum_np = denum_np[:, None]
-    if num_np.ndim == 1:
-        num_np = num_np[:, None]
     C = output.number_of_channels
 
     if apply_regularization:
+        denum_mag = np.asarray(
+            _dev_jit(
+                "cabs2", lambda a, b: jnp.sqrt(a * a + b * b)
+            )(denum_re, denum_im)
+        )
         eps_cols = []
         for n in range(C):
             n_denum = 0 if multichannel else n
             ssz = start_stop_hz
             if ssz is None:
                 ssz = find_frequencies_above_threshold(
-                    denum_np[:, n_denum], freqs_hz, threshold_db
+                    denum_mag[:, n_denum], freqs_hz, threshold_db
                 )
             if len(ssz) == 2:
                 ssz = np.array(
@@ -125,13 +125,19 @@ def spectral_deconvolve(
     else:
         eps = None
 
-    denum_sel = denum_np if not multichannel else np.repeat(
-        denum_np, C, axis=1
-    )
+    def _deconv(nre, nim, dre, dim):
+        num = nre + 1j * nim
+        den = dre + 1j * dim
+        if multichannel:
+            den = jnp.broadcast_to(den[:, :1], num.shape)
+        return bk.spectral_deconvolve_core(num, den, length, eps)
+
     new_time_data = run_jitted_complex(
-        lambda a, b: bk.spectral_deconvolve_core(a, b, length, eps),
-        num_np,
-        denum_sel,
+        _deconv,
+        num_re,
+        num_im,
+        denum_re,
+        denum_im,
         materialize=False,  # the IR stays device-resident
     )
     new_sig = ImpulseResponse(

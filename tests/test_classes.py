@@ -522,3 +522,85 @@ class TestPersistence:
         np.testing.assert_allclose(
             np.asarray(sp2.spectral_data), np.asarray(sp.spectral_data)
         )
+
+
+class TestDeviceResidentPaths:
+    """The device-resident fast paths must match their host equivalents."""
+
+    def test_device_time_data_setter_matches_host(self):
+        import jax.numpy as jnp
+
+        from dsptoolbox_tpu.classes import Signal
+        from dsptoolbox_tpu.classes.signal import DeviceTimeData
+
+        rng = np.random.default_rng(3)
+        td = rng.standard_normal((1024, 2)) * 2.0  # over 0 dBFS
+        with pytest.warns(UserWarning, match="0 dBFS"):
+            s_host = Signal.from_time_data(td, 48000, constrain_amplitude=True)
+        with pytest.warns(UserWarning, match="0 dBFS"):
+            s_dev = Signal.from_time_data(
+                jnp.asarray(td), 48000, constrain_amplitude=True
+            )
+        np.testing.assert_allclose(
+            s_dev.time_data, s_host.time_data, rtol=1e-6
+        )
+        assert np.isclose(
+            s_dev.amplitude_scale_factor, s_host.amplitude_scale_factor
+        )
+        # pair with precomputed peak
+        with pytest.warns(UserWarning, match="0 dBFS"):
+            s_pair = Signal.from_time_data(
+                DeviceTimeData(
+                    jnp.asarray(td), jnp.asarray(td * 0.5),
+                    peak=float(np.max(np.abs(td))),
+                ),
+                48000,
+                constrain_amplitude=True,
+            )
+        np.testing.assert_allclose(
+            s_pair.time_data, s_host.time_data, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            s_pair.time_data_imaginary, s_host.time_data * 0.5, rtol=1e-6
+        )
+
+    def test_get_spectrum_device_matches_host(self):
+        from dsptoolbox_tpu.classes import Signal
+
+        rng = np.random.default_rng(4)
+        s = Signal.from_time_data(
+            rng.standard_normal((4096, 2)) * 0.4, 48000
+        )
+        from dsptoolbox_tpu.standard.enums import SpectrumMethod
+
+        # Welch default: real spectrum, no imaginary part
+        f_host, sp_host = s.get_spectrum()
+        f_dev, re, im = s._get_spectrum_device()
+        np.testing.assert_allclose(f_dev, f_host)
+        assert im is None
+        np.testing.assert_allclose(
+            np.asarray(re), np.asarray(sp_host), rtol=2e-5, atol=1e-6
+        )
+        # FFT method: complex spectrum
+        s.spectrum_method = SpectrumMethod.FFT
+        f_host, sp_host = s.get_spectrum()
+        f_dev, re, im = s._get_spectrum_device()
+        np.testing.assert_allclose(f_dev, f_host)
+        got = np.asarray(re) + 1j * np.asarray(im)
+        np.testing.assert_allclose(got, np.asarray(sp_host), rtol=2e-5,
+                                   atol=1e-6)
+
+    def test_get_csm_device_matches_host(self):
+        from dsptoolbox_tpu.classes import Signal
+
+        rng = np.random.default_rng(5)
+        s = Signal.from_time_data(
+            rng.standard_normal((8192, 3)) * 0.4, 48000
+        )
+        f_host, csm_host = s.get_csm()
+        f_dev, re, im = s._get_csm_device()
+        np.testing.assert_allclose(f_dev, f_host)
+        got = np.asarray(re) + 1j * np.asarray(im)
+        np.testing.assert_allclose(
+            got, np.asarray(csm_host), rtol=2e-4, atol=1e-5
+        )
