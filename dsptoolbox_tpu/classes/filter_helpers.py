@@ -186,26 +186,54 @@ def filter_on_signal(
     x = signal.time_data_jax[:, jnp.asarray(channels)].T  # (C_sel, T)
     complex_sos = np.iscomplexobj(sos)
     if zi is not None:
+        from .._config import run_maybe_jitted
+
         zi_arr = jnp.asarray(np.stack(zi, axis=0))  # (C_all, S, 2)
         zi_sel = zi_arr[jnp.asarray(channels)]
-        y, zf = sosfilt(sos, x, zi=zi_sel)
+        y, zf = run_maybe_jitted(
+            lambda xv, zv: sosfilt(sos, xv, zi=zv), x, zi_sel
+        )
         zi_arr = zi_arr.at[jnp.asarray(channels)].set(zf)
         zi_new = [np.asarray(zi_arr[c]) for c in range(zi_arr.shape[0])]
     else:
         zi_new = None
-        from .._config import _complex_transfer_broken, run_jitted_complex
+        from .._config import run_jitted_complex, run_maybe_jitted
 
-        if complex_sos and _complex_transfer_broken():
-            # complex SOS (gammatone): the whole filtering must be one
-            # jitted program — complex buffers cannot exist eagerly here
+        # one cached jitted program per (filter, shape): eager op-by-op
+        # execution pays a dispatch round-trip per op on tunneled backends
+        if complex_sos:
             fn = sosfiltfilt if zero_phase else (
                 lambda s_, x_: sosfilt(s_, x_)[0]
             )
-            y = run_jitted_complex(lambda xv: fn(sos, xv), x)
+            yr, yi = run_jitted_complex(
+                lambda xv: (lambda yv: (yv.real, yv.imag))(fn(sos, xv)),
+                x,
+                materialize=False,
+            )
+            channels_np = np.asarray(channels)
+            if channels_np.shape[0] == signal.number_of_channels and (
+                np.array_equal(
+                    channels_np, np.arange(channels_np.shape[0])
+                )
+            ):
+                from .signal import DeviceTimeData
+
+                new_signal = _replace_channels(
+                    signal,
+                    DeviceTimeData(yr.T, yi.T),
+                    channels,
+                    warning_on_complex_output,
+                )
+                return new_signal, zi_new
+            y = np.asarray(yr) + 1j * np.asarray(yi)
+            new_signal = _replace_channels(
+                signal, y.T, channels, warning_on_complex_output
+            )
+            return new_signal, zi_new
         elif zero_phase:
-            y = sosfiltfilt(sos, x)
+            y = run_maybe_jitted(lambda xv: sosfiltfilt(sos, xv), x)
         else:
-            y, _ = sosfilt(sos, x)
+            y = run_maybe_jitted(lambda xv: sosfilt(sos, xv)[0], x)
     new_signal = _replace_channels(
         signal, y.T, channels, warning_on_complex_output
     )
@@ -232,25 +260,44 @@ def filter_on_signal_ba(
     x = signal.time_data_jax[:, jnp.asarray(channels)].T  # (C_sel, T)
     T = x.shape[-1]
     if zi is not None:
+        from .._config import run_maybe_jitted
+
         zi_arr = jnp.asarray(np.stack(zi, axis=0))  # (C_all, N)
         zi_sel = zi_arr[jnp.asarray(channels)]
-        y, zf = lfilter(b, a, x, zi=zi_sel)
+        y, zf = run_maybe_jitted(
+            lambda xv, zv: lfilter(b, a, xv, zi=zv), x, zi_sel
+        )
         zi_arr = zi_arr.at[jnp.asarray(channels)].set(zf)
         zi_new = [np.asarray(zi_arr[c]) for c in range(zi_arr.shape[0])]
     else:
         zi_new = None
+        from .._config import run_maybe_jitted
+
+        # one cached jitted program per (filter, shape) — see
+        # filter_on_signal
         if zero_phase:
             if is_fir:
-                h = jnp.asarray(b, dtype=x.real.dtype)
-                y = fft_convolve(x, h)[..., :T]
-                y = jnp.flip(fft_convolve(jnp.flip(y, -1), h)[..., :T], -1)
+
+                def _zp_fir(xv):
+                    h = jnp.asarray(b, dtype=xv.real.dtype)
+                    yv = fft_convolve(xv, h)[..., :T]
+                    return jnp.flip(
+                        fft_convolve(jnp.flip(yv, -1), h)[..., :T], -1
+                    )
+
+                y = run_maybe_jitted(_zp_fir, x)
             else:
-                y = filtfilt_ba(b, a, x)
+                y = run_maybe_jitted(lambda xv: filtfilt_ba(b, a, xv), x)
         else:
             if is_fir:
-                y = fft_convolve(x, jnp.asarray(b, dtype=x.real.dtype))[..., :T]
+                y = run_maybe_jitted(
+                    lambda xv: fft_convolve(
+                        xv, jnp.asarray(b, dtype=xv.real.dtype)
+                    )[..., :T],
+                    x,
+                )
             else:
-                y, _ = lfilter(b, a, x)
+                y = run_maybe_jitted(lambda xv: lfilter(b, a, xv)[0], x)
     new_signal = _replace_channels(
         signal, y.T, channels, warning_on_complex_output
     )
