@@ -22,7 +22,9 @@ from .mesh import (
     replicate,
 )
 from .ops import (
+    parallel_batch_descriptors,
     parallel_csm,
+    parallel_das_map,
     parallel_fir_filter,
     parallel_filterbank,
     parallel_welch,
@@ -38,5 +40,7 @@ __all__ = [
     "parallel_csm",
     "parallel_fir_filter",
     "parallel_filterbank",
+    "parallel_das_map",
+    "parallel_batch_descriptors",
     "sharded_map_reduce",
 ]

@@ -283,3 +283,98 @@ def parallel_fir_filter(
     )
     sharding = NamedSharding(mesh, spec)
     return jax.jit(fn, in_shardings=sharding)(jax.device_put(x, sharding))
+
+
+def parallel_das_map(
+    amp: np.ndarray,
+    diff: np.ndarray,
+    wave_numbers: np.ndarray,
+    csm: np.ndarray,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Grid-parallel frequency-domain DAS map.
+
+    The steering tensor factors as ``h[f,m,g] = amp[m,g] e^{-j k_f d[m,g]}``
+    (`beamforming._steering_amp_diff`); the grid axis is embarrassingly
+    parallel, so each device builds the steering block for its grid chunk
+    in-program and evaluates ``map[g,f] = h^H C h`` locally — the (small)
+    CSM is replicated, no collectives are needed until the final gather.
+
+    ``amp``/``diff`` are (M, G) host arrays, ``wave_numbers`` (F,),
+    ``csm`` (F, M, M) complex host. G must divide over the mesh's first
+    axis. Returns the (G, F) map, grid-sharded.
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    G = amp.shape[1]
+    assert G % n == 0, f"{G} grid points do not divide over {n} devices"
+
+    amp_j = jnp.asarray(amp, jnp.float32)
+    diff_j = jnp.asarray(diff, jnp.float32)
+    k_j = jnp.asarray(wave_numbers, jnp.float32)
+    cre = jnp.asarray(np.ascontiguousarray(csm.real), jnp.float32)
+    cim = jnp.asarray(np.ascontiguousarray(csm.imag), jnp.float32)
+
+    def local(amp_l, diff_l, k_rep, cre_rep, cim_rep):
+        h = amp_l[None, :, :] * jnp.exp(
+            -1j * (k_rep[:, None, None] * diff_l[None, :, :])
+        )
+        csm_j = cre_rep + 1j * cim_rep
+        return jnp.einsum(
+            "fmg,fmn,fng->gf",
+            jnp.conj(h),
+            csm_j,
+            h,
+            precision=jax.lax.Precision.HIGHEST,
+        ).real
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis),
+            P(None, axis),
+            P(None),
+            P(None, None, None),
+            P(None, None, None),
+        ),
+        out_specs=P(axis, None),
+        check_rep=False,
+    )
+    shard_g = NamedSharding(mesh, P(None, axis))
+    rep = NamedSharding(mesh, P())
+    args = (
+        jax.device_put(amp_j, shard_g),
+        jax.device_put(diff_j, shard_g),
+        jax.device_put(k_j, rep),
+        jax.device_put(cre, rep),
+        jax.device_put(cim, rep),
+    )
+    return jax.jit(fn)(*args)
+
+
+def parallel_batch_descriptors(
+    rirs: jnp.ndarray, sampling_rate_hz: int, mesh: Mesh
+) -> dict:
+    """dp-sharded room-acoustics descriptor battery: the RIR fleet's batch
+    axis splits across the mesh; each device runs the jitted descriptor
+    kernel on its shard (no collectives — outputs stay batch-sharded)."""
+    from ..room_acoustics.batch import batch_descriptors
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    B = rirs.shape[0]
+    assert B % n == 0, f"{B} RIRs do not divide over {n} devices"
+
+    def local(r):
+        return batch_descriptors(r, sampling_rate_hz)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    sharding = NamedSharding(mesh, P(axis, None))
+    return jax.jit(fn)(jax.device_put(jnp.asarray(rirs), sharding))

@@ -151,3 +151,57 @@ class TestSequenceParallelFIR:
         )
         # time axis genuinely sharded across the mesh
         assert len(got.sharding.device_set) == 8
+
+
+def test_parallel_das_map_matches_single_device(mesh):
+    """Grid-parallel DAS equals the single-device einsum."""
+    import jax.numpy as jnp
+
+    from dsptoolbox_tpu import parallel as par
+    from dsptoolbox_tpu.beamforming.beamforming import _das_map_core
+
+    rng = np.random.default_rng(11)
+    M, G, F = 8, 16, 5
+    amp = rng.standard_normal((M, G)) ** 2 + 0.1
+    diff = rng.standard_normal((M, G)) * 0.01
+    k = np.linspace(30.0, 40.0, F)
+    spectra = rng.standard_normal((F, M, 3)) + 1j * rng.standard_normal(
+        (F, M, 3)
+    )
+    csm = np.einsum("fmk,fnk->fmn", spectra, np.conj(spectra))
+
+    got = np.asarray(par.parallel_das_map(amp, diff, k, csm, mesh))
+    want = np.asarray(
+        _das_map_core(
+            jnp.asarray(amp, jnp.float32),
+            jnp.asarray(diff, jnp.float32),
+            jnp.asarray(k, jnp.float32),
+            jnp.asarray(csm.real, jnp.float32),
+            jnp.asarray(csm.imag, jnp.float32),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_parallel_batch_descriptors_matches_single_device(mesh):
+    from dsptoolbox_tpu import parallel as par
+    from dsptoolbox_tpu.room_acoustics.batch import batch_descriptors
+
+    rng = np.random.default_rng(12)
+    fs = 8000
+    T = fs // 4
+    B = 16
+    t = np.arange(T) / fs
+    rirs = (
+        rng.standard_normal((B, T))
+        * np.exp(-rng.uniform(4, 10, B)[:, None] * t)
+    ).astype(np.float32)
+    rirs[:, 0] = 1.0
+
+    got = par.parallel_batch_descriptors(rirs, fs, mesh)
+    want = batch_descriptors(rirs, fs)
+    for key in want:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), rtol=1e-5,
+            atol=1e-6,
+        )
