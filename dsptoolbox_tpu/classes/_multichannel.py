@@ -44,10 +44,12 @@ class MultichannelData(ABC):
         """Remove one channel in place."""
         data = self._get_data()
         n = data.shape[1]
-        if channel_number == -1:
-            channel_number = n - 1
+        if channel_number < 0:
+            # numpy-delete negative-index semantics (the reference uses
+            # np.delete, `_multichannel_data.py:32-56`)
+            channel_number = n + channel_number
         assert n > 1, "Cannot not erase only channel"
-        assert n - 1 >= channel_number, (
+        assert 0 <= channel_number <= n - 1, (
             f"Channel number {channel_number} does not exist. Signal only "
             f"has {n - 1} channels (zero included)."
         )

@@ -161,16 +161,19 @@ class Filter:
 
     # ======== State =========================================================
     def initialize_zi(self, number_of_channels: int = 1) -> "Filter":
-        """Allocate per-channel streaming state (zeros), scipy conventions
-        (`classes/filter.py:331-353`)."""
+        """Per-channel steady-state streaming state via scipy's
+        ``sosfilt_zi``/``lfilter_zi`` (`classes/filter.py:331-353`) — the
+        reference seeds steady state, not zeros, so the startup transient
+        is suppressed."""
+        assert number_of_channels > 0, (
+            "Zi's have to be initialized for at least one channel"
+        )
         if hasattr(self, "sos"):
-            self.zi = [
-                np.zeros((self.sos.shape[0], 2))
-                for _ in range(number_of_channels)
-            ]
+            zi0 = sig.sosfilt_zi(self.sos)
+            self.zi = [zi0.copy() for _ in range(number_of_channels)]
         else:
-            order = max(len(self.ba[0]), len(self.ba[1])) - 1
-            self.zi = [np.zeros(order) for _ in range(number_of_channels)]
+            zi0 = sig.lfilter_zi(self.ba[0], self.ba[1])
+            self.zi = [zi0.copy() for _ in range(number_of_channels)]
         return self
 
     # ======== Properties ====================================================
@@ -397,9 +400,11 @@ class Filter:
                 hcf = b_poly[:, :, 0].T  # (n, Kp)
                 conv = fft_convolve(xcf, hcf)  # (C, n, Tp+Kp-1)
                 y_full = jnp.sum(conv, axis=1).T  # (L, C)
-                y = y_full[
-                    half_length // down : -(half_length // down) or None, :
-                ].T
+                # parity: the reference slices `[hl // down : -hl // down]`
+                # — the end index is ceil-negated ((-hl) // down), not
+                # -(hl // down) (`classes/filter_helpers.py:559-561`)
+                end = (-half_length) // down
+                y = y_full[half_length // down : end or None, :].T
             else:
                 if not hasattr(self, "ba"):
                     self.ba = list(sig.sos2tf(self.sos))
@@ -564,11 +569,22 @@ class Filter:
         ir = self.get_ir(length_samples, zero_phase=zero_phase)
         if normalize is None:
             normalize = MagnitudeNormalization.NoNormalization
-        return ir.plot_magnitude(
+        fig, ax = ir.plot_magnitude(
             range_hz=range_hz,
             normalize=normalize,
             show_info_box=False,
         )
+        if show_info_box:
+            target = ax[0] if np.ndim(ax) else ax
+            target.text(
+                0.1,
+                0.5,
+                self.metadata_str,
+                transform=target.transAxes,
+                verticalalignment="top",
+                bbox=dict(boxstyle="round", facecolor="grey", alpha=0.75),
+            )
+        return fig, ax
 
     def plot_taps(self, show_info_box: bool = False, in_db: bool = False):
         """Plot FIR filter taps; IIR raises (`classes/filter.py:1207-1245`)."""
@@ -618,7 +634,18 @@ class Filter:
     ):
         """Phase response plot (`classes/filter.py:1104-1160`)."""
         ir = self.get_ir(length_samples)
-        return ir.plot_phase(range_hz=range_hz, unwrap=unwrap)
+        fig, ax = ir.plot_phase(range_hz=range_hz, unwrap=unwrap)
+        if show_info_box:
+            target = ax[0] if np.ndim(ax) else ax
+            target.text(
+                0.1,
+                0.5,
+                self.metadata_str,
+                transform=target.transAxes,
+                verticalalignment="top",
+                bbox=dict(boxstyle="round", facecolor="grey", alpha=0.75),
+            )
+        return fig, ax
 
     def plot_zp(self, show_info_box: bool = False):
         """Zero-pole plot (`classes/filter.py:1161-1240`)."""

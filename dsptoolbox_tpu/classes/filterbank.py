@@ -459,6 +459,17 @@ class FilterBank:
         return self.filter_signal(d, mode, zero_phase=zero_phase)
 
     # ======== Plots =========================================================
+    def _response_irs(
+        self, length_samples: int, mode, zero_phase: bool = False
+    ):
+        """Single-channel IRs for the response plots: Parallel → one per
+        band; Sequential/Summed → one combined IR (the reference filters a
+        dirac in the requested mode, `classes/filterbank.py:721-770`)."""
+        out = self.get_ir(length_samples, mode, zero_phase=zero_phase)
+        if mode == FilterBankMode.Parallel:
+            return [b.time_data[:, 0] for b in out.bands]
+        return [out.time_data[:, 0]]
+
     def plot_magnitude(
         self,
         length_samples: int = 1024,
@@ -471,29 +482,22 @@ class FilterBank:
         from ..helpers.gain_and_level import to_db
         from ..plots import general_plot
 
-        d = self.get_ir(
-            length_samples, FilterBankMode.Parallel, zero_phase=zero_phase
-        )
+        irs = self._response_irs(length_samples, mode, zero_phase)
         fs = (
             self.sampling_rate_hz
             if self.same_sampling_rate
             else self.sampling_rate_hz[0]
         )
         f = np.fft.rfftfreq(length_samples, 1 / fs)
-        specs = []
-        for b in d.bands:
-            sp = np.fft.rfft(b.time_data[:, 0])
-            # host magnitude first: complex arrays must not cross the
-            # device boundary eagerly on tunneled backends
-            specs.append(np.asarray(to_db(np.abs(sp), True)))
-        mat = np.stack(specs, axis=1)
-        if mode == FilterBankMode.Summed:
-            total = np.sum(
-                np.stack([b.time_data[:, 0] for b in d.bands], 1), axis=1
-            )
-            mat = np.asarray(to_db(np.abs(np.fft.rfft(total)), True))[
-                :, None
-            ]
+        # host magnitude first: complex arrays must not cross the
+        # device boundary eagerly on tunneled backends
+        mat = np.stack(
+            [
+                np.asarray(to_db(np.abs(np.fft.rfft(ir)), True))
+                for ir in irs
+            ],
+            axis=1,
+        )
         labels = [f"Filter {n}" for n in range(mat.shape[1])]
         return general_plot(
             f, mat, range_hz, ylabel="Magnitude / dB", labels=labels
@@ -509,7 +513,7 @@ class FilterBank:
         """Phase responses (`classes/filterbank.py:771-870`)."""
         from ..plots import general_plot
 
-        d = self.get_ir(length_samples, FilterBankMode.Parallel)
+        irs = self._response_irs(length_samples, mode)
         fs = (
             self.sampling_rate_hz
             if self.same_sampling_rate
@@ -517,18 +521,12 @@ class FilterBank:
         )
         f = np.fft.rfftfreq(length_samples, 1 / fs)
         phases = []
-        for b in d.bands:
-            ph = np.angle(np.fft.rfft(b.time_data[:, 0]))
+        for ir in irs:
+            ph = np.angle(np.fft.rfft(ir))
             if unwrap:
                 ph = np.unwrap(ph)
             phases.append(ph)
         mat = np.stack(phases, axis=1)
-        if mode == FilterBankMode.Summed:
-            total = np.sum(
-                np.stack([b.time_data[:, 0] for b in d.bands], 1), axis=1
-            )
-            ph = np.angle(np.fft.rfft(total))
-            mat = (np.unwrap(ph) if unwrap else ph)[:, None]
         return general_plot(
             f,
             mat,
@@ -549,7 +547,7 @@ class FilterBank:
         from ..plots import general_plot
         from ..standard.backend import group_delay_direct
 
-        d = self.get_ir(length_samples, FilterBankMode.Parallel)
+        irs = self._response_irs(length_samples, mode)
         fs = (
             self.sampling_rate_hz
             if self.same_sampling_rate
@@ -557,8 +555,8 @@ class FilterBank:
         )
         f = np.fft.rfftfreq(length_samples, 1 / fs)
         gds = []
-        for b in d.bands:
-            sp = np.fft.rfft(b.time_data[:, 0])
+        for ir in irs:
+            sp = np.fft.rfft(ir)
             gd = np.asarray(
                 group_delay_direct(jnp.asarray(np.angle(sp)), f[1] - f[0])
             )

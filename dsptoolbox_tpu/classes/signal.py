@@ -68,6 +68,12 @@ def _dev_jit(name, fn):
     return got
 
 
+def _cache_leaf(a):
+    """Copy mutable (numpy) leaves before caching — callers may mutate the
+    returned arrays; jax device arrays are immutable and alias safely."""
+    return np.copy(a) if isinstance(a, np.ndarray) else a
+
+
 class Signal(MultichannelData):
     """General multichannel audio signal container backed by a device array.
 
@@ -513,6 +519,92 @@ class Signal(MultichannelData):
         return self
 
     # ======== Heavy getters (device compute) ================================
+    def _welch_spectrum_closure(self):
+        """Welch spectrum program ``td (T, C) -> (F, C)`` capturing only
+        freezable locals (no ``self``) so run_jitted_complex reuses the
+        compiled program across calls. Shared by the host and device
+        spectrum getters — keep them consistent by construction."""
+        p = self._spectrum_parameters
+        fs_hz = self.sampling_rate_hz
+        wl = p["window_length_samples"]
+        wt = p["window_type"]
+        ol = p["overlap_percent"]
+        det = p["detrend"]
+        avg = p["average"]
+        scal = p["scaling"]
+
+        def _welch_sp(td):
+            return welch(
+                td.T,
+                None,
+                sampling_rate_hz=fs_hz,
+                window_length_samples=wl,
+                window_type=wt,
+                overlap_percent=ol,
+                detrend=det,
+                average=avg,
+                scaling=scal,
+            ).T
+
+        return _welch_sp
+
+    def _fft_spectrum_closure(self):
+        """FFT spectrum program ``td (T, C) -> (F, C) complex`` plus its
+        fft length (shared by host/device getters)."""
+        from scipy.fft import next_fast_len
+
+        p = self._spectrum_parameters
+        fft_length = (
+            next_fast_len(self.length_samples, True)
+            if p["pad_to_fast_length"]
+            else self.length_samples
+        )
+        fft_norm = self.spectrum_scaling.fft_norm()
+        smoothing = p["smoothing"]
+        scaling = self.spectrum_scaling
+        has_phys = scaling.has_physical_units()
+        fs_hz = self.sampling_rate_hz
+        win = np.asarray(self.window) if hasattr(
+            self, "window"
+        ) and self.window is not None else None
+
+        def _fft_spectrum(td):
+            # parity: the reference rfft's `self.time_data`, which is
+            # the REAL part only — complex signals keep their imaginary
+            # part out of the spectrum (`classes/signal.py:906-911`)
+            sp = jnp.fft.rfft(
+                td.T,
+                axis=-1,
+                norm=fft_norm,
+                n=fft_length,
+            ).T
+            if smoothing != 0:
+                from ..helpers.smoothing import (
+                    fractional_octave_smoothing,
+                )
+
+                mag = fractional_octave_smoothing(
+                    jnp.abs(sp), None, smoothing, clip_values=True
+                )
+                ph = fractional_octave_smoothing(
+                    jnp.unwrap(jnp.angle(sp), axis=0), None,
+                    smoothing,
+                )
+                sp = mag * jnp.exp(1j * ph)
+            if has_phys:
+                from ..helpers.spectrum_utilities import scale_spectrum
+
+                sp = scale_spectrum(
+                    sp,
+                    scaling,
+                    fft_length,
+                    fs_hz,
+                    win,
+                )
+            return sp
+
+        return _fft_spectrum, fft_length
+
     def get_spectrum(self, force_computation=False):
         """(freqs, spectrum ``(F, C)``) per the stored parameters.
 
@@ -526,28 +618,7 @@ class Signal(MultichannelData):
 
         p = self._spectrum_parameters
         if self.spectrum_method == SpectrumMethod.WelchPeriodogram:
-            # capture only freezable locals (no `self`) so
-            # run_jitted_complex can reuse the compiled program across calls
-            fs_hz = self.sampling_rate_hz
-            wl = p["window_length_samples"]
-            wt = p["window_type"]
-            ol = p["overlap_percent"]
-            det = p["detrend"]
-            avg = p["average"]
-            scal = p["scaling"]
-
-            def _welch_sp(td):
-                return welch(
-                    td.T,
-                    None,
-                    sampling_rate_hz=fs_hz,
-                    window_length_samples=wl,
-                    window_type=wt,
-                    overlap_percent=ol,
-                    detrend=det,
-                    average=avg,
-                    scaling=scal,
-                ).T
+            _welch_sp = self._welch_spectrum_closure()
 
             if _complex_transfer_broken():
                 sp = run_jitted_complex(_welch_sp, self._time_data)
@@ -560,80 +631,18 @@ class Signal(MultichannelData):
                 sp = sp[:, 0]
             fft_length = p["window_length_samples"]
         else:
-            from scipy.fft import next_fast_len
+            _fft_spectrum, fft_length = self._fft_spectrum_closure()
 
-            from .._config import (
-                _complex_transfer_broken,
-                run_jitted_complex,
-            )
-
-            fft_length = (
-                next_fast_len(self.length_samples, True)
-                if p["pad_to_fast_length"]
-                else self.length_samples
-            )
-
-            # capture only freezable locals (no `self`) so the compiled
-            # program is reused across calls (see _config._freeze_value)
-            fft_norm = self.spectrum_scaling.fft_norm()
-            smoothing = p["smoothing"]
-            scaling = self.spectrum_scaling
-            has_phys = scaling.has_physical_units()
-            fs_hz = self.sampling_rate_hz
-            win = np.asarray(self.window) if hasattr(
-                self, "window"
-            ) and self.window is not None else None
-
-            def _fft_spectrum(*td_parts):
-                td = (
-                    td_parts[0]
-                    if len(td_parts) == 1
-                    else td_parts[0] + 1j * td_parts[1]
-                )
-                sp = jnp.fft.rfft(
-                    td.T,
-                    axis=-1,
-                    norm=fft_norm,
-                    n=fft_length,
-                ).T
-                if smoothing != 0:
-                    from ..helpers.smoothing import (
-                        fractional_octave_smoothing,
-                    )
-
-                    mag = fractional_octave_smoothing(
-                        jnp.abs(sp), None, smoothing, clip_values=True
-                    )
-                    ph = fractional_octave_smoothing(
-                        jnp.unwrap(jnp.angle(sp), axis=0), None,
-                        smoothing,
-                    )
-                    sp = mag * jnp.exp(1j * ph)
-                if has_phys:
-                    from ..helpers.spectrum_utilities import scale_spectrum
-
-                    sp = scale_spectrum(
-                        sp,
-                        scaling,
-                        fft_length,
-                        fs_hz,
-                        win,
-                    )
-                return sp
-
-            parts = (
-                (self._time_data, self._time_data_imag)
-                if self.is_complex_signal
-                else (self._time_data,)
-            )
             if _complex_transfer_broken():
                 # one jitted program; complex never crosses the tunnel
-                sp = run_jitted_complex(_fft_spectrum, *parts)
+                sp = run_jitted_complex(_fft_spectrum, self._time_data)
             else:
-                sp = _fft_spectrum(*parts)
+                sp = _fft_spectrum(self._time_data)
         freqs = np.fft.rfftfreq(fft_length, 1 / self.sampling_rate_hz)
         if self.activate_cache:
-            self._cache["spectrum"] = (freqs, sp)
+            # cache copies of mutable (numpy) leaves: callers may mutate
+            # the returned arrays; jax arrays are immutable
+            self._cache["spectrum"] = (freqs.copy(), _cache_leaf(sp))
         return freqs, sp
 
     def _spectrum_param_key(self):
@@ -660,95 +669,22 @@ class Signal(MultichannelData):
             return f.copy(), re, im
         from .._config import run_jitted_complex
 
-        p = self._spectrum_parameters
         if self.spectrum_method == SpectrumMethod.WelchPeriodogram:
-            fs_hz = self.sampling_rate_hz
-            wl = p["window_length_samples"]
-            wt = p["window_type"]
-            ol = p["overlap_percent"]
-            det = p["detrend"]
-            avg = p["average"]
-            scal = p["scaling"]
-
-            def _welch_sp(td):
-                return welch(
-                    td.T,
-                    None,
-                    sampling_rate_hz=fs_hz,
-                    window_length_samples=wl,
-                    window_type=wt,
-                    overlap_percent=ol,
-                    detrend=det,
-                    average=avg,
-                    scaling=scal,
-                ).T
-
+            _welch_sp = self._welch_spectrum_closure()
             re = run_jitted_complex(
                 _welch_sp, self._time_data, materialize=False
             )
             im = None
-            fft_length = wl
+            fft_length = self._spectrum_parameters["window_length_samples"]
         else:
-            from scipy.fft import next_fast_len
+            _fft_spectrum, fft_length = self._fft_spectrum_closure()
 
-            fft_length = (
-                next_fast_len(self.length_samples, True)
-                if p["pad_to_fast_length"]
-                else self.length_samples
-            )
-            fft_norm = self.spectrum_scaling.fft_norm()
-            smoothing = p["smoothing"]
-            scaling = self.spectrum_scaling
-            has_phys = scaling.has_physical_units()
-            fs_hz = self.sampling_rate_hz
-            win = np.asarray(self.window) if hasattr(
-                self, "window"
-            ) and self.window is not None else None
-
-            def _fft_spectrum_split(*td_parts):
-                td = (
-                    td_parts[0]
-                    if len(td_parts) == 1
-                    else td_parts[0] + 1j * td_parts[1]
-                )
-                sp = jnp.fft.rfft(
-                    td.T,
-                    axis=-1,
-                    norm=fft_norm,
-                    n=fft_length,
-                ).T
-                if smoothing != 0:
-                    from ..helpers.smoothing import (
-                        fractional_octave_smoothing,
-                    )
-
-                    mag = fractional_octave_smoothing(
-                        jnp.abs(sp), None, smoothing, clip_values=True
-                    )
-                    ph = fractional_octave_smoothing(
-                        jnp.unwrap(jnp.angle(sp), axis=0), None,
-                        smoothing,
-                    )
-                    sp = mag * jnp.exp(1j * ph)
-                if has_phys:
-                    from ..helpers.spectrum_utilities import scale_spectrum
-
-                    sp = scale_spectrum(
-                        sp,
-                        scaling,
-                        fft_length,
-                        fs_hz,
-                        win,
-                    )
+            def _fft_spectrum_split(td):
+                sp = _fft_spectrum(td)
                 return sp.real, sp.imag
 
-            parts = (
-                (self._time_data, self._time_data_imag)
-                if self.is_complex_signal
-                else (self._time_data,)
-            )
             re, im = run_jitted_complex(
-                _fft_spectrum_split, *parts, materialize=False
+                _fft_spectrum_split, self._time_data, materialize=False
             )
         freqs = np.fft.rfftfreq(fft_length, 1 / self.sampling_rate_hz)
         self._cache["spectrum_dev"] = (
@@ -760,6 +696,32 @@ class Signal(MultichannelData):
         if self.is_complex_signal:
             return self._time_data + 1j * self._time_data_imag
         return self._time_data
+
+    def _csm_welch_closure(self):
+        """Welch CSM program ``td (T, C) -> (f, (F, C, C))`` capturing only
+        freezable locals (shared by the host and device CSM getters)."""
+        p = self._spectrum_parameters
+        fs_hz = self.sampling_rate_hz
+        wl = p["window_length_samples"]
+        wt = p["window_type"]
+        ol = p["overlap_percent"]
+        det = p["detrend"]
+        avg = p["average"]
+        scal = p["scaling"]
+
+        def _csm(td):
+            return csm_welch(
+                td.T,
+                sampling_rate_hz=fs_hz,
+                window_length_samples=wl,
+                window_type=wt,
+                overlap_percent=ol,
+                detrend=det,
+                average=avg,
+                scaling=scal,
+            )
+
+        return _csm
 
     def get_csm(self, force_computation=False):
         """(freqs, csm ``(F, C, C)``) — one batched einsum on device
@@ -773,29 +735,8 @@ class Signal(MultichannelData):
             return f.copy(), csm.copy()
         from .._config import _complex_transfer_broken, run_jitted_complex
 
-        p = self._spectrum_parameters
         if self.spectrum_method == SpectrumMethod.WelchPeriodogram:
-            # freezable-locals-only closure: lets run_jitted_complex reuse
-            # the compiled program across calls
-            fs_hz = self.sampling_rate_hz
-            wl = p["window_length_samples"]
-            wt = p["window_type"]
-            ol = p["overlap_percent"]
-            det = p["detrend"]
-            avg = p["average"]
-            scal = p["scaling"]
-
-            def _csm(td):
-                return csm_welch(
-                    td.T,
-                    sampling_rate_hz=fs_hz,
-                    window_length_samples=wl,
-                    window_type=wt,
-                    overlap_percent=ol,
-                    detrend=det,
-                    average=avg,
-                    scaling=scal,
-                )
+            _csm = self._csm_welch_closure()
 
             if _complex_transfer_broken():
                 f, csm = run_jitted_complex(_csm, self._time_data)
@@ -826,7 +767,7 @@ class Signal(MultichannelData):
             else:
                 csm = _csm_fft(sp)
         if self.activate_cache:
-            self._cache["csm"] = (f, csm)
+            self._cache["csm"] = (_cache_leaf(f), _cache_leaf(csm))
         return f, csm
 
     def _get_csm_device(self):
@@ -850,26 +791,10 @@ class Signal(MultichannelData):
             return np.asarray(f).copy(), re, im
         from .._config import run_jitted_complex
 
-        p = self._spectrum_parameters
-        fs_hz = self.sampling_rate_hz
-        wl = p["window_length_samples"]
-        wt = p["window_type"]
-        ol = p["overlap_percent"]
-        det = p["detrend"]
-        avg = p["average"]
-        scal = p["scaling"]
+        _csm = self._csm_welch_closure()
 
         def _csm_split(td):
-            f, c = csm_welch(
-                td.T,
-                sampling_rate_hz=fs_hz,
-                window_length_samples=wl,
-                window_type=wt,
-                overlap_percent=ol,
-                detrend=det,
-                average=avg,
-                scaling=scal,
-            )
+            f, c = _csm(td)
             return f, c.real, c.imag
 
         f, re, im = run_jitted_complex(
@@ -917,7 +842,9 @@ class Signal(MultichannelData):
         else:
             t, f, S = _stft(self._time_data)
         if self.activate_cache:
-            self._cache["spectrogram"] = (t, f, S)
+            self._cache["spectrogram"] = (
+                _cache_leaf(t), _cache_leaf(f), _cache_leaf(S)
+            )
         return t, f, S
 
     # ======== Plots =========================================================

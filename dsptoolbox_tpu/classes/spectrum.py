@@ -259,22 +259,32 @@ class Spectrum(MultichannelData):
     def __freqs_to_slice(
         self, f_lower_hz, f_upper_hz, inclusive: bool
     ) -> slice:
+        """Reference-exact boundary handling (`spectrum.py:1030-1057`):
+        inclusive extends one bin outward at each given boundary (even past
+        a non-exact upper frequency); exclusive always advances past the
+        lower boundary bin."""
         f = self.frequency_vector_hz
-        lo = f[0] if f_lower_hz is None else f_lower_hz
-        hi = f[-1] if f_upper_hz is None else f_upper_hz
+        n = len(f)
+        ind_low = (
+            int(np.searchsorted(f, f_lower_hz))
+            if f_lower_hz is not None
+            else 0
+        )
+        ind_high = (
+            int(np.searchsorted(f, f_upper_hz))
+            if f_upper_hz is not None
+            else n
+        )
         if inclusive:
-            i0 = int(np.searchsorted(f, lo, side="left"))
-            if i0 > 0 and f[i0] > lo:
-                i0 -= 1
-            i1 = int(np.searchsorted(f, hi, side="right"))
-            if i1 < len(f) and f[i1 - 1] < hi:
-                i1 += 1
+            if f_upper_hz is not None:
+                ind_high = min(ind_high + 1, n)
+            if f_lower_hz is not None and f[ind_low] != f_lower_hz:
+                ind_low = max(ind_low - 1, 0)
         else:
-            i0 = int(np.searchsorted(f, lo, side="left"))
-            if i0 < len(f) and f[i0] == lo:
-                pass
-            i1 = int(np.searchsorted(f, hi, side="right"))
-        return slice(i0, min(i1, len(f)))
+            if f_lower_hz is not None:
+                ind_low += 1
+        assert ind_low < ind_high, "Slice is invalid"
+        return slice(ind_low, ind_high)
 
     def trim(
         self,
@@ -379,8 +389,16 @@ class Spectrum(MultichannelData):
             return linear_interpolate(f, data, fq, axis=0)
         if self.__int_scheme == InterpolationScheme.Pchip:
             return pchip_interpolate(f, data, fq, axis=0)
-        A = _cubic_operator(tuple(f.tolist()), tuple(fq.tolist()))
-        return jnp.asarray(A, dtype=data.dtype) @ data
+        if len(f) <= 4096:
+            # small grids: static (Fq, F) operator -> one device matmul
+            A = _cubic_operator(tuple(f.tolist()), tuple(fq.tolist()))
+            return jnp.asarray(A, dtype=data.dtype) @ data
+        # large (FFT-resolution) grids: the dense operator would be O(F^2)
+        # memory (tens of GB at 100k bins) — evaluate the spline directly
+        from scipy.interpolate import CubicSpline
+
+        out = CubicSpline(f, np.asarray(data), axis=0)(fq)
+        return jnp.asarray(out, dtype=data.dtype)
 
     def get_interpolated_spectrum(
         self, requested_frequency, output_type: SpectrumType

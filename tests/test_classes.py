@@ -604,3 +604,106 @@ class TestDeviceResidentPaths:
         np.testing.assert_allclose(
             got, np.asarray(csm_host), rtol=2e-4, atol=1e-5
         )
+
+
+class TestClassesReviewRegressions:
+    """Regressions from the round-1 classes code review (oracle-checked)."""
+
+    def test_complex_signal_fft_spectrum_uses_real_part(self, ref):
+        """Reference rfft's time_data (real part only) for complex
+        signals (`classes/signal.py:906-911`)."""
+        rng = np.random.default_rng(21)
+        td = rng.standard_normal((1024, 2)) * 0.3
+        ti = rng.standard_normal((1024, 2)) * 0.3
+
+        r = ref.Signal(None, td, 48000)
+        r.time_data_imaginary = ti
+        r.spectrum_method = ref.SpectrumMethod.FFT
+        f_r, sp_r = r.get_spectrum()
+
+        from dsptoolbox_tpu.classes import Signal
+        from dsptoolbox_tpu.standard.enums import SpectrumMethod
+
+        s = Signal(None, td, 48000)
+        s.time_data_imaginary = ti
+        s.spectrum_method = SpectrumMethod.FFT
+        f_m, sp_m = s.get_spectrum()
+        np.testing.assert_allclose(f_m, f_r)
+        np.testing.assert_allclose(
+            np.asarray(sp_m), sp_r, rtol=2e-5, atol=1e-6
+        )
+
+    def test_initialize_zi_steady_state(self, ref):
+        from scipy.signal import sosfilt_zi
+
+        import dsptoolbox_tpu as dsp
+
+        f = dsp.Filter.iir_filter(
+            4, 1000.0, type_of_pass=dsp.FilterPassType.Lowpass,
+            sampling_rate_hz=48000,
+        )
+        f.initialize_zi(2)
+        np.testing.assert_allclose(f.zi[0], sosfilt_zi(np.asarray(f.sos)))
+        # streamed output matches the reference's steady-state start
+        rng = np.random.default_rng(22)
+        td = rng.standard_normal((2048, 2))
+        td = td / np.abs(td).max() * 0.5
+        s_m = dsp.Signal.from_time_data(td, 48000)
+        out_m = f.filter_signal(s_m, activate_zi=True)
+
+        f_r = ref.Filter.iir_filter(
+            4, 1000.0, type_of_pass=ref.FilterPassType.Lowpass,
+            sampling_rate_hz=48000,
+        )
+        f_r.initialize_zi(2)
+        s_r = ref.Signal(None, td, 48000)
+        out_r = f_r.filter_signal(s_r, activate_zi=True)
+        np.testing.assert_allclose(
+            out_m.time_data, out_r.time_data, rtol=1e-4, atol=1e-5
+        )
+
+    def test_filter_and_resample_length_matches_reference(self, ref):
+        import dsptoolbox_tpu as dsp
+
+        rng = np.random.default_rng(23)
+        td = rng.standard_normal((4800, 1))
+        td = td / np.abs(td).max() * 0.5
+        # FIR with half_length % down != 0: len(b)=12 -> half=5, down=2
+        b = rng.standard_normal(12) * 0.1
+        f_m = dsp.Filter.from_ba(b, [1.0], 48000)
+        f_r = ref.Filter.from_ba(b, [1.0], 48000)
+        s_m = dsp.Signal.from_time_data(td, 48000)
+        s_r = ref.Signal(None, td, 48000)
+        out_m = f_m.filter_and_resample_signal(s_m, 24000)
+        out_r = f_r.filter_and_resample_signal(s_r, 24000)
+        assert out_m.time_data.shape == out_r.time_data.shape
+        np.testing.assert_allclose(
+            out_m.time_data, out_r.time_data, rtol=1e-4, atol=1e-6
+        )
+
+    def test_spectrum_trim_exclusive_matches_reference(self, ref):
+        import dsptoolbox_tpu as dsp
+
+        f = np.linspace(0.0, 1000.0, 101)
+        data = np.abs(np.random.default_rng(24).standard_normal((101, 2)))
+        sp_m = dsp.Spectrum(f, data.copy())
+        sp_r = ref.Spectrum(f, data.copy())
+        sp_m.trim(100.0, 800.0, inclusive=False)
+        sp_r.trim(100.0, 800.0, inclusive=False)
+        np.testing.assert_allclose(
+            sp_m.frequency_vector_hz, sp_r.frequency_vector_hz
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp_m.spectral_data), sp_r.spectral_data
+        )
+
+    def test_remove_channel_negative_index(self):
+        import dsptoolbox_tpu as dsp
+
+        rng = np.random.default_rng(25)
+        td = rng.standard_normal((256, 3))
+        td = td / np.abs(td).max() * 0.5
+        s = dsp.Signal.from_time_data(td, 48000)
+        s.remove_channel(-2)
+        want = np.delete(td, -2, axis=1)
+        np.testing.assert_allclose(s.time_data, want, rtol=1e-6)
