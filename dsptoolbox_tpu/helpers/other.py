@@ -97,3 +97,14 @@ def check_format_in_path(path: str, desired_format: str) -> str:
     else:
         path += f".{desired_format}"
     return path
+
+
+def pearson_correlation(x: "np.ndarray", y: "np.ndarray") -> float:
+    """Pearson correlation coefficient of two 1-D arrays (0.0 when either
+    is constant). Shared by the EDC fits and the IR-trim decay scan."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    xc = x - x.mean()
+    yc = y - y.mean()
+    denom = np.sqrt((xc**2).sum() * (yc**2).sum())
+    return float((xc * yc).sum() / denom) if denom > 0 else 0.0

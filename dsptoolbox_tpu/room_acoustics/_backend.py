@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..helpers.gain_and_level import from_db, to_db
+from ..helpers.other import pearson_correlation as _pearson
 from ..helpers.smoothing import time_smoothing
 from ..transfer_functions._backend import trim_ir_indices
 from .enums import ReverbTime
@@ -59,13 +60,6 @@ def complex_mode_identification(
     if maximum_singular_value:
         return s.max(axis=-1)
     return s[:, 0]
-
-
-def _pearson(x: np.ndarray, y: np.ndarray) -> float:
-    xc = x - x.mean()
-    yc = y - y.mean()
-    denom = np.sqrt((xc**2).sum() * (yc**2).sum())
-    return float((xc * yc).sum() / denom) if denom > 0 else 0.0
 
 
 def _polyfit_edc(time_vector, edc, start_value, end_value):
@@ -268,34 +262,42 @@ def generate_rir(
     # Index/damping math stays host-side in f64: the sample index comes from
     # truncating `dist/c*sr + 0.5`, and fp32 distances flip bins near the
     # .5 boundary (observed vs the f64 oracle). The O(M·8) elementwise part
-    # is trivially cheap; the scatter-add runs on device.
-    # positions (M, 8, 3): (1-2u)·s + 2·l·dim - r
-    pos = (
-        (1 - 2 * u_vectors)[None, :, :] * s_pos
-        + (2 * lvecs * room_dim)[:, None, :]
-        - r_pos
-    )
-    dist = np.sqrt(np.sum(pos**2, axis=-1))  # (M, 8)
-    # damping (M, 8): prod(beta1^(|l-u|)) * prod(beta2^|l|)
-    diff = np.abs(lvecs[:, None, :] - u_vectors[None, :, :])  # (M, 8, 3)
-    damp = np.prod(beta_1**diff, axis=-1) * np.prod(
-        beta_2 ** np.abs(lvecs), axis=-1
-    )[:, None]
-    vals = damp / (4 * np.pi * dist)
-    idx = (dist / c * sr + 0.5).astype(np.int64)  # truncation, like ref
-    # The reference writes each (l,m,n) cell's 8 images via numpy fancy
-    # indexing `rir[idx] += vals` (`_room_acoustics.py:259-268`): duplicate
-    # sample indices within one group of 8 do NOT accumulate — the last
-    # occurrence wins. Reproduce that buffered-scatter semantics exactly.
-    eq = idx[:, :, None] == idx[:, None, :]  # (M, 8, 8)
+    # is trivially cheap; the scatter-add runs on device. The lattice is
+    # processed in chunks of rows — the full (M, 8, 3)/(M, 8, 8)
+    # temporaries would be multi-GB for long reverberation times
+    # (LIMIT ~ 80 → M ≈ 4.5M cells).
     later = np.triu(np.ones((8, 8), dtype=bool), 1)
-    dropped = (eq & later).any(axis=2)  # earlier duplicate → dropped
-    vals = np.where(dropped, 0.0, vals)
     rir = jnp.zeros(total_length, jnp.float32)
-    rir = rir.at[jnp.asarray(idx.reshape(-1))].add(
-        jnp.nan_to_num(jnp.asarray(vals.reshape(-1), jnp.float32)),
-        mode="drop",
-    )
+    CHUNK = 1 << 17
+    M = lvecs.shape[0]
+    for i0 in range(0, M, CHUNK):
+        lv = lvecs[i0 : i0 + CHUNK]
+        # positions (m, 8, 3): (1-2u)·s + 2·l·dim - r
+        pos = (
+            (1 - 2 * u_vectors)[None, :, :] * s_pos
+            + (2 * lv * room_dim)[:, None, :]
+            - r_pos
+        )
+        dist = np.sqrt(np.sum(pos**2, axis=-1))  # (m, 8)
+        # damping (m, 8): prod(beta1^(|l-u|)) * prod(beta2^|l|)
+        diff = np.abs(lv[:, None, :] - u_vectors[None, :, :])
+        damp = np.prod(beta_1**diff, axis=-1) * np.prod(
+            beta_2 ** np.abs(lv), axis=-1
+        )[:, None]
+        vals = damp / (4 * np.pi * dist)
+        idx = (dist / c * sr + 0.5).astype(np.int64)  # truncation, like ref
+        # The reference writes each (l,m,n) cell's 8 images via numpy fancy
+        # indexing `rir[idx] += vals` (`_room_acoustics.py:259-268`):
+        # duplicate sample indices within one group of 8 do NOT accumulate
+        # — the last occurrence wins. Reproduce that buffered-scatter
+        # semantics exactly.
+        eq = idx[:, :, None] == idx[:, None, :]  # (m, 8, 8)
+        dropped = (eq & later).any(axis=2)  # earlier duplicate → dropped
+        vals = np.where(dropped, 0.0, vals)
+        rir = rir.at[jnp.asarray(idx.reshape(-1))].add(
+            jnp.nan_to_num(jnp.asarray(vals.reshape(-1), jnp.float32)),
+            mode="drop",
+        )
     return np.asarray(rir, dtype=np.float64)
 
 

@@ -125,10 +125,21 @@ def batch_reverb_times(
               "T30": (-5.0, -35.0)}
     assert mode in ranges, f"mode must be one of {sorted(ranges)}"
     hi, lo = ranges[mode]
+    rirs = jnp.atleast_2d(jnp.asarray(rirs))
     edc_db = batch_energy_decay(rirs)
     B, T = edc_db.shape
     t = (jnp.arange(T) / sampling_rate_hz)[None, :] * jnp.ones((B, 1))
-    mask = (edc_db <= hi) & (edc_db >= lo)
+    # exclude the flat 0 dB plateau before the direct sound: for an RIR
+    # with leading delay the EDC is constant there and including it in the
+    # EDT fit flattens the slope
+    start = _start_indices(rirs)
+    mask = (
+        (edc_db <= hi)
+        & (edc_db >= lo)
+        & (jnp.arange(T)[None, :] >= start[:, None])
+    )
     slope, _ = _masked_linear_fit(t, edc_db, mask)
-    # time to decay 60 dB from the fitted slope
-    return -60.0 / jnp.minimum(slope, -1e-10)
+    # reference convention (`_room_acoustics.py:81`): T20/T30 extrapolate
+    # the fitted slope to a 60 dB decay; EDT reports the 0 -> -10 dB time
+    factor = 10.0 if mode == "EDT" else 60.0
+    return -factor / jnp.minimum(slope, -1e-10)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..helpers.other import pearson_correlation
 from ..helpers.gain_and_level import to_db
 from ..helpers.latency import analytic_signal
 from ..helpers.other import find_nearest_points_index_in_vector
@@ -210,6 +211,40 @@ def get_harmonic_times(
     return time_offset_seconds - np.log2(np.arange(n_harmonics) + 2) / rate
 
 
+def _smoothing_row_window(
+    i: int,
+    frequency_vector: np.ndarray,
+    delta_f: float,
+    factor: float,
+    window_x: np.ndarray,
+    window_y: np.ndarray,
+):
+    """Per-bin log-spaced smoothing window of the reference's numba kernel
+    (`_transfer_functions.py:414-476`): returns
+    ``(w, ind_low_clipped, ind_high_clipped)`` or ``None`` when the row is
+    too narrow (< 3 bins → identity). Shared by the dense-operator and
+    host streaming paths so they stay bit-identical."""
+    n_bins = len(frequency_vector)
+    f0 = frequency_vector[i]
+    ind_low = i - int((f0 - f0 / factor) / delta_f + 0.5)
+    ind_high = i + int((f0 * factor - f0) / delta_f + 0.5) + 1
+    window_length = ind_high - ind_low
+    ind_low_c = max(ind_low, 0)
+    ind_high_c = min(ind_high, n_bins)
+    effective = ind_high_c - ind_low_c
+    if ind_low_c + 2 >= ind_high_c:
+        return None
+    w = np.interp(
+        np.logspace(np.log10(3.0), np.log10(1.0), window_length)[
+            :effective
+        ]
+        - 2.0,
+        window_x,
+        window_y,
+    )
+    return w / w.sum(), ind_low_c, ind_high_c
+
+
 @lru_cache(maxsize=16)
 def _complex_smoothing_operator(
     freqs_key: tuple, octave_fraction: float, window_key: tuple
@@ -225,25 +260,13 @@ def _complex_smoothing_operator(
     factor = 2.0 ** (1.0 / octave_fraction / 2.0)
     W = np.zeros((n_bins, n_bins))
     for i in range(n_bins):
-        f0 = frequency_vector[i]
-        ind_low = i - int((f0 - f0 / factor) / delta_f + 0.5)
-        ind_high = i + int((f0 * factor - f0) / delta_f + 0.5) + 1
-        window_length = ind_high - ind_low
-        ind_low_c = max(ind_low, 0)
-        ind_high_c = min(ind_high, n_bins)
-        effective = ind_high_c - ind_low_c
-        if ind_low_c + 2 >= ind_high_c:
+        row = _smoothing_row_window(
+            i, frequency_vector, delta_f, factor, window_x, window_y
+        )
+        if row is None:
             W[i, i] = 1.0
             continue
-        w = np.interp(
-            np.logspace(np.log10(3.0), np.log10(1.0), window_length)[
-                :effective
-            ]
-            - 2.0,
-            window_x,
-            window_y,
-        )
-        w = w / w.sum()
+        w, ind_low_c, ind_high_c = row
         W[i, ind_low_c:ind_high_c] = w
     return W
 
@@ -340,9 +363,12 @@ def trim_ir_indices(
 
     tail = time_data[start_index + impulse_index :]
     nfl = next_fast_len(len(tail), False)
+    # parity: the reference's `hilbert(tail, N=next_fast_len)` keeps the
+    # FULL padded length for the decay scan and fallback averaging
+    # (`_transfer_functions.py:307-315`) — do not truncate to len(tail)
     env_c = analytic_signal(
         jnp.asarray(np.pad(tail, (0, nfl - len(tail)))), axis=-1
-    )[: len(tail)]
+    )
     etc = np.asarray(to_db(jnp.abs(env_c), True))
     envelope = np.asarray(
         time_smoothing(jnp.asarray(etc), fs_hz, 20e-3, None, axis=-1)
@@ -364,12 +390,9 @@ def trim_ir_indices(
             current_mean = new_mean
             pos += wl
         end_cur = min((pos * 2 + wl) // 2, len(envelope))
-        xs = x[:end_cur]
-        ys = envelope[:end_cur]
-        xs_c = xs - xs.mean()
-        ys_c = ys - ys.mean()
-        denom = np.sqrt((xs_c**2).sum() * (ys_c**2).sum())
-        corr_coeff[ind] = (xs_c * ys_c).sum() / denom if denom > 0 else 0.0
+        corr_coeff[ind] = pearson_correlation(
+            x[:end_cur], envelope[:end_cur]
+        )
         end[ind] = end_cur
 
     select = int(np.argmin(corr_coeff))
@@ -456,23 +479,11 @@ def complex_smoothing_host(
     factor = 2.0 ** (1.0 / octave_fraction / 2.0)
     out = np.array(x, dtype=np.result_type(x.dtype, np.float64))
     for i in range(n_bins):
-        f0 = frequency_vector[i]
-        ind_low = i - int((f0 - f0 / factor) / delta_f + 0.5)
-        ind_high = i + int((f0 * factor - f0) / delta_f + 0.5) + 1
-        window_length = ind_high - ind_low
-        ind_low_c = max(ind_low, 0)
-        ind_high_c = min(ind_high, n_bins)
-        effective = ind_high_c - ind_low_c
-        if ind_low_c + 2 >= ind_high_c:
-            continue
-        w = np.interp(
-            np.logspace(np.log10(3.0), np.log10(1.0), window_length)[
-                :effective
-            ]
-            - 2.0,
-            window_x,
-            window_y,
+        row = _smoothing_row_window(
+            i, frequency_vector, delta_f, factor, window_x, window_y
         )
-        w = w / w.sum()
+        if row is None:
+            continue
+        w, ind_low_c, ind_high_c = row
         out[i] = w @ x[ind_low_c:ind_high_c]
     return out[:, 0] if transposed else out

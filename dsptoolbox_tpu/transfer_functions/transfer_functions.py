@@ -77,10 +77,11 @@ def spectral_deconvolve(
         input.time_data = np.asarray(
             pad_trim_axis(input.time_data_jax, original_length * 2, axis=0)
         )
+    # parity: the reference FFTs at the signals' configured length, which
+    # defaults to next_fast_len padding (`transfer_functions.py:143-145`
+    # with `classes/signal.py:899-904`) — do NOT force the exact length
     input.spectrum_method = SpectrumMethod.FFT
     output.spectrum_method = SpectrumMethod.FFT
-    input._spectrum_parameters["pad_to_fast_length"] = False
-    output._spectrum_parameters["pad_to_fast_length"] = False
     # device-resident spectra: the division consumes them on-device; only
     # the (small, real) |denum| comes host for the regularization window
     _, denum_re, denum_im = input._get_spectrum_device()
@@ -99,29 +100,30 @@ def spectral_deconvolve(
                 "cabs2", lambda a, b: jnp.sqrt(a * a + b * b)
             )(denum_re, denum_im)
         )
-        eps_cols = []
-        for n in range(C):
-            n_denum = 0 if multichannel else n
-            ssz = start_stop_hz
-            if ssz is None:
-                ssz = find_frequencies_above_threshold(
-                    denum_mag[:, n_denum], freqs_hz, threshold_db
-                )
-            if len(ssz) == 2:
-                ssz = np.array(
-                    [
-                        ssz[0] / np.sqrt(2),
-                        ssz[0],
-                        ssz[1],
-                        np.min([ssz[1] * np.sqrt(2), fs_hz / 2]),
-                    ]
-                )
-            elif len(ssz) != 4:
-                raise ValueError(
-                    "start_stop_hz vector should have 2 or 4 values"
-                )
-            eps_cols.append(bk.regularization_window(ssz, freqs_hz))
-        eps = np.stack(eps_cols, axis=1)
+        # parity: the reference reassigns start_stop_hz inside its channel
+        # loop (`transfer_functions.py:151-168`), so the automatic
+        # regularization range is computed ONCE — from channel 0 — and
+        # every channel reuses the same window
+        ssz = start_stop_hz
+        if ssz is None:
+            ssz = find_frequencies_above_threshold(
+                denum_mag[:, 0], freqs_hz, threshold_db
+            )
+        if len(ssz) == 2:
+            ssz = np.array(
+                [
+                    ssz[0] / np.sqrt(2),
+                    ssz[0],
+                    ssz[1],
+                    np.min([ssz[1] * np.sqrt(2), fs_hz / 2]),
+                ]
+            )
+        elif len(ssz) != 4:
+            raise ValueError(
+                "start_stop_hz vector should have 2 or 4 values"
+            )
+        eps_col = bk.regularization_window(ssz, freqs_hz)
+        eps = np.repeat(eps_col[:, None], C, axis=1)
     else:
         eps = None
 

@@ -197,3 +197,30 @@ class TestBatchedDescriptors:
         edc = ra.batch_energy_decay(rirs.astype(np.float32))
         assert edc.shape == rirs.shape
         assert np.all(np.asarray(edc)[:, 0] <= 0.0 + 1e-5)
+
+
+class TestBatchReverbReviewRegressions:
+    def test_edt_ignores_leading_silence_and_matches_convention(self):
+        import jax.numpy as jnp
+
+        from dsptoolbox_tpu.room_acoustics.batch import batch_reverb_times
+
+        fs = 16000
+        T = fs
+        t = np.arange(T) / fs
+        t60 = 0.5
+        decay = np.exp(-3.0 * np.log(10) / t60 * t) * np.sin(
+            2 * np.pi * 1000 * t
+        )
+        delayed = np.zeros(T)
+        shift = fs // 4
+        delayed[shift:] = decay[: T - shift]
+        rirs = np.stack([decay, delayed]).astype(np.float32)
+
+        edt = np.asarray(batch_reverb_times(jnp.asarray(rirs), fs, "EDT"))
+        t20 = np.asarray(batch_reverb_times(jnp.asarray(rirs), fs, "T20"))
+        # EDT = 0 -> -10 dB time (reference convention): t60/6
+        np.testing.assert_allclose(edt, t60 / 6, rtol=0.1)
+        np.testing.assert_allclose(t20, t60, rtol=0.05)
+        # leading silence must not inflate the estimates
+        np.testing.assert_allclose(edt[1], edt[0], rtol=0.05)

@@ -325,3 +325,50 @@ class TestCombineIrWithDirac:
             out_m.time_data, out_r.time_data, 5e-4,
             f"combine dirac {keep_low} {norm}",
         )
+
+
+class TestDeconvolveReviewRegressions:
+    """Oracle regressions from the round-1 review: padded FFT length and
+    channel-0 regularization-range reuse."""
+
+    def test_non_fast_length_matches_reference(self, ref):
+        rng = np.random.default_rng(31)
+        L = 4001  # not 5-smooth: exercises next_fast_len padding
+        exc = rng.standard_normal((L, 1)) * 0.4
+        rec = rng.standard_normal((L, 1)) * 0.4
+        ir_m = dsp.transfer_functions.spectral_deconvolve(
+            dsp.Signal(None, rec, 48000), dsp.Signal(None, exc, 48000)
+        )
+        ir_r = ref.transfer_functions.spectral_deconvolve(
+            ref.Signal(None, rec, 48000), ref.Signal(None, exc, 48000)
+        )
+        np.testing.assert_allclose(
+            ir_m.time_data, ir_r.time_data, rtol=1e-3,
+            atol=2e-5 * np.max(np.abs(ir_r.time_data)),
+        )
+
+    def test_multichannel_regularization_matches_reference(self, ref):
+        """Channels with different bandwidths: the automatic range comes
+        from channel 0 only (reference loop reassignment)."""
+        from scipy.signal import sosfilt, butter
+
+        rng = np.random.default_rng(32)
+        L = 4096
+        wide = rng.standard_normal(L)
+        narrow = sosfilt(
+            butter(4, [500, 4000], btype="bandpass", fs=48000,
+                   output="sos"),
+            rng.standard_normal(L),
+        )
+        exc = np.stack([wide, narrow], axis=1) * 0.2
+        rec = rng.standard_normal((L, 2)) * 0.2
+        ir_m = dsp.transfer_functions.spectral_deconvolve(
+            dsp.Signal(None, rec, 48000), dsp.Signal(None, exc, 48000)
+        )
+        ir_r = ref.transfer_functions.spectral_deconvolve(
+            ref.Signal(None, rec, 48000), ref.Signal(None, exc, 48000)
+        )
+        np.testing.assert_allclose(
+            ir_m.time_data, ir_r.time_data, rtol=1e-3,
+            atol=1e-4 * np.max(np.abs(ir_r.time_data)),  # fp32
+        )
