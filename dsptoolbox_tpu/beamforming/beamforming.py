@@ -999,15 +999,13 @@ def clean_sc_deconvolve(
         G = np.outer(h_, h_.conjugate()) * maximum_power
         if remove_diagonal_csm:
             np.fill_diagonal(G, 0)
-        correction = np.asarray(
-            jnp.einsum(
-                "gm,mn,ng->g",
-                jnp.asarray(h_H),
-                jnp.asarray(G),
-                jnp.asarray(h),
-                precision=_HIGH,
-            ).real
-        )
+        # host BLAS: the per-iteration matrices are tiny, and device
+        # dispatch would re-upload the loop-invariant steering tensors
+        # every iteration (complex uploads are also unsupported on
+        # tunneled backends)
+        correction = np.einsum(
+            "gm,mg->g", h_H @ G, h
+        ).real
         map -= correction * safety_factor
         temp = D[1].copy()
         D[1] = D[1] - safety_factor * G

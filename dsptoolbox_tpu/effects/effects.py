@@ -239,9 +239,15 @@ class SpectralSubtractor(AudioEffect):
         frames = frame_signal(td.T, len(self.window), self.step_size, True)
         return frames, original_length
 
-    def _reconstruct(self, frames, original_length, signal):
+    def _reconstruct(
+        self, frames, original_length, signal, safety_threshold=1e-4
+    ):
         td = reconstruct_framed_signal(
-            frames, self.step_size, self.window, original_length
+            frames,
+            self.step_size,
+            self.window,
+            original_length,
+            safety_threshold=safety_threshold,
         )
         td = td[..., len(self.window) : -len(self.window)]
         return signal.copy_with_new_time_data(np.asarray(td.T))
@@ -294,8 +300,12 @@ class SpectralSubtractor(AudioEffect):
             )
 
         new_frames = run_jitted_complex(_subtract, frames, noise_np)
+        # parity: the reference's offline mode reconstructs with
+        # safety_threshold=None — no window-envelope clipping
+        # (`effects.py:482-484`)
         return self._reconstruct(
-            jnp.asarray(new_frames), original_length, signal
+            jnp.asarray(new_frames), original_length, signal,
+            safety_threshold=None,
         )
 
     def _apply_adaptive_mode(self, signal: Signal) -> Signal:
@@ -421,23 +431,34 @@ class Distortion(AudioEffect):
             self._distortion_funcs.append(mapping[dist])
 
     def _apply_this_effect(self, signal: Signal) -> Signal:
+        from .._config import run_maybe_jitted
+
         td = signal.time_data_jax
-        self._save_peak_values(np.asarray(td))
-        new_td = jnp.zeros_like(td)
-        for i in range(len(self._distortion_funcs)):
-            if self.mix[i] == 0.0:
-                continue
-            part = (
-                self._distortion_funcs[i](
-                    td, self.distortion_levels[i], self.offset_db[i]
+        funcs = list(self._distortion_funcs)
+        mix = np.asarray(self.mix, np.float64)
+        levels = np.asarray(self.distortion_levels, np.float64)
+        offsets = np.asarray(self.offset_db, np.float64)
+        post_gain_db = (
+            0.0 if self.post_gain_db is None else float(self.post_gain_db)
+        )
+
+        def prog(tdv):
+            # whole chain in one program: per-stage host round trips cost
+            # two full-signal transfers each on tunneled backends
+            peak_in = jnp.max(jnp.abs(tdv), axis=0)
+            new = jnp.zeros_like(tdv)
+            for i, f in enumerate(funcs):
+                if mix[i] == 0.0:
+                    continue
+                part = f(tdv, levels[i], offsets[i]) * mix[i]
+                new = new + part * (
+                    peak_in / jnp.max(jnp.abs(part), axis=0)
                 )
-                * self.mix[i]
-            )
-            new_td = new_td + jnp.asarray(
-                self._restore_peak_values(np.asarray(part))
-            )
-        new_td = self._add_gain_in_db(new_td, self.post_gain_db)
-        return signal.copy_with_new_time_data(np.asarray(new_td))
+            return new * 10 ** (post_gain_db / 20), peak_in
+
+        new_td, peak_in = run_maybe_jitted(prog, td)
+        self._peak_values = np.asarray(peak_in)
+        return signal.copy_with_new_time_data(new_td)
 
 
 class Compressor(AudioEffect):
@@ -678,12 +699,19 @@ class Chorus(AudioEffect):
             if isinstance(modulators, (list, tuple)):
                 nv_mod = len(modulators)
             elif isinstance(modulators, np.ndarray):
-                modulators = np.atleast_2d(modulators)
+                # docstring contract: (time samples, voice) — a 1D array
+                # is ONE voice's modulation, not T voices
+                if modulators.ndim == 1:
+                    modulators = modulators[:, None]
                 nv_mod = modulators.shape[1]
             else:
                 nv_mod = 1
         else:
-            nv_mod = len(self.modulators)
+            nv_mod = (
+                self.modulators.shape[1]
+                if isinstance(self.modulators, np.ndarray)
+                else len(self.modulators)
+            )
         self.number_of_voices = max(nv_base, nv_depths, nv_mod)
 
         if base_delays_ms is not None:
@@ -701,7 +729,7 @@ class Chorus(AudioEffect):
                 "Unsupported modulators type. Use LFO or numpy.ndarray"
             )
             if isinstance(modulators, np.ndarray):
-                self.modulators = np.atleast_2d(modulators)
+                self.modulators = modulators
             elif isinstance(modulators, LFO):
                 self.modulators = [modulators] * self.number_of_voices
             else:
@@ -844,6 +872,10 @@ class DigitalDelay(AudioEffect):
 
     def _apply_this_effect(self, signal: Signal) -> Signal:
         D = int(round(self.delay_ms * 1e-3 * signal.sampling_rate_hz))
+        assert D >= 1, (
+            f"delay_time_ms={self.delay_ms} rounds to zero samples at "
+            f"{signal.sampling_rate_hz} Hz"
+        )
         td = signal.time_data
         self._save_peak_values(td)
         padding = int(D * (1 + self.feedback * 15))
@@ -855,6 +887,16 @@ class DigitalDelay(AudioEffect):
         xb = x.reshape(n_blocks, D, -1)
         fb = self.feedback
         sat = self.saturation_func
+        try:
+            jax.eval_shape(
+                sat, jax.ShapeDtypeStruct((2, 2), jnp.float32)
+            )
+        except Exception as e:
+            raise ValueError(
+                "The saturation function must be traceable over jax "
+                "arrays (use jnp operations — it is applied to whole "
+                f"delay blocks on device): {e}"
+            ) from None
 
         def step(prev_block, x_blk):
             y_blk = x_blk + fb * sat(prev_block)

@@ -101,7 +101,11 @@ def fractional_latency(
     td1 = np.asarray(td1)
     if td2 is None:
         td2_ = jnp.asarray(td1[:, :1].T)  # (1, T)
-        td1_ = jnp.asarray(td1[:, 1:].T)  # (C-1, T)
+        # parity: the reference correlates the 2-D arrays directly
+        # (`helpers/latency.py:140-142`); scipy's N-D correlate flips the
+        # CHANNEL axis of in2 too, so for 3+ channels the reference
+        # returns the latencies in REVERSED channel order — reproduced
+        td1_ = jnp.asarray(td1[:, 1:][:, ::-1].T)  # (C-1, T) reversed
         xcor = fft_correlate(td2_, td1_)  # (C-1, L)
     else:
         xcor = fft_correlate(jnp.asarray(td2.T), jnp.asarray(td1.T))

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..standard.enums import MagnitudeNormalization, SpectrumScaling
+from .other import find_nearest_points_index_in_vector  # noqa: F401  (re-export)
 from .gain_and_level import from_db, to_db
 from .smoothing import fractional_octave_smoothing
 
@@ -26,11 +27,6 @@ def wrap_phase(phase_vector: jnp.ndarray) -> jnp.ndarray:
     return (phase_vector + jnp.pi) % (2 * jnp.pi) - jnp.pi
 
 
-def find_nearest_points_index_in_vector(points, vector) -> np.ndarray:
-    """Indices of nearest entries of static ``vector`` for ``points``."""
-    points = np.atleast_1d(np.asarray(points))
-    vector = np.asarray(vector)
-    return np.argmin(np.abs(points[:, None] - vector[None, :]), axis=1)
 
 
 def get_exact_gain_1khz(f: np.ndarray, sp_db: jnp.ndarray) -> jnp.ndarray:
@@ -145,18 +141,13 @@ def get_normalized_spectrum(
     mag = np.abs(spectra)
     f = f[id1:id2]
 
-    if smoothing != 0:
-        if is_amplitude_scaling:
-            mag = np.asarray(
-                fractional_octave_smoothing(mag, None, smoothing)
-            )
-        else:
-            mag = (
-                np.asarray(
-                    fractional_octave_smoothing(mag**0.5, None, smoothing)
-                )
-                ** 2
-            )
+    # parity: the reference's nested `if is_amplitude_scaling:` makes its
+    # power-smoothing branch DEAD code (`spectrum_utilities.py:155-165`) —
+    # power-scaled spectra are never smoothed here either
+    if smoothing != 0 and is_amplitude_scaling:
+        mag = np.asarray(
+            fractional_octave_smoothing(mag, None, smoothing)
+        )
 
     def _to_db_np(x, amplitude_input, dynamic_range_db=None):
         factor = 20.0 if amplitude_input else 10.0

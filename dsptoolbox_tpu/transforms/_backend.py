@@ -129,10 +129,19 @@ def squeeze_scalogram(
     ph = jnp.where(valid, (ph / jnp.where(valid, sc, 1.0)).imag / 2 / np.pi, 0.0)
     ph = jnp.abs(ph.real) * fs
 
-    freqs_j = jnp.asarray(freqs)
-    diff = jnp.abs(freqs_j[None, None, None, :] - ph[..., None])  # (F,T,C,Fbin)
-    ind = jnp.argmin(diff, axis=-1)  # (F, T, C)
-    min_diff = jnp.min(diff, axis=-1)
+    # nearest query bin via searchsorted on the (host-sorted) frequency
+    # grid — the dense |freqs - ph| distance tensor would be O(F²·T·C)
+    # (tens of GB at audio sizes); this is O(F·T·C·log F)
+    order = np.argsort(np.asarray(freqs))
+    freqs_sorted = np.asarray(freqs)[order]
+    fs_j = jnp.asarray(freqs_sorted)
+    pos = jnp.searchsorted(fs_j, ph)
+    lo = jnp.clip(pos - 1, 0, len(freqs) - 1)
+    hi = jnp.clip(pos, 0, len(freqs) - 1)
+    pick_hi = jnp.abs(fs_j[hi] - ph) < jnp.abs(fs_j[lo] - ph)
+    ind_sorted = jnp.where(pick_hi, hi, lo)
+    min_diff = jnp.abs(fs_j[ind_sorted] - ph)
+    ind = jnp.asarray(order)[ind_sorted]  # back to original bin order
     keep = (min_diff <= jnp.asarray(delta_w * freqs)[:, None, None]) & valid
 
     contrib = sc
@@ -141,9 +150,12 @@ def squeeze_scalogram(
         contrib = sc * jnp.asarray(normalizations)[:, None, None]
     contrib = jnp.where(keep, contrib, 0.0)
 
-    onehot = jax.nn.one_hot(ind, len(freqs), dtype=contrib.real.dtype)
-    # sync[k, t, c] = sum_f onehot[f,t,c,k] * contrib[f,t,c]
-    sync = jnp.einsum("ftck,ftc->ktc", onehot, contrib)
+    # scatter-add each (f, t, c) cell's energy onto its nearest query bin
+    Tn, C = contrib.shape[1], contrib.shape[2]
+    tt = jnp.arange(Tn)[None, :, None]
+    cc = jnp.arange(C)[None, None, :]
+    sync = jnp.zeros((len(freqs), Tn, C), contrib.dtype)
+    sync = sync.at[ind, tt, cc].add(contrib)
     return np.asarray(sync)
 
 
@@ -198,10 +210,6 @@ def warp_time_series(td: np.ndarray, warping_factor: float) -> np.ndarray:
 
     from ..ops.iir_block import lfilter_block
 
-    def step(dirac, x_n):
-        new_dirac, _ = lfilter_block(b, a, dirac)
-        return new_dirac, new_dirac
-
     dirac0 = jnp.zeros(T).at[0].set(1.0)
     # warped = sum_n dirac_n * td[n, :]; accumulate inside scan to avoid
     # materializing the full (T, T) dirac matrix
@@ -252,20 +260,49 @@ def dft_core(
     as chunked complex matmuls (replaces numba kernel #3,
     `_transforms.py:466-500`)."""
     T, C = time_data.shape
-    dft = -2j * np.pi * np.linspace(0.0, 1.0, T, endpoint=False)
     F = len(freqs_normalized)
     pad_f = (-F) % chunk
     fr = np.pad(np.asarray(freqs_normalized, np.float64), (0, pad_f))
-    fr_b = fr.reshape(-1, chunk)
-    td = jnp.asarray(time_data, jnp.complex64)
-    dftj = jnp.asarray(dft, jnp.complex64)
 
-    def body(carry, f_c):
-        M = jnp.exp(f_c[:, None].astype(jnp.complex64) * dftj[None, :])
+    # The phase f·n/T reaches ~1e5 cycles for long signals; a straight
+    # fp32 product loses the fractional part (only `mod 1` matters), so:
+    #   n = n1·B + n0,  phase = [(ω·B·n1) mod 1] + ω·n0,  ω = (f/T) mod 1.
+    # The coarse table is reduced mod 1 in f64 HOST-side (exact); the fine
+    # term is < B cycles, safely within fp32.
+    B = 1024
+    n1_max = (T + B - 1) // B
+    omega = np.mod(fr / T, 1.0)  # (F',) f64
+    coarse = np.mod(
+        np.mod(omega * B, 1.0)[:, None] * np.arange(n1_max)[None, :], 1.0
+    )  # (F', N1) f64 — still accumulates, reduce per-step:
+    # exact per-row: ((ω·B mod 1)·n1) mod 1 drifts for large n1 in f64 only
+    # below 1e-9 for n1 < 1e6 — acceptable (f64 host math).
+    coarse_b = coarse.reshape(-1, chunk, n1_max)
+    omega_b = omega.reshape(-1, chunk)
+
+    n_idx = np.arange(T)
+    n1 = (n_idx // B).astype(np.int32)
+    n0 = (n_idx % B).astype(np.float32)
+
+    td = jnp.asarray(time_data, jnp.complex64)
+    n1j = jnp.asarray(n1)
+    n0j = jnp.asarray(n0)
+
+    def body(carry, fa):
+        coarse_c, omega_c = fa  # (chunk, N1), (chunk,)
+        phase = coarse_c[:, n1j] + omega_c[:, None] * n0j[None, :]
+        M = jnp.exp((-2j * np.pi) * phase.astype(jnp.complex64))
         out = jnp.einsum(
             "ft,tc->fc", M, td, precision=jax.lax.Precision.HIGHEST
         )
         return carry, out
 
-    _, chunks = jax.lax.scan(body, 0, jnp.asarray(fr_b))
+    _, chunks = jax.lax.scan(
+        body,
+        0,
+        (
+            jnp.asarray(coarse_b, jnp.float32),
+            jnp.asarray(omega_b, jnp.float32),
+        ),
+    )
     return chunks.reshape(-1, C)[:F]

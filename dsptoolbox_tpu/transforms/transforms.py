@@ -154,9 +154,14 @@ def log_mel_spectrogram(
         s.set_spectrogram_parameters(**stft_parameters)
     time_s, f_hz, sp = s.get_spectrogram()
     mfilt, f_mel = mel_filterbank(f_hz, range_hz, n_bands, normalize=True)
-    power = jnp.abs(jnp.asarray(sp)) ** 2.0
+    # host abs first: `sp` is a host complex spectrogram and complex
+    # uploads are unsupported on tunneled backends
+    power = jnp.asarray(np.abs(np.asarray(sp)) ** 2.0)
     log_mel_sp = jnp.tensordot(
-        jnp.asarray(mfilt, power.dtype), power, axes=(-1, 0)
+        jnp.asarray(mfilt, power.dtype),
+        power,
+        axes=(-1, 0),
+        precision=jax.lax.Precision.HIGHEST,
     )
     # fp32 power underflows to 0 where the f64 reference keeps a denormal;
     # floor at tiny to keep the log finite
@@ -230,9 +235,14 @@ def mfcc(
             f"not match the STFT {sp.shape}"
         )
         f_mel = np.array([0, mel_filters.shape[0]])
-    power = jnp.abs(jnp.asarray(sp)) ** 2.0
+    # host abs first: `sp` is a host complex spectrogram and complex
+    # uploads are unsupported on tunneled backends
+    power = jnp.asarray(np.abs(np.asarray(sp)) ** 2.0)
     mel_power = jnp.tensordot(
-        jnp.asarray(mel_filters, power.dtype), power, axes=(-1, 0)
+        jnp.asarray(mel_filters, power.dtype),
+        power,
+        axes=(-1, 0),
+        precision=jax.lax.Precision.HIGHEST,
     )
     # keep the log finite where fp32 power underflows to 0 (see
     # log_mel_spectrogram)
@@ -243,7 +253,12 @@ def mfcc(
     k = np.arange(n)
     dct_mat = 2.0 * np.cos(np.pi * k[:, None] * (2 * k[None, :] + 1) / (2 * n))
     coeffs = jnp.abs(
-        jnp.tensordot(jnp.asarray(dct_mat, log_sp.dtype), log_sp, axes=(-1, 0))
+        jnp.tensordot(
+            jnp.asarray(dct_mat, log_sp.dtype),
+            log_sp,
+            axes=(-1, 0),
+            precision=jax.lax.Precision.HIGHEST,
+        )
     )
     coeffs = np.nan_to_num(np.asarray(coeffs), nan=0)
     if generate_plot:
@@ -372,7 +387,8 @@ def chroma_stft(
     assert tuning_a_hz > 0, "Tuning A4 must be greater than zero"
     assert compression > 0, "Compression factor must be greater than zero"
     t, f, S = signal.get_spectrogram()
-    power = jnp.abs(jnp.asarray(S)) ** 2
+    # host abs first (complex uploads unsupported on tunneled backends)
+    power = jnp.asarray(np.abs(np.asarray(S)) ** 2)
     pitch_frequencies = pitch2frequency(tuning_a_hz)
     pitch_transformation = np.zeros((len(pitch_frequencies), len(f)))
     for ind, fn in enumerate(pitch_frequencies):
@@ -383,10 +399,16 @@ def chroma_stft(
     for i in range(n_notes):
         chroma_transformation[i, i::n_notes] = 1
     pitch_stft = jnp.tensordot(
-        jnp.asarray(pitch_transformation, power.dtype), power, (1, 0)
+        jnp.asarray(pitch_transformation, power.dtype),
+        power,
+        (1, 0),
+        precision=jax.lax.Precision.HIGHEST,
     )
     chroma = jnp.tensordot(
-        jnp.asarray(chroma_transformation, power.dtype), pitch_stft, (1, 0)
+        jnp.asarray(chroma_transformation, power.dtype),
+        pitch_stft,
+        (1, 0),
+        precision=jax.lax.Precision.HIGHEST,
     )
     pitch_stft = np.asarray(jnp.log(1 + compression * pitch_stft))
     chroma = np.asarray(jnp.log(1 + compression * chroma))

@@ -230,3 +230,34 @@ class TestOther:
         assert 2 / 3 == fx.get_frequency_from_musical_rhythm(
             "dotted quarter", 60
         )
+
+
+class TestFxReviewRegressions:
+    def test_chorus_1d_modulator_is_one_voice(self):
+        rng = np.random.default_rng(41)
+        s = dsp.Signal(None, rng.standard_normal((4800, 1)) * 0.3, 48000)
+        mod = np.full(4800, 5.0)  # one voice's modulation in ms
+        ch = dsp.effects.Chorus(
+            depths_ms=5.0, base_delays_ms=10.0, modulators=mod
+        )
+        assert ch.number_of_voices == 1
+        out = ch.apply(s)
+        assert out.time_data.shape[0] == s.time_data.shape[0]
+        assert np.isfinite(out.time_data).all()
+
+    def test_digital_delay_zero_delay_raises(self):
+        rng = np.random.default_rng(42)
+        s = dsp.Signal(None, rng.standard_normal((2048, 1)) * 0.3, 8000)
+        d = dsp.effects.DigitalDelay(delay_time_ms=0.05, feedback=0.2)
+        with pytest.raises(AssertionError, match="zero samples"):
+            d.apply(s)
+
+    def test_digital_delay_untraceable_saturation_clear_error(self):
+        rng = np.random.default_rng(43)
+        s = dsp.Signal(None, rng.standard_normal((2048, 1)) * 0.3, 48000)
+        d = dsp.effects.DigitalDelay(delay_time_ms=10.0, feedback=0.2)
+        d.set_advanced_parameters(
+            saturation=lambda x: float(np.tanh(float(x)))
+        )
+        with pytest.raises(ValueError, match="traceable"):
+            d.apply(s)

@@ -235,3 +235,49 @@ class TestPolyphase:
             1e-6,
             "recon",
         )
+
+
+class TestHelpersReviewRegressions:
+    def test_fractional_latency_channel_order_matches_reference(self, ref):
+        """The reference's 2-D correlate reverses the channel order for
+        3+ channels (parity quirk, reproduced)."""
+        from dsptoolbox.helpers.latency import _fractional_latency
+
+        from dsptoolbox_tpu.helpers.latency import fractional_latency
+
+        rng = np.random.default_rng(51)
+        T = 2048
+        base = rng.standard_normal(T)
+        td = np.zeros((T, 3))
+        td[:, 0] = base
+        td[3:, 1] = base[:-3]
+        td[7:, 2] = base[:-7]
+        np.testing.assert_allclose(
+            fractional_latency(td, None, 1),
+            _fractional_latency(td, None, 1),
+            atol=1e-3,
+        )
+
+    def test_power_scaled_spectra_not_smoothed(self, ref):
+        """Reference parity: its power-smoothing branch is dead code."""
+        from dsptoolbox.helpers.spectrum_utilities import (
+            _get_normalized_spectrum,
+        )
+
+        from dsptoolbox_tpu.helpers.spectrum_utilities import (
+            get_normalized_spectrum,
+        )
+        from dsptoolbox_tpu.standard.enums import MagnitudeNormalization
+
+        rng = np.random.default_rng(52)
+        f = np.linspace(10.0, 24000.0, 512)
+        sp = np.abs(rng.standard_normal((512, 2))) + 0.1
+        f_m, mag_m = get_normalized_spectrum(
+            f, sp, False, None,
+            MagnitudeNormalization.NoNormalization, 3, False, False,
+        )
+        f_r, mag_r = _get_normalized_spectrum(
+            f, sp, False, None,
+            ref.MagnitudeNormalization.NoNormalization, 3, False, False,
+        )
+        np.testing.assert_allclose(np.asarray(mag_m), mag_r, atol=1e-6)

@@ -293,3 +293,27 @@ class TestVQT:
         a_m, a_r = np.abs(np.asarray(v_m)), np.abs(np.asarray(v_r))
         scale = np.max(a_r)
         assert np.max(np.abs(a_m - a_r)) / scale < 2e-3
+
+
+class TestTransformsReviewRegressions:
+    def test_dft_precision_does_not_degrade_with_length(self):
+        """The arbitrary-frequency DFT must hold fp32-level accuracy even
+        when f*n/T reaches 1e5 cycles (phase computed mod 1)."""
+        import jax.numpy as jnp
+
+        from dsptoolbox_tpu.transforms._backend import dft_core
+
+        rng = np.random.default_rng(44)
+        fs = 48000
+        for T in (4800, 480000):
+            x = rng.standard_normal((T, 1))
+            f_hz = np.array([100.0, 999.5, 9999.25])
+            f_norm = f_hz * T / fs
+            got = np.asarray(dft_core(jnp.asarray(x, jnp.float32), f_norm))
+            n = np.arange(T)
+            want = np.stack(
+                [np.sum(np.exp(-2j * np.pi * f * n / T) * x[:, 0])
+                 for f in f_norm]
+            )[:, None]
+            rel = np.abs(got - want).max() / np.abs(want).max()
+            assert rel < 2e-4, (T, rel)
