@@ -15,14 +15,37 @@ from ..ops.framing import frame_signal
 from ..standard.enums import FilterBankMode, SpectrumMethod
 
 
+_SIMPSON_W_CACHE: dict = {}
+
+
+def _simpson_weights(x: np.ndarray) -> np.ndarray:
+    """Composite-Simpson quadrature weights for sample points ``x``
+    (scipy-compatible, including its uneven-interval handling). Derived
+    once per unique grid by integrating identity basis rows in chunks and
+    cached — integration is linear in y, so ∫y = w·y exactly."""
+    from scipy.integrate import simpson
+
+    key = (x.shape[0], hash(x.tobytes()))
+    w = _SIMPSON_W_CACHE.get(key)
+    if w is None:
+        n = len(x)
+        w = np.empty(n)
+        CH = 512
+        for i0 in range(0, n, CH):
+            m = min(CH, n - i0)
+            basis = np.zeros((m, n))
+            basis[np.arange(m), i0 + np.arange(m)] = 1.0
+            w[i0 : i0 + m] = simpson(basis, x=x, axis=-1)
+        if len(_SIMPSON_W_CACHE) > 16:
+            _SIMPSON_W_CACHE.clear()
+        _SIMPSON_W_CACHE[key] = w
+    return w
+
+
 def _simpson(y: jnp.ndarray, x: np.ndarray, axis: int = 0) -> jnp.ndarray:
     """scipy.integrate.simpson-compatible composite Simpson along ``axis``
     with static sample points (weights baked at trace time)."""
-    from scipy.integrate import simpson
-
-    n = len(x)
-    eye = np.eye(n)
-    w = np.array([simpson(eye[i], x=x) for i in range(n)])
+    w = _simpson_weights(np.asarray(x))
     y = jnp.moveaxis(y, axis, 0)
     out = jnp.tensordot(jnp.asarray(w, y.dtype), y, axes=(0, 0))
     return out
@@ -158,7 +181,7 @@ def si_sdr(target_signal: Signal, modified_signal: Signal) -> np.ndarray:
 def fw_snr_seg(
     x: Signal,
     xhat: Signal,
-    f_range_hz=[20, 20000],
+    f_range_hz=[20, 10e3],
     snr_range_db=[-10, 35],
     gamma: float = 0.2,
 ) -> np.ndarray:

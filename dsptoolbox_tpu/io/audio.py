@@ -30,6 +30,11 @@ def write_audio(
     if ext == ".flac":
         from .flac import write_flac
 
-        bits = {"PCM_16": 16, "PCM_24": 24}.get(subtype, 16)
-        return write_flac(path, data, sampling_rate_hz, bits)
+        bits_map = {"PCM_8": 8, "PCM_16": 16, "PCM_24": 24}
+        if subtype not in bits_map:
+            raise ValueError(
+                f"Subtype {subtype!r} is not supported for FLAC "
+                f"(use one of {sorted(bits_map)})"
+            )
+        return write_flac(path, data, sampling_rate_hz, bits_map[subtype])
     raise ValueError(f"Unsupported audio format for writing: {ext}")

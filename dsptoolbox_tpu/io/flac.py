@@ -136,13 +136,12 @@ def write_flac(
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib._encode_ready = True
-    data = np.atleast_2d(np.asarray(data, dtype=np.float64))
-    if data.shape[0] == 1 and np.asarray(data).size > data.shape[1]:
-        data = data.T
+    data = np.asarray(data, dtype=np.float64)
     if data.ndim == 1:
         data = data[:, None]
-    if data.shape[0] < data.shape[1]:
-        data = data.T
+    assert data.ndim == 2, "data must be (samples, channels)"
+    # (frames, channels) preserved as-is, like soundfile — no orientation
+    # guessing
     n, ch = data.shape
     assert bits in (8, 16, 24), "bits must be 8, 16 or 24"
     max_val = float(2 ** (bits - 1) - 1)

@@ -19,7 +19,13 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Read a WAV file → (float64 data (samples, channels), sampling_rate)."""
     with open(path, "rb") as fh:
         riff, _size, wave_id = struct.unpack("<4sI4s", fh.read(12))
-        if riff not in (b"RIFF", b"RF64") or wave_id != b"WAVE":
+        if riff == b"RF64":
+            # RF64 stores the real sizes in a ds64 chunk this reader does
+            # not parse; refuse instead of silently truncating >4 GiB data
+            raise ValueError(
+                f"{path} is an RF64 (>4 GiB) file, which is not supported"
+            )
+        if riff != b"RIFF" or wave_id != b"WAVE":
             raise ValueError(f"{path} is not a RIFF/WAVE file")
         fmt = None
         data = None
@@ -84,9 +90,12 @@ def write_wav(
 
     ``subtype``: PCM_16 | PCM_24 | PCM_32 | FLOAT | DOUBLE (soundfile naming).
     """
-    data = np.atleast_2d(np.asarray(data, dtype=np.float64))
-    if data.shape[0] < data.shape[1]:
-        data = data.T
+    data = np.asarray(data, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[:, None]
+    assert data.ndim == 2, "data must be (samples, channels)"
+    # (frames, channels) preserved as-is, like soundfile — no orientation
+    # guessing (a wide buffer with more channels than frames is legitimate)
     n_frames, n_channels = data.shape
 
     if subtype == "FLOAT":
@@ -124,8 +133,15 @@ def write_wav(
     )
     with open(path, "wb") as fh:
         data_size = len(payload)
-        fh.write(struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + data_size,
-                             b"WAVE"))
+        pad = data_size & 1  # RIFF chunks are word-aligned
+        fh.write(
+            struct.pack(
+                "<4sI4s",
+                b"RIFF",
+                4 + 8 + len(fmt) + 8 + data_size + pad,
+                b"WAVE",
+            )
+        )
         fh.write(struct.pack("<4sI", b"fmt ", len(fmt)))
         fh.write(fmt)
         fh.write(struct.pack("<4sI", b"data", data_size))

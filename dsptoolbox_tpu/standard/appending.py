@@ -102,24 +102,41 @@ def append_filterbanks(fbs: list) -> FilterBank:
 
 
 def append_spectra(
-    spectra: list, complex_if_available: bool = False
+    spectra: list, complex_if_available: bool = True
 ) -> Spectrum:
-    """Append the channels of several spectra sharing a frequency vector
-    (`standard/appending.py:160-204`)."""
-    assert len(spectra) > 1, "At least two spectra should be passed"
-    f0 = spectra[0].frequency_vector_hz
-    data = []
-    for sp in spectra:
-        assert isinstance(sp, Spectrum), "All elements must be Spectrum"
-        assert len(sp.frequency_vector_hz) == len(f0) and np.allclose(
-            sp.frequency_vector_hz, f0
-        ), "Frequency vectors do not match"
-        d = np.asarray(sp.spectral_data)
-        if complex_if_available and not np.iscomplexobj(d):
-            d = d.astype(np.complex128)
-        data.append(d)
-    if any(np.iscomplexobj(d) for d in data) and not all(
-        np.iscomplexobj(d) for d in data
-    ):
-        data = [d.astype(np.complex128) for d in data]
-    return Spectrum(f0, np.concatenate(data, axis=1))
+    """Append the channels of several spectra
+    (`standard/appending.py:160-204`): every spectrum is interpolated onto
+    the FIRST spectrum's frequency vector; complex data is appended only
+    when the first spectrum is complex and ``complex_if_available``,
+    otherwise magnitudes are appended."""
+    from ..standard.enums import SpectrumType
+
+    assert len(spectra) > 1, "There must be at least two spectra to join"
+    assert all(isinstance(sp, Spectrum) for sp in spectra), (
+        "All elements must be Spectrum"
+    )
+    complex_append = complex_if_available and not spectra[0].is_magnitude
+    if complex_append:
+        assert all(not s.is_magnitude for s in spectra), (
+            "At least one spectrum is not complex"
+        )
+    total_channels = sum(s.number_of_channels for s in spectra)
+    freqs = spectra[0].frequency_vector_hz
+    spec = np.zeros(
+        (len(freqs), total_channels),
+        dtype=np.complex128 if complex_append else np.float64,
+    )
+    ch_ind = 0
+    for s in spectra:
+        spec[:, ch_ind : ch_ind + s.number_of_channels] = np.asarray(
+            s.get_interpolated_spectrum(
+                freqs,
+                (
+                    SpectrumType.Complex
+                    if complex_append
+                    else SpectrumType.Magnitude
+                ),
+            )
+        )
+        ch_ind += s.number_of_channels
+    return Spectrum(freqs, spec)

@@ -24,8 +24,12 @@ def latency_integer(in1: np.ndarray, in2: np.ndarray | None, *_):
     (`_standard_backend.py:14-35`). ``in1/in2 (T, C)``; device FFT
     correlation, host argmax readout."""
     if in2 is None:
+        # parity: the reference's 2-D scipy correlate flips the channel
+        # axis of in2, so for 3+ channels the latencies come back in
+        # REVERSED channel order (`_standard_backend.py:24-28`; same quirk
+        # as helpers.latency.fractional_latency)
         xcorr = fft_correlate(
-            jnp.asarray(in1[:, :1].T), jnp.asarray(in1[:, 1:].T)
+            jnp.asarray(in1[:, :1].T), jnp.asarray(in1[:, 1:][:, ::-1].T)
         )
         peak_inds = np.argmax(np.abs(np.asarray(xcorr)), axis=-1)
     else:

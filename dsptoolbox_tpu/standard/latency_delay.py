@@ -142,13 +142,15 @@ def fractional_delay(
         delayed_part = pad_trim_axis(
             new_td[:, jnp.asarray(channels)], total, axis=0, in_the_end=False
         )
-        out = pad_trim_axis(new_td, total, axis=0, in_the_end=True)
+        # every column is overwritten below; start from zeros instead of a
+        # padded copy of the whole signal
+        out = jnp.zeros((total, new_td.shape[1]), new_td.dtype)
         if len(channels_not):
             out = out.at[:, jnp.asarray(channels_not)].set(not_delayed_part)
         out = out.at[:, jnp.asarray(channels)].set(delayed_part)
         if keep_length:
             out = out[:T, :]
-        return sig.copy_with_new_time_data(np.asarray(out))
+        return sig.copy_with_new_time_data(out)
     if isinstance(sig, MultiBandSignal):
         out_sig = sig.copy()
         out_sig.bands = [

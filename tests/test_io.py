@@ -163,3 +163,64 @@ class TestSafeSerialization:
     def test_rejects_unknown_type(self, tmp_path):
         with pytest.raises(TypeError):
             dsp.io.save_object(object(), str(tmp_path / "bad"))
+
+
+class TestIoReviewRegressions:
+    def test_wide_buffer_preserved(self, tmp_path):
+        """(frames, channels) is preserved as-is like soundfile — no
+        orientation guessing for wide buffers."""
+        from dsptoolbox_tpu.io import read_audio, write_audio
+
+        rng = np.random.default_rng(61)
+        data = rng.standard_normal((3, 8)) * 0.4  # 3 frames, 8 channels
+        p = str(tmp_path / "wide.wav")
+        write_audio(p, data, 8000, "FLOAT")
+        back, fs = read_audio(p)
+        assert back.shape == (3, 8)
+        np.testing.assert_allclose(back, data, atol=1e-6)
+
+    def test_riff_size_includes_pad_byte(self, tmp_path):
+        import os
+        import struct
+
+        from dsptoolbox_tpu.io import write_audio
+
+        rng = np.random.default_rng(62)
+        data = rng.standard_normal((5, 1)) * 0.4  # 5*3 bytes: odd payload
+        p = str(tmp_path / "odd.wav")
+        write_audio(p, data, 8000, "PCM_24")
+        with open(p, "rb") as fh:
+            _, riff_size, _ = struct.unpack("<4sI4s", fh.read(12))
+        assert riff_size + 8 == os.path.getsize(p)
+
+    def test_flac_bad_subtype_raises(self, tmp_path):
+        from dsptoolbox_tpu.io import write_audio
+
+        with pytest.raises(ValueError, match="not supported for FLAC"):
+            write_audio(
+                str(tmp_path / "x.flac"), np.zeros((16, 1)), 8000, "FLOAT"
+            )
+
+
+class TestAppendSpectraReference:
+    def test_interpolates_to_first_frequency_vector(self, ref):
+        import dsptoolbox_tpu as dsp
+
+        rng = np.random.default_rng(63)
+        f1 = np.linspace(10.0, 1000.0, 128)
+        f2 = np.linspace(10.0, 1000.0, 200)
+        d1 = np.abs(rng.standard_normal((128, 1))) + 0.1
+        d2 = np.abs(rng.standard_normal((200, 2))) + 0.1
+        got = dsp.append_spectra(
+            [dsp.Spectrum(f1, d1.copy()), dsp.Spectrum(f2, d2.copy())]
+        )
+        want = ref.append_spectra(
+            [ref.Spectrum(f1, d1.copy()), ref.Spectrum(f2, d2.copy())]
+        )
+        np.testing.assert_allclose(
+            got.frequency_vector_hz, want.frequency_vector_hz
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.spectral_data), want.spectral_data, rtol=1e-5,
+            atol=1e-8,
+        )
