@@ -100,6 +100,28 @@ class _Unfreezable(Exception):
     """Raised when a closure value cannot be turned into a cache key."""
 
 
+_CONTENT_HASH_CACHE: "dict" = {}
+
+
+def _content_hash_cached(v) -> int:
+    """Content hash of an IMMUTABLE (jax device) array, memoized by object
+    identity — hashing would otherwise pay a device→host transfer on
+    every call just to compute the cache key. Identity is validated by
+    keeping a reference in the cache entry; the cache is bounded. Do not
+    use for mutable numpy arrays."""
+    import numpy as np
+
+    key = id(v)
+    entry = _CONTENT_HASH_CACHE.get(key)
+    if entry is not None and entry[0] is v:
+        return entry[1]
+    h = hash(np.ascontiguousarray(np.asarray(v)).tobytes())
+    if len(_CONTENT_HASH_CACHE) > 256:
+        _CONTENT_HASH_CACHE.clear()
+    _CONTENT_HASH_CACHE[key] = (v, h)
+    return h
+
+
 def _freeze_value(v):
     """Deterministic hashable token for a value captured in a closure.
 
@@ -120,15 +142,20 @@ def _freeze_value(v):
     if isinstance(v, enum.Enum):
         return ("enum", type(v).__qualname__, v.name)
     if isinstance(v, (int, float, bool, str, bytes, complex, type(None))):
-        return v
+        # include the type: True/1/1.0 hash equal but trace to different
+        # programs under dtype promotion
+        return (type(v).__name__, v)
     if isinstance(v, np.ndarray):
+        # numpy arrays are mutable — hash content on every call (cheap on
+        # host); only immutable device arrays get the identity memo below
         b = np.ascontiguousarray(v).tobytes()
         return ("nd", v.shape, str(v.dtype), len(b), hash(b))
     if isinstance(v, jnp.ndarray):
         if jnp.iscomplexobj(v) and _complex_transfer_broken():
             raise _Unfreezable  # cannot pull it to host to hash it
-        b = np.ascontiguousarray(np.asarray(v)).tobytes()
-        return ("jd", v.shape, str(v.dtype), len(b), hash(b))
+        # hashing pulls the buffer host-side (slow on tunneled backends):
+        # memoize by identity so each captured device array is fetched once
+        return ("jd", v.shape, str(v.dtype), _content_hash_cached(v))
     if isinstance(v, (tuple, list)):
         return (type(v).__name__,) + tuple(_freeze_value(x) for x in v)
     if isinstance(v, dict):

@@ -42,7 +42,7 @@ def parallel_welch(
     """Welch autospectra of ``x (C, T)`` with channels sharded across the
     mesh's first axis. Purely local compute — no collectives."""
     axis = mesh.axis_names[0]
-    n = mesh.devices.size
+    n = int(mesh.shape[axis])
     assert x.shape[0] % n == 0, (
         f"Channel count {x.shape[0]} must divide across {n} devices"
     )
@@ -96,7 +96,7 @@ def parallel_csm(
     (row) axis.
     """
     axis = mesh.axis_names[0]
-    n = mesh.devices.size
+    n = int(mesh.shape[axis])
     C = x.shape[0]
     assert C % n == 0, f"{C} channels do not divide over {n} devices"
 
@@ -114,7 +114,13 @@ def parallel_csm(
         K = Xl.shape[1]
         # rows[f, a_local, b] = mean_k conj(Xl[a,k,f]) X_all[b,k,f]
         rows = (
-            jnp.einsum("akf,bkf->fab", jnp.conjugate(Xl), X_all) / K
+            jnp.einsum(
+                "akf,bkf->fab",
+                jnp.conjugate(Xl),
+                X_all,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            / K
         )
         return rows
 
@@ -135,6 +141,12 @@ def parallel_csm(
         edge = np.ones(csm.shape[0])
         edge[0] = edge[-1] = 0.5
         csm = csm * factor * jnp.asarray(edge)[:, None, None]
+    # per-pair sqrt for amplitude scalings, like csm_welch (the returned
+    # convention stays the plain Hermitian Gram matrix — see docstring)
+    if scaling.is_amplitude_scaling():
+        csm = jnp.sqrt(
+            csm.astype(jnp.result_type(csm.dtype, jnp.complex64))
+        )
     f = np.fft.rfftfreq(window_length_samples, 1 / sampling_rate_hz)
     return f, csm
 
@@ -155,7 +167,7 @@ def parallel_filterbank(
     )
 
     axis = mesh.axis_names[0]
-    n = mesh.devices.size
+    n = int(mesh.shape[axis])
     B = sos_bank.shape[0]
     assert B % n == 0, f"{B} bands do not divide over {n} devices"
 
@@ -189,8 +201,15 @@ def parallel_filterbank(
     )
     x_sharding = NamedSharding(mesh, P(*([None] * x.ndim)))
     band_shardings = tuple(NamedSharding(mesh, s) for s in band_specs)
+    # complex cascades (gammatone) must keep their imaginary parts: cast
+    # to the complex compute dtype, never to real x.dtype
+    op_dtype = (
+        jnp.result_type(x.dtype, jnp.complex64)
+        if any(np.iscomplexobj(t) for t in tensors)
+        else x.dtype
+    )
     placed = [
-        jax.device_put(jnp.asarray(t, x.dtype), s)
+        jax.device_put(jnp.asarray(t, op_dtype), s)
         for t, s in zip(tensors, band_shardings)
     ]
     return jax.jit(
@@ -211,7 +230,7 @@ def sharded_map_reduce(
     ``reduce``: None (keep sharded), "sum" or "mean" (ICI `psum`).
     """
     axis = mesh.axis_names[0]
-    n = mesh.devices.size
+    n = int(mesh.shape[axis])
     assert x.shape[0] % n == 0, (
         f"Leading axis {x.shape[0]} must divide across {n} devices"
     )
@@ -253,12 +272,16 @@ def parallel_fir_filter(
     ``lfilter(h, 1, x)`` and stays time-sharded.
     """
     axis = mesh.axis_names[0]
-    n = mesh.devices.size
+    n = int(mesh.shape[axis])
     T = x.shape[-1]
     assert T % n == 0, f"time length {T} must divide across {n} devices"
     K = len(h)
     assert K - 1 <= T // n, "kernel longer than a time shard"
     hj = jnp.asarray(h, x.dtype)
+    if K == 1:
+        # no history needed — a 1-tap filter is a pure scaling (and the
+        # -(K-1) halo slice below would grab the whole shard)
+        return jax.jit(lambda xv: xv * hj[0])(x)
 
     def local(xl):
         # send this shard's tail one device to the right
@@ -305,7 +328,7 @@ def parallel_das_map(
     axis. Returns the (G, F) map, grid-sharded.
     """
     axis = mesh.axis_names[0]
-    n = mesh.devices.size
+    n = int(mesh.shape[axis])
     G = amp.shape[1]
     assert G % n == 0, f"{G} grid points do not divide over {n} devices"
 
@@ -362,7 +385,7 @@ def parallel_batch_descriptors(
     from ..room_acoustics.batch import batch_descriptors
 
     axis = mesh.axis_names[0]
-    n = mesh.devices.size
+    n = int(mesh.shape[axis])
     B = rirs.shape[0]
     assert B % n == 0, f"{B} RIRs do not divide over {n} devices"
 

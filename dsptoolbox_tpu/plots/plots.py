@@ -10,16 +10,33 @@ from __future__ import annotations
 import numpy as np
 
 FREQUENCY_TICKS = np.array(
-    [20, 50, 100, 200, 500, 1000, 2000, 5000, 10000, 20000]
+    [2, 5, 10, 20, 50, 100, 200, 500, 1000, 2000, 5000, 10000, 20000]
 )
 
 
+_THEME_SET = False
+
+
 def _plt():
+    import sys
+
     import matplotlib
 
-    matplotlib.use("Agg", force=False)
+    # only pick a backend when none has been loaded yet AND no display is
+    # available — never clobber an interactive/notebook backend the user
+    # already has (the reference does not touch the backend at all)
+    if "matplotlib.pyplot" not in sys.modules:
+        import os
+
+        if not os.environ.get("DISPLAY") and not os.environ.get(
+            "MPLBACKEND"
+        ):
+            matplotlib.use("Agg", force=False)
     import matplotlib.pyplot as plt
 
+    global _THEME_SET
+    if _THEME_SET:
+        return plt
     try:
         import seaborn as sns
 
@@ -31,6 +48,7 @@ def _plt():
         )
     except ImportError:
         pass
+    _THEME_SET = True
     return plt
 
 

@@ -193,6 +193,10 @@ def fractional_octave_frequencies(
         raise ValueError(
             "You need to specify a lower and upper limit frequency."
         )
+    if f_lims[0] > f_lims[1]:
+        raise ValueError(
+            "The second frequency needs to be higher than the first."
+        )
     if num_fractions in [1, 3]:
         nominal, exact = center_frequencies_fractional_octaves_iec(
             num_fractions

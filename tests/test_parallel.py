@@ -205,3 +205,80 @@ def test_parallel_batch_descriptors_matches_single_device(mesh):
             np.asarray(got[key]), np.asarray(want[key]), rtol=1e-5,
             atol=1e-6,
         )
+
+
+class TestParallelReviewRegressions:
+    def test_complex_bank_keeps_imaginary(self, mesh):
+        """Complex cascades (gammatone) must not lose their imaginary
+        parts in the sharded filter bank."""
+        from dsptoolbox_tpu.ops.iir_block import (
+            sosfilt_bank_apply,
+            sosfilt_bank_operators,
+        )
+
+        rng = np.random.default_rng(71)
+        # 8 complex one-pole^2 cascades
+        poles = 0.9 * np.exp(1j * np.linspace(0.2, 1.2, 8))
+        bank = np.zeros((8, 2, 6), np.complex128)
+        bank[:, :, 0] = 1.0
+        bank[:, :, 3] = 1.0
+        bank[:, :, 4] = -poles[:, None]
+        x = rng.standard_normal((2, 256)).astype(np.float32)
+
+        got = np.asarray(par.parallel_filterbank(bank, jnp.asarray(x), mesh))
+        ops = sosfilt_bank_operators(bank, x.shape[-1])
+        want = np.asarray(sosfilt_bank_apply(ops, jnp.asarray(x)))
+        assert np.iscomplexobj(got) or np.abs(got.imag).sum() == 0
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    def test_fir_single_tap(self, mesh):
+        rng = np.random.default_rng(72)
+        x = rng.standard_normal((2, 64)).astype(np.float32)
+        y = np.asarray(par.parallel_fir_filter(np.array([0.5]), x, mesh))
+        np.testing.assert_allclose(y, 0.5 * x, rtol=1e-6)
+
+    def test_multi_axis_mesh_uses_first_axis(self):
+        mesh2 = par.device_mesh(8, axis_names=("dp", "ch"), shape=(2, 4))
+        rng = np.random.default_rng(73)
+        x = rng.standard_normal((2, 128)).astype(np.float32)
+        from scipy.signal import firwin
+
+        y = np.asarray(
+            par.parallel_fir_filter(firwin(9, 0.3), x, mesh2)
+        )
+        from scipy.signal import lfilter
+
+        want = lfilter(firwin(9, 0.3), [1.0], x, axis=-1)
+        np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-6)
+
+    def test_parallel_csm_amplitude_scaling(self, mesh):
+        from dsptoolbox_tpu.ops.spectral import csm_welch
+
+        rng = np.random.default_rng(74)
+        x = rng.standard_normal((8, 8192)).astype(np.float32) * 0.3
+        scaling = SpectrumScaling.AmplitudeSpectralDensity
+        f_p, csm_p = par.parallel_csm(
+            jnp.asarray(x), mesh, sampling_rate_hz=48000,
+            window_length_samples=512, scaling=scaling,
+        )
+        f_s, csm_s = csm_welch(
+            x, sampling_rate_hz=48000, window_length_samples=512,
+            scaling=scaling,
+        )
+        got = np.asarray(csm_p)
+        want = np.asarray(csm_s)
+        # compare magnitudes: the plain-Gram convention conjugates the
+        # lower triangle BEFORE the amplitude sqrt, and conj does not
+        # commute with sqrt on the branch cut (near-zero bins)
+        C = got.shape[1]
+        il = np.tril_indices(C, -1)
+        np.testing.assert_allclose(
+            np.abs(got[:, il[0], il[1]]), np.abs(want[:, il[0], il[1]]),
+            rtol=5e-3, atol=1e-6,
+        )
+        # real diagonals match
+        dg = np.arange(C)
+        np.testing.assert_allclose(
+            got[:, dg, dg].real, want[:, dg, dg].real, rtol=5e-3,
+            atol=1e-6,
+        )
