@@ -126,3 +126,48 @@ def test_frame_signal_matches_reference_convention(T, L, data):
         n_avail = max(0, min(L, T - start))
         want[:n_avail] = x[start : start + n_avail]
         np.testing.assert_array_equal(frames[k], want)
+
+
+@given(
+    n_bands=st.integers(2, 6),
+    orders=st.integers(1, 4),
+    T=st.integers(64, 1200),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=25, deadline=None)
+def test_banked_filterbank_matches_per_filter_loop(n_bands, orders, T, seed):
+    """The one-program banked Parallel path must equal filtering each
+    band's cascade independently (identity-section padding is exact)."""
+    import jax.numpy as jnp
+
+    from dsptoolbox_tpu.ops.iir import sosfilt
+    from dsptoolbox_tpu.ops.iir_block import (
+        sosfilt_bank_apply,
+        sosfilt_bank_operators,
+    )
+
+    rng = np.random.default_rng(seed)
+    bank = []
+    max_s = 0
+    for b in range(n_bands):
+        order = 1 + (seed + b) % (2 * orders)
+        cutoff = 0.05 + 0.8 * rng.random()
+        sos = sig.butter(order, cutoff, output="sos")
+        bank.append(sos)
+        max_s = max(max_s, sos.shape[0])
+    identity = np.array([1.0, 0, 0, 1.0, 0, 0])
+    stacked = np.stack(
+        [
+            np.vstack([s] + [identity[None]] * (max_s - s.shape[0]))
+            for s in bank
+        ]
+    )
+    x = rng.standard_normal((2, T)).astype(np.float32) * 0.5
+
+    ops = sosfilt_bank_operators(stacked, T)
+    got = np.asarray(sosfilt_bank_apply(ops, jnp.asarray(x)))
+    for b, sos in enumerate(bank):
+        want, _ = sosfilt(sos, jnp.asarray(x))
+        np.testing.assert_allclose(
+            got[b], np.asarray(want), rtol=2e-3, atol=2e-5
+        )
