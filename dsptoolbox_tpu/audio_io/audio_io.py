@@ -163,9 +163,9 @@ def _prepare_playback(
         duration_samples = int(duration_seconds * signal.sampling_rate_hz)
     else:
         duration_seconds = (
-            signal.time_data.shape[0] / signal.sampling_rate_hz
+            signal.time_data_jax.shape[0] / signal.sampling_rate_hz
         )
-        duration_samples = signal.time_data.shape[0]
+        duration_samples = signal.time_data_jax.shape[0]
     play_data = signal.time_data.copy()[:duration_samples, :]
     if normalized_dbfs is not None:
         assert normalized_dbfs <= 0, "Only values beneath 0 dBFS are allowed"

@@ -887,7 +887,7 @@ class BeamformerDASTime(BaseBeamformer):
         longest_delay = int(
             (r0 - min_distance) / self.c * self.signal.sampling_rate_hz + 2
         )
-        total_length = out_sig.time_data.shape[0] + longest_delay
+        total_length = out_sig.time_data_jax.shape[0] + longest_delay
         out_sig = pad_trim(out_sig, total_length)
         for ig in range(self.grid.number_of_points):
             delays = (r0 - ds[:, ig]) / self.c
@@ -952,16 +952,16 @@ def mix_sources_on_array(sources, mics: MicArray, c: float = 343) -> Signal:
     )
     sources = list(sources)
     multi = sources[0].get_signals_on_array(mics, c)
-    total_length = multi.time_data.shape[0]
+    total_length = multi.time_data_jax.shape[0]
     sources.pop(0)
     for s in sources:
-        if total_length != s.emitted_signal.time_data.shape[0]:
+        if total_length != s.emitted_signal.time_data_jax.shape[0]:
             warn(
                 "Emitted signals from sources differ in length. Trimming "
                 "to shortest will be done"
             )
             total_length = min(
-                total_length, s.emitted_signal.time_data.shape[0]
+                total_length, s.emitted_signal.time_data_jax.shape[0]
             )
             multi = pad_trim(multi, total_length)
             s.emitted_signal = pad_trim(s.emitted_signal, total_length)

@@ -334,7 +334,7 @@ class Filter:
             zi_old = self.zi
         else:
             zi_old = None
-        if self.order > signal.time_data.shape[0]:
+        if self.order > signal.time_data_jax.shape[0]:
             warn("Filter is longer than signal, results might be meaningless!")
         if self.has_sos:
             new_signal, zi_new = filter_on_signal(

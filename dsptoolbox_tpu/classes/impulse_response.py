@@ -69,8 +69,8 @@ class ImpulseResponse(Signal):
     def set_window(self, window: np.ndarray) -> "ImpulseResponse":
         """Attach the time window used to produce this IR
         (`classes/impulse_response.py:139-152`)."""
-        assert window.shape == self.time_data.shape, (
-            f"{window.shape} does not match shape {self.time_data.shape}"
+        assert window.shape == self.time_data_jax.shape, (
+            f"{window.shape} does not match shape {self.time_data_jax.shape}"
         )
         self.window = window
         return self

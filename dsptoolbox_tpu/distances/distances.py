@@ -157,8 +157,8 @@ def si_sdr(target_signal: Signal, modified_signal: Signal) -> np.ndarray:
         target_signal.sampling_rate_hz == modified_signal.sampling_rate_hz
     ), "Sampling rates do not match"
     assert (
-        target_signal.time_data.shape[0]
-        == modified_signal.time_data.shape[0]
+        target_signal.time_data_jax.shape[0]
+        == modified_signal.time_data_jax.shape[0]
     ), "Lengths do not match"
     multichannel = target_signal.number_of_channels == 1
     if not multichannel:
@@ -196,7 +196,7 @@ def fw_snr_seg(
         "Sampling rates do not match"
     )
     fs_hz = x.sampling_rate_hz
-    assert x.time_data.shape[0] == xhat.time_data.shape[0], (
+    assert x.time_data_jax.shape[0] == xhat.time_data_jax.shape[0], (
         "Signal lengths do not match"
     )
     multichannel = False

@@ -115,7 +115,7 @@ class GammaToneFilterBank(FilterBank):
         )
         shape = (
             signal.number_of_bands,
-            signal.bands[0].time_data.shape[0],
+            signal.bands[0].time_data_jax.shape[0],
             signal.number_of_channels,
         )
         time = np.empty(shape, dtype=np.complex128)

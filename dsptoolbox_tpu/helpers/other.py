@@ -24,9 +24,11 @@ def find_frequencies_above_threshold(
     """First/last frequency whose (normalized) magnitude exceeds the
     threshold (`helpers/other.py:34-42`). Host-side: steers regularization
     windows, a static decision."""
-    # abs() on host first: `spec` may be a complex numpy spectrum and
-    # complex uploads are unsupported on tunneled backends
-    denum_db = np.asarray(to_db(jnp.asarray(np.abs(np.asarray(spec))), True))
+    # pure host math: the spectrum is a small (F,) vector — an eager
+    # device to_db would cost a dispatch + fetch round trip per call
+    mag = np.abs(np.asarray(spec))
+    floor = float(np.finfo(np.float64).smallest_normal)
+    denum_db = 20.0 * np.log10(np.clip(mag, floor, None))
     if normalize:
         denum_db = denum_db - np.max(denum_db)
     freqs = np.asarray(f)[denum_db > threshold_db]

@@ -107,7 +107,7 @@ def fractional_delay(
                 "needed."
             )
         delay_samples = delay_seconds * sig.sampling_rate_hz
-        T = sig.time_data.shape[0]
+        T = sig.time_data_jax.shape[0]
         if keep_length:
             assert delay_samples < T, "Delay too large for the given signal"
         if channels is None:
@@ -180,7 +180,7 @@ def delay(
     if isinstance(sig, Signal):
         if delay_samples == 0:
             return sig.copy()
-        T = sig.time_data.shape[0]
+        T = sig.time_data_jax.shape[0]
         if keep_length:
             assert delay_samples < T, "Delay too large for the given signal"
         if channels is None:

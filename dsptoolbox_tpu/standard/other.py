@@ -171,7 +171,7 @@ def dither(
 ) -> Signal:
     """Dither noise (+ optional noise shaping / truncation)
     (`standard/other.py:287-364`)."""
-    shape = s.time_data.shape
+    shape = s.time_data_jax.shape
     if not triangular_distribution:
         noise = np.random.uniform(-epsilon / 2, epsilon / 2, size=shape)
     else:

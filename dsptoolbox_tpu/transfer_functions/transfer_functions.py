@@ -49,7 +49,7 @@ def spectral_deconvolve(
     """Deconvolution by (regularized) spectral division
     (`transfer_functions.py:61-184`). The division and inverse FFT run
     batched on device; the regularization window per channel is static."""
-    assert output.time_data.shape[0] == input.time_data.shape[0], (
+    assert output.time_data_jax.shape[0] == input.time_data_jax.shape[0], (
         "Lengths do not match for spectral deconvolution"
     )
     if input.number_of_channels != 1:
@@ -69,7 +69,7 @@ def spectral_deconvolve(
 
     output = output.copy()
     input = input.copy()
-    original_length = output.time_data.shape[0]
+    original_length = output.time_data_jax.shape[0]
     if padding:
         output.time_data = np.asarray(
             pad_trim_axis(output.time_data_jax, original_length * 2, axis=0)
@@ -289,7 +289,7 @@ def compute_transfer_function(
     assert input.sampling_rate_hz == output.sampling_rate_hz, (
         "Sampling rates do not match"
     )
-    assert input.time_data.shape[0] == output.time_data.shape[0], (
+    assert input.time_data_jax.shape[0] == output.time_data_jax.shape[0], (
         "Signal lengths do not match"
     )
     if input.number_of_channels != 1:
@@ -552,9 +552,9 @@ def group_delay(
     from ..classes.filter_helpers import group_delay_filter
 
     length = (
-        next_fast_len(signal.time_data.shape[0] * 8, True)
+        next_fast_len(signal.time_data_jax.shape[0] * 8, True)
         if remove_ir_latency
-        else signal.time_data.shape[0]
+        else signal.time_data_jax.shape[0]
     )
     td = np.asarray(
         pad_trim_axis(signal.time_data_jax, length, axis=0)
@@ -618,7 +618,7 @@ def minimum_phase(
         from scipy.signal import minimum_phase as min_phase_scipy
 
         f = np.fft.rfftfreq(
-            signal.time_data.shape[0], d=1 / signal.sampling_rate_hz
+            signal.time_data_jax.shape[0], d=1 / signal.sampling_rate_hz
         )
         min_phases = np.zeros((len(f), signal.number_of_channels))
         for n in range(signal.number_of_channels):
@@ -629,7 +629,7 @@ def minimum_phase(
             )
             temp = np.asarray(
                 pad_trim_axis(
-                    jnp.asarray(temp), signal.time_data.shape[0], axis=0
+                    jnp.asarray(temp), signal.time_data_jax.shape[0], axis=0
                 )
             )
             min_phases[:, n] = np.angle(np.fft.rfft(temp))

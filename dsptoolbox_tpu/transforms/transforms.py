@@ -367,7 +367,7 @@ def istft(
     if original_signal is not None:
         td = np.asarray(
             pad_trim_axis(
-                jnp.asarray(td), original_signal.time_data.shape[0], axis=0
+                jnp.asarray(td), original_signal.time_data_jax.shape[0], axis=0
             )
         )
         return original_signal.copy_with_new_time_data(td)
@@ -517,7 +517,7 @@ def vqt(
         q, highest_f, bins_per_octave, mid_fs, window, gamma
     )
     octs = octaves[1] - octaves[0] + 1
-    T_out = signal.time_data.shape[0]
+    T_out = signal.time_data_jax.shape[0]
 
     def _vqt_core(td_in):
         td_loc = td_in
@@ -697,7 +697,7 @@ def dft(signal: Signal, frequency_vector_hz: np.ndarray):
     """Arbitrary-frequency DFT as one complex matmul
     (`transforms.py:1286-1328`; numba kernel #3 → MXU)."""
     f_normalized = np.asarray(frequency_vector_hz) * (
-        signal.time_data.shape[0] / signal.sampling_rate_hz
+        signal.time_data_jax.shape[0] / signal.sampling_rate_hz
     )
     from .._config import run_jitted_complex
 
