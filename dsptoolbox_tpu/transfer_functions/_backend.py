@@ -67,6 +67,216 @@ def regularization_window(
     ) * 10 ** (30 / 20)
 
 
+def window_this_ir_tukey_meta(
+    signal_length: int,
+    impulse_index: int,
+    total_length: int,
+    window_type,
+    constant_percentage: float,
+    at_start: bool,
+    offset_samples: int,
+    left_to_right_flank_ratio: float,
+    adaptive_window: bool,
+):
+    """Index-space form of the peak-aligned adaptive Tukey windowing
+    (`_transfer_functions.py:45-148`): everything the reference's
+    data-dependent trimming decides is a function of only the channel
+    length and its peak position, so the bulk data can stay on device.
+
+    Returns ``(slice_start, window, start_sample)`` such that the windowed
+    channel equals ``window * zext(vec)[slice_start : slice_start +
+    total_length]`` where ``zext`` reads out-of-range samples as zeros
+    (``slice_start`` may be negative).
+    """
+    start_sample = 0
+    flank_length_total = int((1 - constant_percentage) * total_length)
+    left_flank_length = int(
+        flank_length_total * 0.5 * left_to_right_flank_ratio
+    )
+    right_flank_length = max(flank_length_total - left_flank_length, 0)
+    impulse_index = int(impulse_index)
+    T = int(signal_length)
+    # `front` = zeros the reference prepends to the working vector;
+    # `drop` = samples it slices off the front of that padded vector
+    front = 0
+    drop = 0
+
+    if not adaptive_window:
+        padding_left = 0
+        if impulse_index - offset_samples < 0:
+            pad_length = -int(impulse_index - offset_samples)
+            front += pad_length
+            impulse_index += pad_length
+            start_sample += pad_length
+            padding_left += pad_length
+        else:
+            impulse_index -= offset_samples
+        if impulse_index - left_flank_length < 0:
+            pad_length = int(-(impulse_index - left_flank_length))
+            front += pad_length
+            start_sample += pad_length
+            padding_left += pad_length
+        else:
+            drop = impulse_index - left_flank_length
+            start_sample = impulse_index - left_flank_length
+            impulse_index = left_flank_length
+        current_length = front + T - drop
+        padding_right = max(0, total_length - current_length)
+        points = [
+            0,
+            left_flank_length,
+            total_length - right_flank_length,
+            total_length,
+        ]
+        assert not np.any(np.ediff1d(points) < 0), (
+            "A valid window could not be constructed with given parameters."
+        )
+        window = calculate_tukey_like_window(
+            points, total_length, window_type, at_start=at_start,
+            inverse=False,
+        )
+        window[:padding_left] = 0
+        if padding_right != 0:
+            window[-padding_right:] = 0
+        return drop - front, window, start_sample
+
+    # adaptive path
+    if impulse_index - offset_samples - left_flank_length < 0:
+        left_flank_length = max(0, impulse_index - offset_samples)
+    else:
+        start_sample = impulse_index - offset_samples - left_flank_length
+        drop = start_sample
+    current_length = min(T - drop, total_length)
+    padding_after_adaptation = 0
+    effective_length = total_length
+    if current_length < total_length:
+        padding_after_adaptation = total_length - current_length
+        effective_length = current_length
+    if (
+        left_flank_length + offset_samples
+        > effective_length - right_flank_length
+    ):
+        right_flank_length = (
+            effective_length - left_flank_length - offset_samples - 1
+        )
+    points = [
+        0,
+        left_flank_length,
+        effective_length - right_flank_length,
+        effective_length,
+    ]
+    assert not np.any(np.ediff1d(points) < 0), (
+        "A valid window could not be constructed with given parameters."
+    )
+    window = calculate_tukey_like_window(
+        points, effective_length, window_type, at_start=at_start,
+        inverse=False,
+    )
+    window = np.pad(window, ((0, padding_after_adaptation)))
+    return drop, window, start_sample
+
+
+def window_ir_fused_program(
+    total_length: int,
+    adaptive_window: bool,
+    constant_percentage: float,
+    at_start: bool,
+    offset_samples: int,
+    left_to_right_flank_ratio: float,
+):
+    """Fully in-graph `window_ir` for closed-form (Hann) flanks.
+
+    The reference's adaptive trimming (`_transfer_functions.py:45-148`)
+    is scalar index arithmetic on the channel peak position — on a
+    tunneled TPU backend every host sync costs a full round trip, so the
+    peak search, the trimming decisions, the flank construction and the
+    windowed gather all run as ONE program with zero host syncs.
+
+    Returns ``fn(td (T, C)) -> (out (TL, C), window (TL, C),
+    start_positions (C,))``. Degenerate flank configurations that the
+    host path rejects with an assertion are clamped to the nearest valid
+    window instead (documented in `docs/parity_notes.md`).
+    """
+    TL = int(total_length)
+    o = int(offset_samples)
+    flank_total = int((1 - constant_percentage) * TL)
+    Lf0 = int(flank_total * 0.5 * left_to_right_flank_ratio)
+    Rf0 = max(flank_total - Lf0, 0)
+    if not adaptive_window:
+        points = [0, Lf0, TL - Rf0, TL]
+        assert not np.any(np.ediff1d(points) < 0), (
+            "A valid window could not be constructed with given parameters."
+        )
+
+    def fn(td):
+        T = td.shape[0]
+        p = jnp.argmax(jnp.abs(td), axis=0)  # (C,)
+
+        def meta(p):
+            if adaptive_window:
+                cond = (p - o - Lf0) < 0
+                Lf = jnp.where(cond, jnp.maximum(0, p - o), Lf0)
+                drop = jnp.where(cond, 0, p - o - Lf0)
+                start_sample = drop
+                eff = jnp.minimum(T - drop, TL)
+                overlap = (Lf + o) > (eff - Rf0)
+                Rf = jnp.where(overlap, eff - Lf - o - 1, Rf0)
+                Rf = jnp.clip(Rf, 0, None)
+                Lf = jnp.minimum(Lf, eff - Rf)
+                return drop, start_sample, Lf, Rf, eff, 0, eff
+            c1 = (p - o) < 0
+            pad1 = jnp.where(c1, o - p, 0)
+            p1 = jnp.where(c1, p + pad1, p - o)
+            c2 = (p1 - Lf0) < 0
+            pad2 = jnp.where(c2, Lf0 - p1, 0)
+            drop = jnp.where(c2, 0, p1 - Lf0)
+            start_sample = jnp.where(c2, pad1 + pad2, p1 - Lf0)
+            front = pad1 + pad2
+            padding_right = jnp.maximum(0, TL - (front + T - drop))
+            return (
+                drop - front,
+                start_sample,
+                Lf0,
+                Rf0,
+                TL,
+                front,
+                TL - padding_right,
+            )
+
+        def one(col, p):
+            slice_start, start_sample, Lf, Rf, eff, z_to, z_from = meta(p)
+            # the non-adaptive branch yields static python ints
+            Lf, Rf, eff = (jnp.asarray(v) for v in (Lf, Rf, eff))
+            i = jax.lax.broadcasted_iota(jnp.int32, (TL, 1), 0)[:, 0]
+            x = i.astype(td.dtype)
+            # periodic Hann flanks — identical to
+            # scipy get_window('hann', 2L, fftbins=True) split at L
+            low = 0.5 - 0.5 * jnp.cos(
+                jnp.pi * x / jnp.maximum(Lf, 1).astype(td.dtype)
+            )
+            high = 0.5 + 0.5 * jnp.cos(
+                jnp.pi
+                * (x - (eff - Rf).astype(td.dtype))
+                / jnp.maximum(Rf, 1).astype(td.dtype)
+            )
+            w = jnp.where(i < Lf, low if at_start else 1.0, 1.0)
+            w = jnp.where(
+                i >= eff - Rf, jnp.where(i < eff, high, 0.0), w
+            )
+            w = jnp.where(i < z_to, 0.0, w)
+            w = jnp.where(i >= z_from, 0.0, w)
+            padded = jnp.pad(col, (2 * TL, 2 * TL))
+            seg = jax.lax.dynamic_slice(padded, (slice_start + 2 * TL,), (TL,))
+            return seg * w, w, start_sample
+
+        out, win, starts = jax.vmap(one, in_axes=(1, 0), out_axes=(1, 1, 0))(
+            td, p
+        )
+        return out, win, starts
+
+    return fn
+
+
 def window_this_ir_tukey(
     vec: np.ndarray,
     total_length: int,
@@ -79,77 +289,22 @@ def window_this_ir_tukey(
 ):
     """Peak-aligned adaptive Tukey windowing of one channel (host-side
     data-dependent trimming; `_transfer_functions.py:45-148`)."""
-    start_sample = 0
-    flank_length_total = int((1 - constant_percentage) * total_length)
-    left_flank_length = int(
-        flank_length_total * 0.5 * left_to_right_flank_ratio
-    )
-    right_flank_length = max(flank_length_total - left_flank_length, 0)
-    impulse_index = int(np.argmax(np.abs(vec)))
-
-    if not adaptive_window:
-        padding_left = 0
-        if impulse_index - offset_samples < 0:
-            pad_length = -int(impulse_index - offset_samples)
-            vec = np.pad(vec, ((pad_length, 0)))
-            impulse_index += pad_length
-            start_sample += pad_length
-            padding_left += pad_length
-        else:
-            impulse_index -= offset_samples
-        if impulse_index - left_flank_length < 0:
-            pad_length = int(-(impulse_index - left_flank_length))
-            vec = np.pad(vec, ((pad_length, 0)))
-            start_sample += pad_length
-            padding_left += pad_length
-        else:
-            vec = vec[impulse_index - left_flank_length :]
-            start_sample = impulse_index - left_flank_length
-            impulse_index = left_flank_length
-        padding_right = 0
-        if len(vec) < total_length:
-            pad_length = total_length - len(vec)
-            vec = np.pad(vec, ((0, pad_length)))
-            padding_right += pad_length
-        else:
-            vec = vec[:total_length]
-    else:
-        if impulse_index - offset_samples - left_flank_length < 0:
-            left_flank_length = max(0, impulse_index - offset_samples)
-        else:
-            start_sample = impulse_index - offset_samples - left_flank_length
-            vec = vec[start_sample:]
-        if len(vec) > total_length:
-            vec = vec[:total_length]
-        padding_after_adaptation = 0
-        if len(vec) < total_length:
-            padding_after_adaptation = total_length - len(vec)
-            total_length = len(vec)
-        if left_flank_length + offset_samples > total_length - right_flank_length:
-            right_flank_length = (
-                total_length - left_flank_length - offset_samples - 1
-            )
-
-    points = [
-        0,
-        left_flank_length,
-        total_length - right_flank_length,
+    T = len(vec)
+    slice_start, window, start_sample = window_this_ir_tukey_meta(
+        T,
+        int(np.argmax(np.abs(vec))),
         total_length,
-    ]
-    assert not np.any(np.ediff1d(points) < 0), (
-        "A valid window could not be constructed with given parameters."
+        window_type,
+        constant_percentage,
+        at_start,
+        offset_samples,
+        left_to_right_flank_ratio,
+        adaptive_window,
     )
-    window = calculate_tukey_like_window(
-        points, total_length, window_type, at_start=at_start, inverse=False
-    )
-    if not adaptive_window:
-        window[:padding_left] = 0
-        if padding_right != 0:
-            window[-padding_right:] = 0
-    else:
-        vec = np.pad(vec, ((0, padding_after_adaptation)))
-        window = np.pad(window, ((0, padding_after_adaptation)))
-    return vec * window, window, start_sample
+    idx = np.arange(total_length) + slice_start
+    valid = (idx >= 0) & (idx < T)
+    seg = np.where(valid, vec[np.clip(idx, 0, T - 1)], 0.0)
+    return seg * window, window, start_sample
 
 
 def window_this_ir_centered(vec: np.ndarray, total_length: int, window_type):

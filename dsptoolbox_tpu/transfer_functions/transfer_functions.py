@@ -18,7 +18,6 @@ from ..helpers.minimum_phase import (
     min_phase_ir_from_real_cepstrum,
     minimum_phase_spectrum_from_real_cepstrum,
 )
-from ..helpers.other import find_frequencies_above_threshold
 from ..helpers.smoothing import fractional_octave_smoothing
 from ..helpers.spectrum_utilities import (
     correct_for_real_phase_spectrum,
@@ -67,6 +66,7 @@ def spectral_deconvolve(
             "No start_stop_hz vector can be passed when using standard mode"
         )
 
+    _orig_input = input
     output = output.copy()
     input = input.copy()
     original_length = output.time_data_jax.shape[0]
@@ -95,20 +95,51 @@ def spectral_deconvolve(
     C = output.number_of_channels
 
     if apply_regularization:
-        denum_mag = np.asarray(
-            _dev_jit(
-                "cabs2", lambda a, b: jnp.sqrt(a * a + b * b)
-            )(denum_re, denum_im)
-        )
         # parity: the reference reassigns start_stop_hz inside its channel
         # loop (`transfer_functions.py:151-168`), so the automatic
         # regularization range is computed ONCE — from channel 0 — and
         # every channel reuses the same window
         ssz = start_stop_hz
         if ssz is None:
-            ssz = find_frequencies_above_threshold(
-                denum_mag[:, 0], freqs_hz, threshold_db
+            # the first/last bin above threshold is a reduction over the
+            # denominator magnitude: run it on device and fetch 2 ints
+            # instead of the full (F, C) magnitude (the excitation is
+            # usually fixed across measurements, so cache the result on
+            # the original input signal)
+            cache_key = (
+                float(threshold_db),
+                bool(padding),
+                int(original_length),
+                _orig_input._spectrum_param_key(),
             )
+            hit = _orig_input._cache.get("deconv_ssz")
+            if hit is not None and hit[0] == cache_key:
+                ssz = hit[1]
+            else:
+
+                def _first_last(dre, dim):
+                    mag = jnp.sqrt(
+                        dre[:, 0] * dre[:, 0] + dim[:, 0] * dim[:, 0]
+                    )
+                    db = 20.0 * jnp.log10(
+                        jnp.clip(mag, jnp.finfo(mag.dtype).tiny, None)
+                    )
+                    mask = (db - jnp.max(db)) > threshold_db
+                    first = jnp.argmax(mask)
+                    last = mask.shape[0] - 1 - jnp.argmax(mask[::-1])
+                    return jnp.stack([first, last])
+
+                fl = np.asarray(
+                    _dev_jit(
+                        ("deconv_first_last", float(threshold_db)),
+                        _first_last,
+                    )(denum_re, denum_im)
+                )
+                ssz = [freqs_hz[int(fl[0])], freqs_hz[int(fl[1])]]
+                # self-validating entry (like the device-spectrum cache):
+                # the key re-checks every input, and Signal._cache is
+                # cleared whenever the time data mutates
+                _orig_input._cache["deconv_ssz"] = (cache_key, ssz)
         if len(ssz) == 2:
             ssz = np.array(
                 [
@@ -182,15 +213,56 @@ def window_ir(
     assert left_to_right_flank_length_ratio >= 0, (
         "Ratio between window flanks must be a positive number"
     )
+    from ..classes.signal import _dev_jit
+
+    td_dev = signal.time_data_jax
+    if window_type is Window.Hann:
+        # zero-sync path: peak search, adaptive trimming, Hann flank
+        # construction and the windowed gather run as one device program
+        # (every host sync on a tunneled backend costs a round trip)
+        fn = bk.window_ir_fused_program(
+            total_length_samples,
+            adaptive,
+            constant_percentage,
+            at_start,
+            offset_samples,
+            left_to_right_flank_length_ratio,
+        )
+        new_time_data, window_dev, start_positions = _dev_jit(
+            (
+                "window_ir_fused",
+                total_length_samples,
+                adaptive,
+                float(constant_percentage),
+                at_start,
+                int(offset_samples),
+                float(left_to_right_flank_length_ratio),
+            ),
+            fn,
+        )(td_dev)
+        new_sig = signal.copy_with_new_time_data(new_time_data)
+        new_sig.set_window(window_dev)
+        return new_sig, start_positions
+
     C = signal.number_of_channels
-    new_time_data = np.zeros((total_length_samples, C))
     start_positions = np.zeros(C, dtype=int)
     window = np.zeros((total_length_samples, C))
-    td = signal.time_data
+    slice_starts = np.zeros(C, dtype=np.int32)
+    # device-resident path: only the per-channel peak index comes to the
+    # host (C ints); the trimming decisions are pure index arithmetic
+    # (window_this_ir_tukey_meta) and the windowed slice is gathered and
+    # multiplied on device
+    T = td_dev.shape[0]
+    peaks = np.asarray(
+        _dev_jit("absargmax0", lambda a: jnp.argmax(jnp.abs(a), axis=0))(
+            td_dev
+        )
+    )
     for n in range(C):
-        new_time_data[:, n], window[:, n], start_positions[n] = (
-            bk.window_this_ir_tukey(
-                td[:, n],
+        slice_starts[n], window[:, n], start_positions[n] = (
+            bk.window_this_ir_tukey_meta(
+                T,
+                int(peaks[n]),
                 total_length_samples,
                 window_type,
                 constant_percentage,
@@ -200,6 +272,26 @@ def window_ir(
                 adaptive,
             )
         )
+
+    def _apply_window(td, starts, win):
+        import jax
+
+        L = win.shape[0]
+        # pad 2L on both sides: slice starts lie in [-2L, T] for any
+        # valid flank/offset configuration, so dynamic_slice never clamps
+        padded = jnp.pad(td, ((2 * L, 2 * L), (0, 0)))
+
+        def one(col, s):
+            return jax.lax.dynamic_slice(col, (s + 2 * L,), (L,))
+
+        segs = jax.vmap(one, in_axes=(1, 0), out_axes=1)(padded, starts)
+        return segs * win
+
+    new_time_data = _dev_jit("window_ir_apply", _apply_window)(
+        td_dev,
+        jnp.asarray(slice_starts),
+        jnp.asarray(window, td_dev.dtype),
+    )
     new_sig = signal.copy_with_new_time_data(new_time_data)
     new_sig.set_window(window)
     return new_sig, start_positions
