@@ -23,10 +23,18 @@ def resample(
         numerator=desired_sampling_rate_hz, denominator=sig.sampling_rate_hz
     )
     u, d = ratio.as_integer_ratio()
-    new_td = resample_poly(sig.time_data_jax.T, up=u, down=d).T
-    new_sig = sig.copy_with_new_time_data(
-        np.asarray(new_td) * (d / u) if rescaling else np.asarray(new_td)
+    from ..classes.signal import _dev_jit
+
+    def _prog(td):
+        y = resample_poly(td.T, up=u, down=d).T
+        return y * (d / u) if rescaling else y
+
+    # one jitted program, result stays device-resident (eager polyphase
+    # ops would each dispatch separately on a tunneled backend)
+    new_td = _dev_jit(("resample", u, d, bool(rescaling)), _prog)(
+        sig.time_data_jax
     )
+    new_sig = sig.copy_with_new_time_data(new_td)
     new_sig.sampling_rate_hz = desired_sampling_rate_hz
     return new_sig
 

@@ -462,29 +462,48 @@ def fdw_core(
 
     Replaces numba kernel #2 (`_transfer_functions.py:478-504`) with an
     einsum over (freq-chunk, time, channel) tiles — MXU-shaped work.
+
+    The rotation phase ``f·n/T`` reaches ~1e4 cycles for measurement-length
+    IRs, beyond fp32 mantissa; the same coarse/fine mod-1 split as
+    `transforms._backend.dft_core` keeps phase error at the ~1e-7 level:
+    ``n = n1·B + n0``, ``phase = [(ω·B·n1) mod 1] + ω·n0`` with the coarse
+    table reduced mod 1 in f64 host-side.
     """
     T, C = time_data.shape
     half = (T - 1) / 2
     n_idx = np.arange(T)[:, None] - np.asarray(peak_indices)[None, :]  # (T, C)
     n2 = -0.5 * (n_idx / half) ** 2  # (T, C) real
-    dft = -2j * np.pi * np.linspace(0.0, 1.0, T, endpoint=False)  # (T,)
 
     F = len(freqs_normalized)
     pad_f = (-F) % chunk
     fr = np.pad(np.asarray(freqs_normalized, np.float64), (0, pad_f))
     al = np.pad(np.asarray(alpha, np.float64), (0, pad_f))
-    fr_b = fr.reshape(-1, chunk)
+
+    B = 1024
+    n1_max = (T + B - 1) // B
+    omega = np.mod(fr / T, 1.0)  # (F',) f64, exact for integer bins
+    coarse = np.mod(
+        np.mod(omega * B, 1.0)[:, None] * np.arange(n1_max)[None, :], 1.0
+    )  # (F', N1) f64
+    coarse_b = coarse.reshape(-1, chunk, n1_max)
+    omega_b = omega.reshape(-1, chunk)
     al_b = al.reshape(-1, chunk)
+
+    n_all = np.arange(T)
+    n1 = (n_all // B).astype(np.int32)
+    n0 = (n_all % B).astype(np.float32)
 
     td = jnp.asarray(time_data, jnp.complex64)
     n2j = jnp.asarray(n2, jnp.float32)
-    dftj = jnp.asarray(dft, jnp.complex64)
+    n1j = jnp.asarray(n1)
+    n0j = jnp.asarray(n0)
 
     def body(carry, fa):
-        f_c, a_c = fa  # (chunk,)
+        coarse_c, omega_c, a_c = fa  # (chunk, N1), (chunk,), (chunk,)
+        phase = coarse_c[:, n1j] + omega_c[:, None] * n0j[None, :]  # (chunk,T)
         # (chunk, T, C) window+rotation matrix
         Mat = jnp.exp(
-            dftj[None, :, None] * f_c[:, None, None].astype(jnp.complex64)
+            (-2j * np.pi) * phase.astype(jnp.complex64)[:, :, None]
             + (a_c[:, None, None] * n2j[None, :, :]).astype(jnp.complex64)
         )
         out = jnp.einsum(
@@ -493,7 +512,13 @@ def fdw_core(
         return carry, out
 
     _, chunks = jax.lax.scan(
-        body, 0, (jnp.asarray(fr_b), jnp.asarray(al_b))
+        body,
+        0,
+        (
+            jnp.asarray(coarse_b, jnp.float32),
+            jnp.asarray(omega_b, jnp.float32),
+            jnp.asarray(al_b, jnp.float32),
+        ),
     )
     spec = chunks.reshape(-1, C)[:F]
     return spec

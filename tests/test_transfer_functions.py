@@ -243,6 +243,37 @@ class TestIRTools:
             "fdw",
         )
 
+    def test_fdw_core_phase_accuracy_long_signal(self):
+        # Regression: the rotation phase f*n/T reaches ~1e4 cycles at
+        # measurement lengths, past fp32 mantissa. The coarse/fine mod-1
+        # split must keep complex (not just magnitude) error near the
+        # fp32 accumulation floor vs a float64 direct-sum oracle.
+        from dsptoolbox_tpu.transfer_functions._backend import fdw_core
+
+        rng = np.random.default_rng(7)
+        T, C = 16384, 2
+        x = rng.standard_normal((T, C)).astype(np.float32)
+        freqs = np.linspace(50.0, T / 2 - 50.0, 32)  # fractional bins
+        alpha = np.full(32, 3.0)
+        peaks = np.array([64, T - 200])
+
+        spec = np.asarray(fdw_core(x, freqs, alpha, peaks, chunk=32))
+
+        half = (T - 1) / 2
+        n_rel = np.arange(T)[:, None] - peaks[None, :]
+        n = np.arange(T)
+        oracle = np.zeros((32, C), complex)
+        for i, (f, a) in enumerate(zip(freqs, alpha)):
+            win = np.exp(-0.5 * (n_rel / half) ** 2 * a)
+            rot = np.exp(-2j * np.pi * f * n / T)
+            oracle[i] = (win * rot[:, None] * x).sum(0)
+
+        scale = np.abs(oracle).max()
+        err = np.abs(spec - oracle) / scale
+        # fp32 accumulation floor here is ~7e-5; the pre-split fp32 phase
+        # path measured ~2e-3 on the same inputs.
+        assert err.max() < 2e-4, f"fdw complex error {err.max():.2e}"
+
     def test_complex_smoothing(self, ref, close):
         rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
         rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
