@@ -60,6 +60,11 @@ def _banked_filter_apply(
 
     x = signal.time_data_jax.T  # (C, T)
     ops = sosfilt_bank_operators(bank, x.shape[-1])
+    # the peaks reduction is only consumed by the amplitude constraint; when
+    # the signal does not constrain, skip it — fetching the (B,) peaks array
+    # is the ONLY host sync on this path, and dropping it lets successive
+    # filter-bank calls pipeline fully asynchronously on the device
+    need_peaks = bool(signal.constrain_amplitude)
 
     def fn(xv):
         y = sosfilt_bank_apply(ops, xv)  # (B, C, T)
@@ -67,18 +72,28 @@ def _banked_filter_apply(
             y = jnp.sum(y, axis=0)  # (C, T)
             yt = y.T
             if jnp.iscomplexobj(yt):
-                peak = jnp.maximum(
-                    jnp.max(jnp.abs(yt.real)), jnp.max(jnp.abs(yt.imag))
+                peak = (
+                    jnp.maximum(
+                        jnp.max(jnp.abs(yt.real)), jnp.max(jnp.abs(yt.imag))
+                    )
+                    if need_peaks
+                    else None
                 )
                 return (yt.real, yt.imag), peak
-            return (yt, None), jnp.max(jnp.abs(yt))
+            return (yt, None), (
+                jnp.max(jnp.abs(yt)) if need_peaks else None
+            )
         yt = jnp.swapaxes(y, -1, -2)  # (B, T, C)
         if jnp.iscomplexobj(yt):
             # per-band max(|re|, |im|) — the amplitude-constraint peaks for
             # the whole bank in one (B,) fetch instead of B scalar fetches
-            peaks = jnp.maximum(
-                jnp.max(jnp.abs(yt.real), axis=(1, 2)),
-                jnp.max(jnp.abs(yt.imag), axis=(1, 2)),
+            peaks = (
+                jnp.maximum(
+                    jnp.max(jnp.abs(yt.real), axis=(1, 2)),
+                    jnp.max(jnp.abs(yt.imag), axis=(1, 2)),
+                )
+                if need_peaks
+                else None
             )
             return (
                 tuple(
@@ -86,16 +101,20 @@ def _banked_filter_apply(
                 ),
                 peaks,
             )
-        peaks = jnp.max(jnp.abs(yt), axis=(1, 2))
+        peaks = (
+            jnp.max(jnp.abs(yt), axis=(1, 2)) if need_peaks else None
+        )
         return tuple((yt[b], None) for b in range(yt.shape[0])), peaks
 
     pairs, peaks = run_jitted_complex(fn, x, materialize=False)
-    peaks = np.atleast_1d(np.asarray(peaks))
+    if need_peaks:
+        peaks = np.atleast_1d(np.asarray(peaks))
     if summed:
         re, im = pairs
-        return re, im, float(peaks[0])
+        return re, im, float(peaks[0]) if need_peaks else None
     return [
-        (re, im, float(peaks[b])) for b, (re, im) in enumerate(pairs)
+        (re, im, float(peaks[b]) if need_peaks else None)
+        for b, (re, im) in enumerate(pairs)
     ]
 
 

@@ -71,7 +71,12 @@ class GammaToneFilterBank(FilterBank):
         for bb, filt in enumerate(self.filters):
             ir = _sosfilt(np.asarray(filt.sos), dirac)
             slopes[bb] = ir[1] - ir[-1]
-        phase_factors = 1j / (slopes / np.abs(slopes))
+        # parity: for high bands the IR tail underflows, so slopes/|slopes|
+        # is 0/0 or denormal — the reference computes the same non-finite
+        # phase factors (and emits the same divide warnings, suppressed
+        # here; values are identical).
+        with np.errstate(over="ignore", invalid="ignore"):
+            phase_factors = 1j / (slopes / np.abs(slopes))
         self._delays = delays
         self._phase_factors = phase_factors
 

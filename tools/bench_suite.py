@@ -28,15 +28,24 @@ def _sync(x):
     jax.block_until_ready(x)
 
 
-def timeit(fn, n_iters=10, warmup=2):
+def timeit(fn, n_iters=10, warmup=2, repeats=3):
+    """Best-of-`repeats` mean over `n_iters` calls.
+
+    The tunneled device->host link stalls for multi-second stretches at
+    random; a single stalled batch would otherwise dominate the mean. The
+    min over repeat batches is the sustained device throughput.
+    """
     for _ in range(warmup):
         out = fn()
     _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn()
-    _sync(out)
-    return (time.perf_counter() - t0) / n_iters
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn()
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / n_iters)
+    return best
 
 
 def config1_deconvolution():
