@@ -194,7 +194,9 @@ def filter_on_signal(
             lambda xv, zv: sosfilt(sos, xv, zi=zv), x, zi_sel
         )
         zi_arr = zi_arr.at[jnp.asarray(channels)].set(zf)
-        zi_new = [np.asarray(zi_arr[c]) for c in range(zi_arr.shape[0])]
+        # one host fetch for all channels, not one round trip per channel
+        zi_host = np.asarray(zi_arr)
+        zi_new = [zi_host[c] for c in range(zi_host.shape[0])]
     else:
         zi_new = None
         from .._config import run_jitted_complex, run_maybe_jitted
@@ -268,7 +270,9 @@ def filter_on_signal_ba(
             lambda xv, zv: lfilter(b, a, xv, zi=zv), x, zi_sel
         )
         zi_arr = zi_arr.at[jnp.asarray(channels)].set(zf)
-        zi_new = [np.asarray(zi_arr[c]) for c in range(zi_arr.shape[0])]
+        # one host fetch for all channels, not one round trip per channel
+        zi_host = np.asarray(zi_arr)
+        zi_new = [zi_host[c] for c in range(zi_host.shape[0])]
     else:
         zi_new = None
         from .._config import run_maybe_jitted

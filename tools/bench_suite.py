@@ -220,14 +220,14 @@ def config5_beamforming():
             2000, 3, remove_csm_diagonal=True
         )
 
-    dt_das = timeit(run_das, n_iters=3, warmup=1)
+    dt_das = timeit(run_das, n_iters=2, warmup=1, repeats=2)
 
     mvdr = bf.BeamformerMVDR(sig, ma, grid, st)
 
     def run_mvdr():
         return mvdr.get_beamformer_map(2000, 3)
 
-    dt_mvdr = timeit(run_mvdr, n_iters=3, warmup=1)
+    dt_mvdr = timeit(run_mvdr, n_iters=2, warmup=1, repeats=2)
     n_points = len(xval) * len(yval)
     return {
         "config": 5,
