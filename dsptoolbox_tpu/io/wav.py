@@ -16,24 +16,41 @@ _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
 def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Read a WAV file → (float64 data (samples, channels), sampling_rate)."""
+    """Read a WAV file → (float64 data (samples, channels), sampling_rate).
+
+    Handles plain RIFF and RF64/BW64 (EBU 3306): when the riff magic is
+    RF64 the 32-bit size fields are 0xFFFFFFFF placeholders and the real
+    64-bit sizes come from the mandatory ``ds64`` chunk.
+    """
     with open(path, "rb") as fh:
         riff, _size, wave_id = struct.unpack("<4sI4s", fh.read(12))
-        if riff == b"RF64":
-            # RF64 stores the real sizes in a ds64 chunk this reader does
-            # not parse; refuse instead of silently truncating >4 GiB data
-            raise ValueError(
-                f"{path} is an RF64 (>4 GiB) file, which is not supported"
-            )
-        if riff != b"RIFF" or wave_id != b"WAVE":
+        is_rf64 = riff in (b"RF64", b"BW64")
+        if (riff != b"RIFF" and not is_rf64) or wave_id != b"WAVE":
             raise ValueError(f"{path} is not a RIFF/WAVE file")
         fmt = None
         data = None
+        ds64_data_size = None
         while True:
             header = fh.read(8)
             if len(header) < 8:
                 break
             chunk_id, chunk_size = struct.unpack("<4sI", header)
+            if chunk_id == b"ds64":
+                payload = fh.read(chunk_size + (chunk_size & 1))
+                if chunk_size < 24:
+                    raise ValueError(f"{path}: truncated ds64 chunk")
+                # riffSize (u64), dataSize (u64), sampleCount (u64), then an
+                # optional table for other oversized chunks
+                _riff64, ds64_data_size, _samples = struct.unpack(
+                    "<QQQ", payload[:24]
+                )
+                continue
+            if chunk_size == 0xFFFFFFFF and chunk_id == b"data":
+                if ds64_data_size is None:
+                    raise ValueError(
+                        f"{path}: RF64 data chunk without a ds64 chunk"
+                    )
+                chunk_size = ds64_data_size
             payload = fh.read(chunk_size + (chunk_size & 1))
             if chunk_id == b"fmt ":
                 fmt = payload

@@ -27,6 +27,39 @@ class TestWav:
             data, fs = read_audio(f"{EXAMPLE}/{name}")
             assert fs > 0 and len(data) > 0
 
+    def test_rf64(self, tmp_path):
+        # Synthesize an RF64 file (EBU 3306): 0xFFFFFFFF placeholder sizes,
+        # real 64-bit sizes in the mandatory ds64 chunk.
+        import struct
+
+        rng = np.random.default_rng(1)
+        data = np.clip(rng.standard_normal((500, 2)) * 0.3, -1, 0.999)
+        ints = np.clip(np.round(data * 2.0**15), -(2**15), 2**15 - 1)
+        payload = ints.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 2, 48000, 48000 * 4, 4, 16)
+        ds64 = struct.pack("<QQQI", 0, len(payload), data.shape[0], 0)
+        path = tmp_path / "x_rf64.wav"
+        with open(path, "wb") as fh:
+            fh.write(struct.pack("<4sI4s", b"RF64", 0xFFFFFFFF, b"WAVE"))
+            fh.write(struct.pack("<4sI", b"ds64", len(ds64)) + ds64)
+            fh.write(struct.pack("<4sI", b"fmt ", len(fmt)) + fmt)
+            fh.write(struct.pack("<4sI", b"data", 0xFFFFFFFF) + payload)
+        back, fs = read_audio(str(path))
+        assert fs == 48000
+        np.testing.assert_allclose(back, data, atol=2**-15)
+
+    def test_rf64_without_ds64_rejected(self, tmp_path):
+        import struct
+
+        path = tmp_path / "bad_rf64.wav"
+        with open(path, "wb") as fh:
+            fh.write(struct.pack("<4sI4s", b"RF64", 0xFFFFFFFF, b"WAVE"))
+            fmt = struct.pack("<HHIIHH", 1, 1, 48000, 96000, 2, 16)
+            fh.write(struct.pack("<4sI", b"fmt ", len(fmt)) + fmt)
+            fh.write(struct.pack("<4sI", b"data", 0xFFFFFFFF) + b"\x00\x00")
+        with pytest.raises(ValueError, match="ds64"):
+            read_audio(str(path))
+
 
 class TestFlac:
     def test_decode_speech(self):
