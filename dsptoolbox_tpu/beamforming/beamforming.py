@@ -604,6 +604,21 @@ class BeamformerGridded(BaseBeamformer):
         self.grid = grid
         self.st_vec = steering_vector
 
+    def _amp_diff_device(self):
+        """Device-cached frequency-independent steering factors
+        ``(amp (M, G), diff (M, G))`` — uploaded once per (beamformer,
+        steering-vector) pair instead of per map."""
+        amp_diff = getattr(self, "_amp_diff_dev", None)
+        if amp_diff is None or amp_diff[0] is not self.st_vec:
+            amp, diff = self.st_vec.get_amp_diff(self.grid, self.mics)
+            amp_diff = (
+                self.st_vec,
+                jnp.asarray(np.asarray(amp)),
+                jnp.asarray(np.asarray(diff)),
+            )
+            self._amp_diff_dev = amp_diff
+        return amp_diff[1], amp_diff[2]
+
     def _csm_slice(self, center_frequency_hz, octave_fraction):
         """Frequency vector + host CSM for the analysis band only."""
         self.center_frequency_hz = center_frequency_hz
@@ -671,15 +686,7 @@ class BeamformerDASFrequency(BeamformerGridded):
         # tensor is built in-program from its (M, G) factors (uploading the
         # full (F, M, G) complex h costs ~27 MB; amp/diff are ~1 MB and
         # cached as device arrays across maps)
-        amp_diff = getattr(self, "_amp_diff_dev", None)
-        if amp_diff is None or amp_diff[0] is not self.st_vec:
-            amp, diff = self.st_vec.get_amp_diff(self.grid, self.mics)
-            amp_diff = (
-                self.st_vec,
-                jnp.asarray(np.asarray(amp)),
-                jnp.asarray(np.asarray(diff)),
-            )
-            self._amp_diff_dev = amp_diff
+        amp_dev, diff_dev = self._amp_diff_device()
 
         def _core(ampj, diffj, kj, cre_full, cim_full):
             cre = cre_full[id1:id2]
@@ -693,8 +700,8 @@ class BeamformerDASFrequency(BeamformerGridded):
 
         map_fg = run_jitted_complex(
             _core,
-            amp_diff[1],
-            amp_diff[2],
+            amp_dev,
+            diff_dev,
             np.asarray(wave_numbers),
             csm_re_dev,
             csm_im_dev,
@@ -875,16 +882,32 @@ class BeamformerMVDR(BeamformerGridded):
         octave_fraction: int = 3,
         gamma: float = 10,
     ) -> np.ndarray:
-        f, csm, h = self._csm_and_steering(
-            center_frequency_hz, octave_fraction
-        )
+        f, csm = self._csm_slice(center_frequency_hz, octave_fraction)
+        wave_numbers = f * np.pi * 2 / self.c
         # The CSM of a coherent scene is near-singular: its inverse is
         # meaningless in fp32 (NaN maps). Invert host-side in f64 like the
-        # reference (`beamforming.py:1290-1298`), vectorized over (F, G).
+        # reference (`beamforming.py:1290-1298`). The quadratic form
+        # h^H C^-1 h is then safe on the device in fp32: C^-1 is Hermitian
+        # PSD, so the form is a sum of POSITIVE eigen-contributions — no
+        # cancellation, relative error stays at the fp32 floor — and it is
+        # exactly the DAS kernel with C^-1 as the matrix (the steering
+        # tensor is built in-program; host-side it cost ~14 MB + a zgemm
+        # per map).
         csm_1 = np.linalg.inv(np.asarray(csm, dtype=np.complex128))
-        h64 = np.asarray(h, dtype=np.complex128)  # (F, M, G)
-        sol = csm_1 @ h64  # batched zgemm (np.einsum would loop naively)
-        denom = np.einsum("fmg,fmg->gf", np.conj(h64), sol).real
+        amp_dev, diff_dev = self._amp_diff_device()
+        from .._config import default_float, run_jitted_complex
+
+        dt = default_float()
+        denom = np.array(
+            run_jitted_complex(
+                _das_map_core,
+                amp_dev,
+                diff_dev,
+                np.asarray(wave_numbers),
+                np.ascontiguousarray(csm_1.real).astype(dt),
+                np.ascontiguousarray(csm_1.imag).astype(dt),
+            )
+        )
         map = 1 / denom
         if len(f) > 1:
             map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)

@@ -209,6 +209,58 @@ class TestFrequencyBeamformers:
         except np.linalg.LinAlgError:
             pass
 
+    def test_mvdr_device_form_matches_f64_oracle(self):
+        # The inverse is f64 host by design; the quadratic form runs on
+        # device. Compare the full map against an all-f64 host evaluation.
+        # (A noise source keeps the CSM invertible — the shared chirp
+        # fixture's coherent CSM is exactly singular.)
+        from scipy.integrate import simpson
+
+        ma_pts = {k: v.copy() for k, v in POINTS.items()}
+        ma_pts["z"] = np.zeros(len(ma_pts["x"]))
+        ma_m = bf.MicArray(ma_pts)
+        src = bf.MonopoleSource(
+            dsp.generators.noise(
+                length_seconds=1.5, sampling_rate_hz=16000, seed=11
+            ),
+            [0.1, -0.1, 0.5],
+        )
+        s_m = src.get_signals_on_array(ma_m)
+        # independent sensor noise: full-rank, invertible CSM (a purely
+        # coherent scene's CSM is near-singular by construction)
+        td = s_m.time_data
+        td = td + np.random.default_rng(3).normal(
+            0.0, 1e-3, td.shape
+        )
+        s_m.time_data = td
+        xval = np.arange(-0.2, 0.2, 0.05)
+        yval = np.arange(-0.2, 0.2, 0.05)
+        g_m = bf.Regular2DGrid(xval, yval, ["x", "y"], value3=0.5)
+        st_m = bf.SteeringVector(
+            formulation=bf.SteeringVectorType.TrueLocation
+        )
+        b_m = bf.BeamformerMVDR(s_m, ma_m, g_m, st_m)
+        m_new = b_m.get_beamformer_map(2000, 3)
+
+        f, csm, h = b_m._csm_and_steering(2000, 3)
+        csm_1 = np.linalg.inv(np.asarray(csm, dtype=np.complex128))
+        h64 = np.asarray(h, dtype=np.complex128)
+        denom = np.einsum("fmg,fmg->gf", np.conj(h64), csm_1 @ h64).real
+        mp = 1 / denom
+        mp = (
+            simpson(mp, dx=f[1] - f[0], axis=1)
+            if len(f) > 1
+            else mp.squeeze()
+        )
+        m_old = b_m.grid.reconstruct_map_shape(mp)
+        rel = np.abs(m_new - m_old) / np.abs(m_old).max()
+        # projections onto near-null eigenvectors cancel in the compute
+        # dtype; ~1e-3 of map max ≈ 0.006 dB — invisible on a dB map
+        assert rel.max() < 5e-3, f"MVDR device form off by {rel.max():.2e}"
+        assert np.unravel_index(np.argmax(m_new), m_new.shape) == (
+            np.unravel_index(np.argmax(m_old), m_old.shape)
+        )
+
 
 class TestTimeBeamformer:
     def test_das_time_oracle(self, ref, close, array_signal_pair):
