@@ -414,6 +414,8 @@ class Signal(MultichannelData):
     @spectrum_method.setter
     def spectrum_method(self, new_method: SpectrumMethod):
         assert isinstance(new_method, SpectrumMethod)
+        if self._spectrum_parameters["method"] is new_method:
+            return  # unchanged: cached spectra stay valid
         self._spectrum_parameters["method"] = new_method
         self._cache.pop("spectrum", None)
         self._cache.pop("csm", None)

@@ -42,8 +42,9 @@ def spectral_deconvolve_core(
 ) -> jnp.ndarray:
     """Batched regularized spectral division → irfft.
 
-    ``num_fft``/``denum_fft`` shaped ``(F, C)``; ``eps (F, C)`` is the static
-    regularization profile (already scaled) or None for plain division.
+    ``num_fft``/``denum_fft`` shaped ``(F, C)``; ``eps`` is the static
+    regularization profile (already scaled), shaped ``(F, C)`` or ``(F, 1)``
+    broadcasting over channels, or None for plain division.
     Mirrors `_transfer_functions.py:19-43`.
     """
     if eps is not None:
@@ -65,6 +66,25 @@ def regularization_window(
     return calculate_tukey_like_window(
         ids, len(freqs_hz), window_type, True, inverse=True
     ) * 10 ** (30 / 20)
+
+
+@lru_cache(maxsize=32)
+def regularization_window_device(
+    ssz_t: tuple, n_freqs: int, f0: float, df: float
+) -> jnp.ndarray:
+    """Cached device-resident regularization column ``(F, 1)``.
+
+    The host window build (scipy window + nearest-index search over the
+    full rfft grid + repeat) costs ~5 ms per deconvolution and is fully
+    determined by ``(ssz, F, f0, df)``; as a cached jnp array the captured
+    value is also identity-memoized by the jit-closure freezer instead of
+    content-hashed on every call.
+    """
+    from .._config import default_float
+
+    freqs = f0 + np.arange(n_freqs) * df
+    eps_col = regularization_window(np.asarray(ssz_t), freqs)
+    return jnp.asarray(eps_col[:, None], default_float())
 
 
 def window_this_ir_tukey_meta(

@@ -67,10 +67,10 @@ def spectral_deconvolve(
         )
 
     _orig_input = input
-    output = output.copy()
-    input = input.copy()
     original_length = output.time_data_jax.shape[0]
     if padding:
+        output = output.copy()
+        input = input.copy()
         output.time_data = np.asarray(
             pad_trim_axis(output.time_data_jax, original_length * 2, axis=0)
         )
@@ -79,13 +79,21 @@ def spectral_deconvolve(
         )
     # parity: the reference FFTs at the signals' configured length, which
     # defaults to next_fast_len padding (`transfer_functions.py:143-145`
-    # with `classes/signal.py:899-904`) — do NOT force the exact length
-    input.spectrum_method = SpectrumMethod.FFT
-    output.spectrum_method = SpectrumMethod.FFT
-    # device-resident spectra: the division consumes them on-device; only
-    # the (small, real) |denum| comes host for the regularization window
-    _, denum_re, denum_im = input._get_spectrum_device()
-    freqs_hz, num_re, num_im = output._get_spectrum_device()
+    # with `classes/signal.py:899-904`) — do NOT force the exact length.
+    # The unpadded path sets/restores spectrum_method on the callers'
+    # signals instead of deep-copying them (~3.5 ms per call); the device
+    # spectrum cache is keyed by the method, so no stale data can leak.
+    _prev_methods = (input.spectrum_method, output.spectrum_method)
+    try:
+        input.spectrum_method = SpectrumMethod.FFT
+        output.spectrum_method = SpectrumMethod.FFT
+        # device-resident spectra: the division consumes them on-device;
+        # only the (small, real) |denum| comes host for the regularization
+        # window
+        _, denum_re, denum_im = input._get_spectrum_device()
+        freqs_hz, num_re, num_im = output._get_spectrum_device()
+    finally:
+        input.spectrum_method, output.spectrum_method = _prev_methods
     fs_hz = output.sampling_rate_hz
     length = original_length * 2 if padding else original_length
 
@@ -153,8 +161,12 @@ def spectral_deconvolve(
             raise ValueError(
                 "start_stop_hz vector should have 2 or 4 values"
             )
-        eps_col = bk.regularization_window(ssz, freqs_hz)
-        eps = np.repeat(eps_col[:, None], C, axis=1)
+        eps = bk.regularization_window_device(
+            tuple(float(v) for v in ssz),
+            int(len(freqs_hz)),
+            float(freqs_hz[0]),
+            float(freqs_hz[1] - freqs_hz[0]),
+        )  # (F, 1), broadcasts over channels in the division
     else:
         eps = None
 
