@@ -606,39 +606,58 @@ class BeamformerGridded(BaseBeamformer):
 
     def _amp_diff_device(self):
         """Device-cached frequency-independent steering factors
-        ``(amp (M, G), diff (M, G))`` — uploaded once per (beamformer,
-        steering-vector) pair instead of per map."""
-        amp_diff = getattr(self, "_amp_diff_dev", None)
-        if amp_diff is None or amp_diff[0] is not self.st_vec:
+        ``(amp (M, G), diff (M, G))`` — uploaded once per
+        (steering-vector, formulation, grid, mics) combination instead of
+        per map (reassigning any of them invalidates the cache)."""
+        c = getattr(self, "_amp_diff_dev", None)
+        if (
+            c is None
+            or c[0] is not self.st_vec
+            or c[1] is not self.st_vec.formulation
+            or c[2] is not self.grid
+            or c[3] is not self.mics
+        ):
             amp, diff = self.st_vec.get_amp_diff(self.grid, self.mics)
-            amp_diff = (
+            # strong references keep the keys alive (plain id() keys could
+            # alias a recycled address after garbage collection)
+            c = (
                 self.st_vec,
+                self.st_vec.formulation,
+                self.grid,
+                self.mics,
                 jnp.asarray(np.asarray(amp)),
                 jnp.asarray(np.asarray(diff)),
             )
-            self._amp_diff_dev = amp_diff
-        return amp_diff[1], amp_diff[2]
+            self._amp_diff_dev = c
+        return c[4], c[5]
 
-    def _csm_slice(self, center_frequency_hz, octave_fraction):
-        """Frequency vector + host CSM for the analysis band only."""
+    def _band_ids(self, center_frequency_hz, octave_fraction, f):
+        """Analysis-band bin range ``(id1, id2)`` on the CSM frequency
+        vector ``f``; also records center/fraction/f_range on self (shared
+        by the host `_csm_slice` and the device-resident DAS path)."""
         self.center_frequency_hz = center_frequency_hz
         self.octave_fraction = octave_fraction
         self.f_range_hz = fractional_octave_bandwidth(
             center_frequency_hz, octave_fraction
         )
-        # device-resident CSM: fetch only the ~15 analysis bins instead of
-        # the full (F, C, C) matrix (>2 s host transfer for 64 channels on
-        # the tunneled backend)
-        f, csm_re, csm_im = self.signal._get_csm_device()
         ids = find_nearest_points_index_in_vector(self.f_range_hz, f)
         id1, id2 = int(ids[0]), int(ids[1])
         if id1 == id2:
             id2 += 1
+        self.f_range_hz = np.array([f[id1], f[id2 - 1]])
+        return id1, id2
+
+    def _csm_slice(self, center_frequency_hz, octave_fraction):
+        """Frequency vector + host CSM for the analysis band only."""
+        # device-resident CSM: fetch only the ~15 analysis bins instead of
+        # the full (F, C, C) matrix (>2 s host transfer for 64 channels on
+        # the tunneled backend)
+        f, csm_re, csm_im = self.signal._get_csm_device()
+        id1, id2 = self._band_ids(center_frequency_hz, octave_fraction, f)
         f = f[id1:id2]
         csm = np.asarray(csm_re[id1:id2]) + 1j * np.asarray(
             csm_im[id1:id2]
         )
-        self.f_range_hz = np.array([f[0], f[-1]])
         return f, csm
 
     def _csm_and_steering(self, center_frequency_hz, octave_fraction):
@@ -665,18 +684,11 @@ class BeamformerDASFrequency(BeamformerGridded):
         # slice, diagonal removal and quadratic form all run in one
         # program. Fetching the ~1 MB band slice to host and re-uploading
         # it cost ~0.1-0.2 s per map on the tunneled backend.
-        self.center_frequency_hz = center_frequency_hz
-        self.octave_fraction = octave_fraction
-        self.f_range_hz = fractional_octave_bandwidth(
-            center_frequency_hz, octave_fraction
-        )
         f_all, csm_re_dev, csm_im_dev = self.signal._get_csm_device()
-        ids = find_nearest_points_index_in_vector(self.f_range_hz, f_all)
-        id1, id2 = int(ids[0]), int(ids[1])
-        if id1 == id2:
-            id2 += 1
+        id1, id2 = self._band_ids(
+            center_frequency_hz, octave_fraction, f_all
+        )
         f = f_all[id1:id2]
-        self.f_range_hz = np.array([f[0], f[-1]])
         wave_numbers = f * np.pi * 2 / self.c
         n_ch = self.signal.number_of_channels
         rm_diag = bool(remove_csm_diagonal)

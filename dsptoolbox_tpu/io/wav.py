@@ -46,11 +46,18 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
                 )
                 continue
             if chunk_size == 0xFFFFFFFF and chunk_id == b"data":
-                if ds64_data_size is None:
-                    raise ValueError(
-                        f"{path}: RF64 data chunk without a ds64 chunk"
-                    )
-                chunk_size = ds64_data_size
+                if is_rf64:
+                    if ds64_data_size is None:
+                        raise ValueError(
+                            f"{path}: RF64 data chunk without a ds64 chunk"
+                        )
+                    chunk_size = ds64_data_size
+                else:
+                    # plain RIFF with a streaming/unfinalized size
+                    # placeholder: the data runs to end of file
+                    payload = fh.read()
+                    data = payload
+                    continue
             payload = fh.read(chunk_size + (chunk_size & 1))
             if chunk_id == b"fmt ":
                 fmt = payload

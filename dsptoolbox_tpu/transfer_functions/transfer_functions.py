@@ -80,20 +80,26 @@ def spectral_deconvolve(
     # parity: the reference FFTs at the signals' configured length, which
     # defaults to next_fast_len padding (`transfer_functions.py:143-145`
     # with `classes/signal.py:899-904`) — do NOT force the exact length.
-    # The unpadded path sets/restores spectrum_method on the callers'
-    # signals instead of deep-copying them (~3.5 ms per call); the device
-    # spectrum cache is keyed by the method, so no stale data can leak.
+    # The unpadded path temporarily overrides spectrum_method on the
+    # callers' signals instead of deep-copying them (~3.5 ms per call).
+    # The override writes the parameter dict directly, NOT the public
+    # setter: the setter drops the host spectrum/csm caches, which would
+    # silently destroy a caller's expensive cached CSM on every
+    # deconvolution. Nothing reads those host caches while the override is
+    # active — the device-spectrum cache consulted below is self-validating
+    # via `_spectrum_param_key` (which includes the method).
     _prev_methods = (input.spectrum_method, output.spectrum_method)
     try:
-        input.spectrum_method = SpectrumMethod.FFT
-        output.spectrum_method = SpectrumMethod.FFT
+        input._spectrum_parameters["method"] = SpectrumMethod.FFT
+        output._spectrum_parameters["method"] = SpectrumMethod.FFT
         # device-resident spectra: the division consumes them on-device;
         # only the (small, real) |denum| comes host for the regularization
         # window
         _, denum_re, denum_im = input._get_spectrum_device()
         freqs_hz, num_re, num_im = output._get_spectrum_device()
     finally:
-        input.spectrum_method, output.spectrum_method = _prev_methods
+        input._spectrum_parameters["method"] = _prev_methods[0]
+        output._spectrum_parameters["method"] = _prev_methods[1]
     fs_hz = output.sampling_rate_hz
     length = original_length * 2 if padding else original_length
 

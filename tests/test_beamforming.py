@@ -209,6 +209,28 @@ class TestFrequencyBeamformers:
         except np.linalg.LinAlgError:
             pass
 
+    def test_das_map_follows_grid_reassignment(self, array_signal_pair):
+        # the cached steering amp/diff must invalidate when the grid is
+        # swapped for another of the same size (regression: id-only key)
+        (ma_m, s_m), _ = array_signal_pair
+        xval = np.arange(-0.2, 0.2, 0.1)
+        yval = np.arange(-0.2, 0.2, 0.1)
+        g_a = bf.Regular2DGrid(xval, yval, ["x", "y"], value3=0.5)
+        g_b = bf.Regular2DGrid(
+            xval + 0.15, yval, ["x", "y"], value3=0.5
+        )  # same shape, shifted region
+        st = bf.SteeringVector(
+            formulation=bf.SteeringVectorType.TrueLocation
+        )
+        das = bf.BeamformerDASFrequency(s_m, ma_m, g_a, st)
+        m_a = das.get_beamformer_map(2000, 3)
+        das.grid = g_b
+        m_b = das.get_beamformer_map(2000, 3)
+        fresh = bf.BeamformerDASFrequency(s_m, ma_m, g_b, st)
+        m_fresh = fresh.get_beamformer_map(2000, 3)
+        np.testing.assert_allclose(m_b, m_fresh, rtol=1e-5)
+        assert not np.allclose(m_a, m_b)
+
     def test_mvdr_device_form_matches_f64_oracle(self):
         # The inverse is f64 host by design; the quadratic form runs on
         # device. Compare the full map against an all-f64 host evaluation.

@@ -48,6 +48,25 @@ class TestWav:
         assert fs == 48000
         np.testing.assert_allclose(back, data, atol=2**-15)
 
+    def test_riff_streaming_placeholder_size_reads_to_eof(self, tmp_path):
+        # plain RIFF with 0xFFFFFFFF data size (interrupted/streaming
+        # writers): data runs to end of file — must NOT be treated as RF64
+        import struct
+
+        rng = np.random.default_rng(2)
+        data = np.clip(rng.standard_normal((300, 1)) * 0.3, -1, 0.999)
+        ints = np.clip(np.round(data * 2.0**15), -(2**15), 2**15 - 1)
+        payload = ints.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 48000, 96000, 2, 16)
+        path = tmp_path / "stream.wav"
+        with open(path, "wb") as fh:
+            fh.write(struct.pack("<4sI4s", b"RIFF", 0xFFFFFFFF, b"WAVE"))
+            fh.write(struct.pack("<4sI", b"fmt ", len(fmt)) + fmt)
+            fh.write(struct.pack("<4sI", b"data", 0xFFFFFFFF) + payload)
+        back, fs = read_audio(str(path))
+        assert fs == 48000
+        np.testing.assert_allclose(back[:, None], data, atol=2**-15)
+
     def test_rf64_without_ds64_rejected(self, tmp_path):
         import struct
 

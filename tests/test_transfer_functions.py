@@ -364,6 +364,31 @@ class TestDeconvolveReviewRegressions:
     """Oracle regressions from the round-1 review: padded FFT length and
     channel-0 regularization-range reuse."""
 
+    def test_deconvolve_preserves_caller_state_and_caches(self):
+        # deconvolve must not leave the callers' signals mutated nor drop
+        # their cached Welch spectra (regression: setter-based override)
+        from dsptoolbox_tpu.standard.enums import SpectrumMethod
+
+        rng = np.random.default_rng(5)
+        exc = dsp.Signal(
+            None, rng.standard_normal((8192, 1)) * 0.4, 48000,
+            activate_cache=True,
+        )
+        rec = dsp.Signal(
+            None, rng.standard_normal((8192, 1)) * 0.4, 48000,
+            activate_cache=True,
+        )
+        assert exc.spectrum_method == SpectrumMethod.WelchPeriodogram
+        exc.get_spectrum()  # populate the host Welch cache
+        cached = exc._cache.get("spectrum")
+        assert cached is not None
+        dsp.transfer_functions.spectral_deconvolve(rec, exc)
+        assert exc.spectrum_method == SpectrumMethod.WelchPeriodogram
+        assert rec.spectrum_method == SpectrumMethod.WelchPeriodogram
+        assert exc._cache.get("spectrum") is cached, (
+            "deconvolve dropped the caller's cached spectrum"
+        )
+
     def test_non_fast_length_matches_reference(self, ref):
         rng = np.random.default_rng(31)
         L = 4001  # not 5-smooth: exercises next_fast_len padding
