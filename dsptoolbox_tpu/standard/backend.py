@@ -201,7 +201,38 @@ def indices_above_threshold_dbfs(
 ):
     """Boolean activity mask from a smoothed power envelope, reproducing the
     reference recursion exactly (`_standard_backend.py:324-380`, including
-    its comparison of the yet-unwritten gain sample). ``time_vec (T,)``."""
+    its comparison of the yet-unwritten gain sample). ``time_vec (T,)``.
+
+    Runs as ONE cached jitted program: eagerly, the log-depth scan and its
+    surrounding ops each pay a dispatch round trip on tunneled backends.
+    """
+    from ..classes.signal import _dev_jit
+
+    return _dev_jit(
+        (
+            "activity_mask",
+            float(threshold_dbfs),
+            float(attack_smoothing_coeff),
+            float(release_smoothing_coeff),
+            bool(normalize),
+        ),
+        lambda tv: _indices_above_threshold_core(
+            tv,
+            threshold_dbfs,
+            attack_smoothing_coeff,
+            release_smoothing_coeff,
+            normalize,
+        ),
+    )(jnp.asarray(time_vec))
+
+
+def _indices_above_threshold_core(
+    time_vec: jnp.ndarray,
+    threshold_dbfs: float,
+    attack_smoothing_coeff: float,
+    release_smoothing_coeff: float,
+    normalize: bool,
+):
     import jax
 
     x = jnp.asarray(time_vec).reshape(-1)
@@ -211,20 +242,30 @@ def indices_above_threshold_dbfs(
 
     # parity: the reference compares momentary_gain[i] (still zero when
     # read) with time_power[i-1], so the attack branch never fires and the
-    # coefficient is the release one unless the previous power is exactly 0
-    def step_exact(carry, p):
-        p_prev, p_cur = p
-        coeff = jnp.where(
-            0.0 > p_prev,
-            attack_smoothing_coeff,
-            jnp.where(0.0 < p_prev, release_smoothing_coeff, 0.0),
-        )
-        new = coeff * p_cur + (1 - coeff) * carry
-        return new, new
+    # coefficient is the release one unless the previous power is exactly
+    # 0. The coefficient therefore depends only on the PREVIOUS INPUT
+    # power — not on the carry — so the recursion
+    #   g[i] = c[i]·p[i] + (1-c[i])·g[i-1]
+    # is a first-order linear recurrence with known time-varying
+    # coefficients: composed affine maps (A, B) ∘ (A', B') =
+    # (A·A', A·B' + B) under `associative_scan` run in log depth instead
+    # of a 190k-step sequential scan (2.5 s → ~60 ms on the tunneled v5e).
+    p_prev, p_cur = power[:-1], power[1:]
+    coeff = jnp.where(
+        0.0 > p_prev,
+        attack_smoothing_coeff,
+        jnp.where(0.0 < p_prev, release_smoothing_coeff, 0.0),
+    ).astype(x.dtype)
+    A = 1.0 - coeff
+    B = coeff * p_cur
 
-    _, gains = jax.lax.scan(
-        step_exact, jnp.asarray(0.0, x.dtype), (power[:-1], power[1:])
-    )
+    def compose(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a2 * a1, a2 * b1 + b2
+
+    _, gains = jax.lax.associative_scan(compose, (A, B))
+    # initial carry is 0, so g[i] = (prefix A)·0 + (prefix B) = prefix B
     momentary_gain = jnp.concatenate([jnp.zeros(1, x.dtype), gains])
     momentary_db = 10.0 * jnp.log10(momentary_gain)
     return momentary_db > threshold_dbfs
