@@ -849,6 +849,51 @@ class Signal(MultichannelData):
             )
         return t, f, S
 
+    def _get_power_spectrogram_device(self):
+        """(t, f, |STFT|² device ``(F, n_frames, C)``) — the power
+        spectrogram stays on the device for feature extractors
+        (mel/MFCC/chroma projections consume it as a matmul operand), so
+        the complex STFT never crosses the host boundary (~100 ms per
+        call saved on tunneled backends)."""
+        p = self._spectrogram_parameters
+        from .._config import run_jitted_complex
+
+        fs_hz = self.sampling_rate_hz
+        wl = p["window_length_samples"]
+        wt = p["window_type"]
+        ol = p["overlap_percent"]
+        fl = p["fft_length_samples"]
+        det = p["detrend"]
+        pad = p["padding"]
+        scal = p["scaling"]
+
+        def _stft_power(td):
+            _, _, S = stft(
+                td.T,
+                sampling_rate_hz=fs_hz,
+                window_length_samples=wl,
+                window_type=wt,
+                overlap_percent=ol,
+                fft_length_samples=fl,
+                detrend=det,
+                padding=pad,
+                scaling=scal,
+            )
+            # (C, frames, F) -> (F, frames, C), squared magnitude (real)
+            return jnp.transpose(jnp.abs(S) ** 2, (2, 1, 0))
+
+        P = run_jitted_complex(
+            _stft_power, self._time_data, materialize=False
+        )
+        # t/f host-side from static shapes (returning them from the trace
+        # would make them device constants: ~37 ms fetch each on the
+        # tunneled backend). Mirrors `ops.spectral.stft`'s construction.
+        overlap = int(ol / 100 * wl + 0.5)
+        length_padded = self._time_data.shape[0] + (2 * overlap if pad else 0)
+        t = np.linspace(0, length_padded / fs_hz, P.shape[1])
+        f = np.fft.rfftfreq(wl, 1 / fs_hz)
+        return t, f, P
+
     # ======== Plots =========================================================
     def plot_magnitude(
         self,

@@ -152,11 +152,9 @@ def log_mel_spectrogram(
     (`transforms.py:113-196`)."""
     if stft_parameters is not None:
         s.set_spectrogram_parameters(**stft_parameters)
-    time_s, f_hz, sp = s.get_spectrogram()
+    # device power spectrogram: the complex STFT never reaches the host
+    time_s, f_hz, power = s._get_power_spectrogram_device()
     mfilt, f_mel = mel_filterbank(f_hz, range_hz, n_bands, normalize=True)
-    # host abs first: `sp` is a host complex spectrogram and complex
-    # uploads are unsupported on tunneled backends
-    power = jnp.asarray(np.abs(np.asarray(sp)) ** 2.0)
     log_mel_sp = jnp.tensordot(
         jnp.asarray(mfilt, power.dtype),
         power,
@@ -226,18 +224,16 @@ def mfcc(
     matmuls; `transforms.py:335-441`)."""
     if stft_parameters is not None:
         signal.set_spectrogram_parameters(**stft_parameters)
-    time_s, f, sp = signal.get_spectrogram()
+    # device power spectrogram: the complex STFT never reaches the host
+    time_s, f, power = signal._get_power_spectrogram_device()
     if mel_filters is None:
         mel_filters, f_mel = mel_filterbank(f, None, n_bands=40)
     else:
-        assert mel_filters.shape[1] == sp.shape[0], (
+        assert mel_filters.shape[1] == power.shape[0], (
             f"Shape of the mel filter matrix {mel_filters.shape} does "
-            f"not match the STFT {sp.shape}"
+            f"not match the STFT {power.shape}"
         )
         f_mel = np.array([0, mel_filters.shape[0]])
-    # host abs first: `sp` is a host complex spectrogram and complex
-    # uploads are unsupported on tunneled backends
-    power = jnp.asarray(np.abs(np.asarray(sp)) ** 2.0)
     mel_power = jnp.tensordot(
         jnp.asarray(mel_filters, power.dtype),
         power,
@@ -386,9 +382,8 @@ def chroma_stft(
 
     assert tuning_a_hz > 0, "Tuning A4 must be greater than zero"
     assert compression > 0, "Compression factor must be greater than zero"
-    t, f, S = signal.get_spectrogram()
-    # host abs first (complex uploads unsupported on tunneled backends)
-    power = jnp.asarray(np.abs(np.asarray(S)) ** 2)
+    # device power spectrogram: the complex STFT never reaches the host
+    t, f, power = signal._get_power_spectrogram_device()
     pitch_frequencies = pitch2frequency(tuning_a_hz)
     pitch_transformation = np.zeros((len(pitch_frequencies), len(f)))
     for ind, fn in enumerate(pitch_frequencies):
