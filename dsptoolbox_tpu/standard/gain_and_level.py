@@ -74,23 +74,30 @@ def true_peak_level(signal):
     from .resampling import resample
 
     if isinstance(signal, Signal):
+        from ..classes.signal import _dev_jit
+
         sig = signal.copy()
         down_factor = float(from_db(-12.04, True))
         up_factor = 1 / down_factor
-        sig.time_data = signal.time_data * down_factor
+        # device multiply (a host round trip of the full signal otherwise)
+        sig.time_data = _dev_jit(
+            ("tp_scale", down_factor), lambda a: a * down_factor
+        )(signal.time_data_jax)
         sig_over = resample(sig, sig.sampling_rate_hz * 4)
-        true_peak_levels = np.asarray(
-            to_db(
-                jnp.max(jnp.abs(sig_over.time_data_jax), axis=0) * up_factor,
-                True,
-            )
+        # both reductions in one program, ONE (2, C) host fetch (each
+        # np.asarray costs a ~37 ms round trip on the tunneled backend)
+        both = np.asarray(
+            _dev_jit(
+                ("tp_levels", up_factor),
+                lambda a, b: jnp.stack(
+                    [
+                        to_db(jnp.max(jnp.abs(a), axis=0) * up_factor, True),
+                        to_db(jnp.max(jnp.abs(b), axis=0) * up_factor, True),
+                    ]
+                ),
+            )(sig_over.time_data_jax, sig.time_data_jax)
         )
-        peak_levels = np.asarray(
-            to_db(
-                jnp.max(jnp.abs(sig.time_data_jax), axis=0) * up_factor, True
-            )
-        )
-        return true_peak_levels, peak_levels
+        return both[0], both[1]
     if isinstance(signal, MultiBandSignal):
         tpl = np.empty((signal.number_of_bands, signal.number_of_channels))
         pl = np.empty_like(tpl)

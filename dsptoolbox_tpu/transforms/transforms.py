@@ -476,11 +476,16 @@ def hilbert(signal):
 
     if isinstance(signal, Signal):
         from .._config import run_jitted_complex
+        from ..classes.signal import DeviceTimeData
 
-        out = run_jitted_complex(
-            lambda td: analytic_signal(td, axis=0), signal.time_data
+        re, im = run_jitted_complex(
+            lambda td: (lambda z: (z.real, z.imag))(
+                analytic_signal(td, axis=0)
+            ),
+            signal.time_data_jax,
+            materialize=False,  # analytic signal stays device-resident
         )
-        return signal.copy_with_new_time_data(np.asarray(out))
+        return signal.copy_with_new_time_data(DeviceTimeData(re, im))
     if isinstance(signal, MultiBandSignal):
         new_mb = signal.copy()
         new_mb.bands = [hilbert(b) for b in new_mb.bands]
