@@ -28,22 +28,42 @@ def to_db(
     ``min_value`` floors absolute values before the log. With both ``None``
     the raw log is taken (may produce -inf).
     """
-    x = jnp.asarray(x)
+    # dispatch on input location: device arrays (incl. jit tracers) stay
+    # jnp; host numpy/scalars stay numpy — otherwise every host
+    # decision-logic caller pays an upload + eager ops + ~30 ms fetch on
+    # tunneled backends
+    on_device = isinstance(x, jnp.ndarray)
     factor = 20.0 if amplitude_input else 10.0
+    if on_device:
+        if min_value is None and dynamic_range_db is None:
+            return factor * jnp.log10(jnp.abs(x))
+        x_abs = jnp.abs(x)
+        if dynamic_range_db is not None:
+            min_val = jnp.max(x_abs) * 10.0 ** (
+                -abs(dynamic_range_db) / factor
+            )
+        else:
+            min_val = min_value
+        return factor * jnp.log10(jnp.clip(x_abs, min=min_val))
+    x = np.asarray(x)
     if min_value is None and dynamic_range_db is None:
-        return factor * jnp.log10(jnp.abs(x))
-    x_abs = jnp.abs(x)
+        with np.errstate(divide="ignore"):
+            return factor * np.log10(np.abs(x))
+    x_abs = np.abs(x)
     if dynamic_range_db is not None:
-        min_val = jnp.max(x_abs) * 10.0 ** (-abs(dynamic_range_db) / factor)
+        min_val = np.max(x_abs) * 10.0 ** (-abs(dynamic_range_db) / factor)
     else:
         min_val = min_value
-    return factor * jnp.log10(jnp.clip(x_abs, min=min_val))
+    return factor * np.log10(np.maximum(x_abs, min_val))
 
 
 def from_db(x, amplitude_output: bool = True):
-    """dB → linear amplitude (or power)."""
+    """dB → linear amplitude (or power). Host inputs stay host (see
+    `to_db`)."""
     factor = 20.0 if amplitude_output else 10.0
-    return 10.0 ** (jnp.asarray(x) / factor)
+    if isinstance(x, jnp.ndarray):
+        return 10.0 ** (x / factor)
+    return 10.0 ** (np.asarray(x) / factor)
 
 
 def rms(x: jnp.ndarray, axis: int = -1, remove_mean: bool = True) -> jnp.ndarray:

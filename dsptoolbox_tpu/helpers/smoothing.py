@@ -106,6 +106,25 @@ def get_smoothing_factor_ema(
     return float(1 - np.exp(factor / relaxation_time_s / sampling_rate_hz))
 
 
+def time_smoothing_host(
+    x: np.ndarray, sampling_rate_hz: int, ascending_time_s: float
+) -> np.ndarray:
+    """Host (scipy) single-coefficient EMA, numerically identical to the
+    `time_smoothing` device path (same steady-state zi scaled by the
+    first sample, `helpers/smoothing.py:220-227`). For 1-D decision-logic
+    consumers whose data already lives on the host, a device round trip
+    costs ~40-100 ms on tunneled backends; scipy runs in ~1 ms."""
+    from scipy.signal import lfilter, lfilter_zi
+
+    x = np.asarray(x)
+    alpha = get_smoothing_factor_ema(ascending_time_s, sampling_rate_hz)
+    b = np.array([alpha])
+    a = np.array([1.0, -(1.0 - alpha)])
+    zi = lfilter_zi(b, a)
+    y, _ = lfilter(b, a, x, zi=zi * x[..., :1], axis=-1)
+    return y
+
+
 def time_smoothing(
     x: jnp.ndarray,
     sampling_rate_hz: int,

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..helpers.gain_and_level import from_db, to_db
 from ..helpers.other import pearson_correlation as _pearson
-from ..helpers.smoothing import time_smoothing
+from ..helpers.smoothing import time_smoothing_host
 from ..transfer_functions._backend import trim_ir_indices
 from .enums import ReverbTime
 
@@ -132,11 +132,10 @@ def compute_energy_decay_curve(
     dynamic_range_db = (
         float(to_db(np.max(signal_power) / noise_power, False)) / 2.0
     )
+    # host EMA: the data is already host-side decision input; a device
+    # round trip costs ~40-100 ms on tunneled backends
     signal_db = np.asarray(
-        to_db(
-            time_smoothing(jnp.asarray(signal_power), fs_hz, 20e-3, axis=-1),
-            False,
-        )
+        to_db(time_smoothing_host(signal_power, fs_hz, 20e-3), False)
     )
     start_index_int = np.where(
         dynamic_range_db + np.min(signal_db) > signal_db
@@ -157,7 +156,7 @@ def compute_energy_decay_curve(
 
     signal_power = signal_power - noise_power
     e_comp *= fs_hz
-    cums = np.asarray(jnp.cumsum(jnp.asarray(signal_power)))
+    cums = np.cumsum(signal_power)
     edc = np.sum(signal_power) + e_comp - cums
     indices = np.where(edc <= 0)[0]
     if len(indices) > 0:
@@ -169,9 +168,9 @@ def compute_energy_decay_curve(
         length = int(len(signal_power) * 0.95)
         edc = (
             np.sum(signal_power)
-            - np.asarray(jnp.cumsum(jnp.asarray(signal_power)))[:length]
+            - np.cumsum(signal_power)[:length]
         )
-    edc = np.asarray(to_db(jnp.asarray(edc), False))
+    edc = np.asarray(to_db(edc, False))
     return edc - edc[0]
 
 

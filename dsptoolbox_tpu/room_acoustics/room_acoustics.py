@@ -35,9 +35,10 @@ def reverb_time(
         ir_start = _check_ir_start_reverb(signal, ir_start)
         times = np.zeros(signal.number_of_channels)
         corrs = np.zeros(signal.number_of_channels)
+        td = signal.time_data  # ONE host fetch, not one per channel
         for n in range(signal.number_of_channels):
             times[n], corrs[n] = bk.reverb(
-                signal.time_data[:, n].copy(),
+                td[:, n].copy(),
                 signal.sampling_rate_hz,
                 mode,
                 ir_start=ir_start[n],

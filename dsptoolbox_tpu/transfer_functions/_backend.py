@@ -565,14 +565,18 @@ def trim_ir_indices(
     nfl = next_fast_len(len(tail), False)
     # parity: the reference's `hilbert(tail, N=next_fast_len)` keeps the
     # FULL padded length for the decay scan and fallback averaging
-    # (`_transfer_functions.py:307-315`) — do not truncate to len(tail)
-    env_c = analytic_signal(
-        jnp.asarray(np.pad(tail, (0, nfl - len(tail)))), axis=-1
-    )
-    etc = np.asarray(to_db(jnp.abs(env_c), True))
-    envelope = np.asarray(
-        time_smoothing(jnp.asarray(etc), fs_hz, 20e-3, None, axis=-1)
-    )
+    # (`_transfer_functions.py:307-315`) — do not truncate to len(tail).
+    # Host scipy throughout: this is 1-D decision logic on data already on
+    # the host; two device round trips cost ~100-200 ms on tunneled
+    # backends, scipy runs in a few ms (and `scipy.signal.hilbert` IS the
+    # reference's own op).
+    from scipy.signal import hilbert as _sp_hilbert
+
+    from ..helpers.smoothing import time_smoothing_host
+
+    env_c = _sp_hilbert(tail, N=nfl)
+    etc = np.asarray(to_db(np.abs(env_c), True))
+    envelope = time_smoothing_host(etc, fs_hz, 20e-3)
 
     window_lengths = (np.array([10, 30, 50, 70, 90]) * 1e-3 * fs_hz + 0.5).astype(
         int
