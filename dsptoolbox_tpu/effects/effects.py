@@ -808,6 +808,14 @@ class Chorus(AudioEffect):
         return signal.copy_with_new_time_data(out)
 
 
+def _sat_digital(x):
+    return x
+
+
+def _sat_arctan(x):
+    return 0.5 * jnp.arctan(2 * x)
+
+
 class DigitalDelay(AudioEffect):
     """Feedback delay line (`effects.py:1326-1473`). The comb recursion runs
     as a `lax.scan` over delay-sized blocks."""
@@ -838,10 +846,13 @@ class DigitalDelay(AudioEffect):
             self.saturation_func = lambda x: sat_callable(x)
             return
         saturation = saturation.lower()
+        # module-level functions, NOT per-instance lambdas: the delay's
+        # compiled program is cached keyed on the saturator object, so all
+        # instances using a named saturation share one compilation
         if saturation == "digital":
-            self.saturation_func = lambda x: x
+            self.saturation_func = _sat_digital
         elif saturation == "arctan":
-            self.saturation_func = lambda x: 0.5 * jnp.arctan(2 * x)
+            self.saturation_func = _sat_arctan
         else:
             raise ValueError("Saturation function might not be valid")
 
@@ -898,11 +909,23 @@ class DigitalDelay(AudioEffect):
                 f"delay blocks on device): {e}"
             ) from None
 
-        def step(prev_block, x_blk):
-            y_blk = x_blk + fb * sat(prev_block)
-            return y_blk, y_blk
+        from ..classes.signal import _dev_jit
 
-        _, yb = jax.lax.scan(step, jnp.zeros_like(xb[0]), xb)
-        y = np.asarray(yb.reshape(-1, td.shape[1]))[:total]
+        def _prog(xb_in):
+            def step(prev_block, x_blk):
+                y_blk = x_blk + fb * sat(prev_block)
+                return y_blk, y_blk
+
+            _, yb = jax.lax.scan(step, jnp.zeros_like(xb_in[0]), xb_in)
+            return yb.reshape(-1, xb_in.shape[-1])
+
+        # cached jit (the eager scan re-traced on every call); keying on
+        # the saturation function object keeps it alive and correct for
+        # user-swapped saturators
+        y = np.asarray(
+            _dev_jit(("digital_delay", D, n_blocks, float(fb), sat), _prog)(
+                xb
+            )
+        )[:total]
         y = self._restore_peak_values(y)
         return signal.copy_with_new_time_data(y)

@@ -169,7 +169,8 @@ def time_smoothing(
             return new, new
 
         x_t = jnp.moveaxis(x, -1, 0)
-        # parity: y[0] = x[0] (`helpers/smoothing.py:246-247`)
-        _, y_t = jax.lax.scan(step, x_t[0], x_t[1:])
+        # parity: y[0] = x[0] (`helpers/smoothing.py:246-247`); unroll
+        # amortizes per-step loop overhead (latency-bound recursion)
+        _, y_t = jax.lax.scan(step, x_t[0], x_t[1:], unroll=8)
         y = jnp.moveaxis(jnp.concatenate([x_t[:1], y_t], axis=0), 0, -1)
     return jnp.moveaxis(y, -1, axis)
