@@ -63,33 +63,73 @@ class AudioEffect:
             return time_data
         return time_data * 10 ** (gain_db / 20)
 
+    # level save/restore helpers dispatch on input location: device
+    # arrays stay on device with NO host sync (shapes are host-visible
+    # without a fetch), host numpy stays numpy
     def _save_peak_values(self, inp):
-        self._peak_values = np.max(np.abs(inp), axis=0)
+        if isinstance(inp, jnp.ndarray) and not isinstance(inp, np.ndarray):
+            from ..classes.signal import _dev_jit
+
+            self._peak_values = _dev_jit(
+                "fx_peak0", lambda a: jnp.max(jnp.abs(a), axis=0)
+            )(inp)
+        else:
+            self._peak_values = np.max(np.abs(inp), axis=0)
+
+    @staticmethod
+    def _n_levels(v) -> int:
+        # shape metadata only — np.atleast_1d on a device array would fetch
+        return v.shape[0] if getattr(v, "ndim", 0) >= 1 else 1
 
     def _restore_peak_values(self, inp):
         if not hasattr(self, "_peak_values"):
             return inp
-        if len(np.atleast_1d(self._peak_values)) != inp.shape[1]:
+        if self._n_levels(self._peak_values) != inp.shape[1]:
             warn(
                 "Number of saved peak values does not match number of "
                 "channels. Restoring is ignored"
             )
             return inp
-        return inp * (self._peak_values / np.max(np.abs(inp), axis=0))
+        if isinstance(inp, jnp.ndarray) and not isinstance(inp, np.ndarray):
+            from ..classes.signal import _dev_jit
+
+            return _dev_jit(
+                "fx_restore_peak",
+                lambda a, p: a * (p / jnp.max(jnp.abs(a), axis=0)),
+            )(inp, jnp.asarray(self._peak_values))
+        return inp * (
+            np.asarray(self._peak_values) / np.max(np.abs(inp), axis=0)
+        )
 
     def _save_rms_values(self, inp):
-        self._rms_values = np.std(inp, axis=0)
+        if isinstance(inp, jnp.ndarray) and not isinstance(inp, np.ndarray):
+            from ..classes.signal import _dev_jit
+
+            self._rms_values = _dev_jit(
+                "fx_rms0", lambda a: jnp.std(a, axis=0)
+            )(inp)
+        else:
+            self._rms_values = np.std(inp, axis=0)
 
     def _restore_rms_values(self, inp):
         if not hasattr(self, "_rms_values"):
             return inp
-        if len(np.atleast_1d(self._rms_values)) != inp.shape[1]:
+        if self._n_levels(self._rms_values) != inp.shape[1]:
             warn(
                 "Number of saved RMS values does not match number of "
                 "channels. Restoring is ignored"
             )
             return inp
-        return inp * (self._rms_values / np.std(inp, axis=0))
+        if isinstance(inp, jnp.ndarray) and not isinstance(inp, np.ndarray):
+            from ..classes.signal import _dev_jit
+
+            return _dev_jit(
+                "fx_restore_rms",
+                lambda a, r: a * (r / jnp.std(a, axis=0)),
+            )(inp, jnp.asarray(self._rms_values))
+        return inp * (
+            np.asarray(self._rms_values) / np.std(inp, axis=0)
+        )
 
 
 class SpectralSubtractor(AudioEffect):
@@ -217,12 +257,12 @@ class SpectralSubtractor(AudioEffect):
         self.step_size = int(self.window_length * (1 - self.overlap))
 
     def _apply_this_effect(self, signal: Signal) -> Signal:
-        self._save_peak_values(signal.time_data)
+        self._save_peak_values(signal.time_data_jax)
         if self.adaptive_mode:
             out = self._apply_adaptive_mode(signal)
         else:
             out = self._apply_offline(signal)
-        out.time_data = self._restore_peak_values(out.time_data)
+        out.time_data = self._restore_peak_values(out.time_data_jax)
         return out
 
     def _frame(self, signal: Signal):
@@ -250,7 +290,7 @@ class SpectralSubtractor(AudioEffect):
             safety_threshold=safety_threshold,
         )
         td = td[..., len(self.window) : -len(self.window)]
-        return signal.copy_with_new_time_data(np.asarray(td.T))
+        return signal.copy_with_new_time_data(td.T)  # device-resident
 
     def _apply_offline(self, signal: Signal) -> Signal:
         from ..standard.other import activity_detector
@@ -299,12 +339,14 @@ class SpectralSubtractor(AudioEffect):
                 n=len(self.window),
             )
 
-        new_frames = run_jitted_complex(_subtract, frames, noise_np)
+        new_frames = run_jitted_complex(
+            _subtract, frames, noise_np, materialize=False
+        )  # frames stay device-resident
         # parity: the reference's offline mode reconstructs with
         # safety_threshold=None — no window-envelope clipping
         # (`effects.py:482-484`)
         return self._reconstruct(
-            jnp.asarray(new_frames), original_length, signal,
+            new_frames, original_length, signal,
             safety_threshold=None,
         )
 
@@ -353,9 +395,11 @@ class SpectralSubtractor(AudioEffect):
                 n=len(self.window),
             )
 
-        new_frames = run_jitted_complex(_adaptive, frames)
+        new_frames = run_jitted_complex(
+            _adaptive, frames, materialize=False
+        )  # frames stay device-resident
         return self._reconstruct(
-            jnp.asarray(new_frames), original_length, signal
+            new_frames, original_length, signal
         )
 
 
@@ -585,7 +629,7 @@ class Compressor(AudioEffect):
 
     def _apply_this_effect(self, signal: Signal) -> Signal:
         fs_hz = signal.sampling_rate_hz
-        td = signal.time_data
+        td = signal.time_data_jax  # whole chain device-resident
         td = self._add_gain_in_db(td, self.pre_gain_db)
         self._save_rms_values(td)
         self._save_peak_values(td)
@@ -593,17 +637,15 @@ class Compressor(AudioEffect):
             td = td / self._peak_values
         attack_samples = int(self.attack_time_ms * 1e-3 * fs_hz)
         release_samples = int(self.release_time_ms * 1e-3 * fs_hz)
-        compressed = np.asarray(
-            compressor_core(
-                jnp.asarray(td),
-                self.threshold_dbfs,
-                self.ratio,
-                self.knee_factor_db,
-                attack_samples,
-                release_samples,
-                self.mix,
-                self.downward_compression,
-            )
+        compressed = compressor_core(
+            td,
+            self.threshold_dbfs,
+            self.ratio,
+            self.knee_factor_db,
+            attack_samples,
+            release_samples,
+            self.mix,
+            self.downward_compression,
         )
         # NB: the reference accepts `mix_compressed` but never applies it
         # (`_effects.py:119-148` ignores the argument), and its
@@ -887,14 +929,12 @@ class DigitalDelay(AudioEffect):
             f"delay_time_ms={self.delay_ms} rounds to zero samples at "
             f"{signal.sampling_rate_hz} Hz"
         )
-        td = signal.time_data
+        td = signal.time_data_jax
         self._save_peak_values(td)
         padding = int(D * (1 + self.feedback * 15))
         total = td.shape[0] + padding
         n_blocks = int(np.ceil(total / D))
-        x = jnp.asarray(
-            np.pad(td, ((0, n_blocks * D - td.shape[0]), (0, 0)))
-        )
+        x = pad_trim_axis(td, n_blocks * D, axis=0)
         xb = x.reshape(n_blocks, D, -1)
         fb = self.feedback
         sat = self.saturation_func
@@ -922,10 +962,8 @@ class DigitalDelay(AudioEffect):
         # cached jit (the eager scan re-traced on every call); keying on
         # the saturation function object keeps it alive and correct for
         # user-swapped saturators
-        y = np.asarray(
-            _dev_jit(("digital_delay", D, n_blocks, float(fb), sat), _prog)(
-                xb
-            )
-        )[:total]
+        y = _dev_jit(
+            ("digital_delay", D, n_blocks, float(fb), sat), _prog
+        )(xb)[:total]
         y = self._restore_peak_values(y)
-        return signal.copy_with_new_time_data(y)
+        return signal.copy_with_new_time_data(y)  # device-resident
