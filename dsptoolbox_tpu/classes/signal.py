@@ -464,6 +464,7 @@ class Signal(MultichannelData):
         if getattr(self, "_spectrogram_parameters", None) != new:
             self._spectrogram_parameters = new
             self._cache.pop("spectrogram", None)
+            self._cache.pop("spectrogram_power_dev", None)
         return self
 
     # ======== Channels ======================================================
@@ -855,6 +856,9 @@ class Signal(MultichannelData):
         (mel/MFCC/chroma projections consume it as a matmul operand), so
         the complex STFT never crosses the host boundary (~100 ms per
         call saved on tunneled backends)."""
+        if self.activate_cache and "spectrogram_power_dev" in self._cache:
+            t, f, P = self._cache["spectrogram_power_dev"]
+            return t.copy(), f.copy(), P
         p = self._spectrogram_parameters
         from .._config import run_jitted_complex
 
@@ -892,6 +896,8 @@ class Signal(MultichannelData):
         length_padded = self._time_data.shape[0] + (2 * overlap if pad else 0)
         t = np.linspace(0, length_padded / fs_hz, P.shape[1])
         f = np.fft.rfftfreq(wl, 1 / fs_hz)
+        if self.activate_cache:
+            self._cache["spectrogram_power_dev"] = (t.copy(), f.copy(), P)
         return t, f, P
 
     # ======== Plots =========================================================

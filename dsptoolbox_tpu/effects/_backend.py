@@ -103,15 +103,27 @@ def compressor_core(
     backends."""
     from ..classes.signal import _dev_jit
 
+    # coerce ONCE and bake exactly the key's values into the closure — a
+    # key/closure mismatch would let params that coerce equal (100 vs
+    # 100.9 samples) silently reuse the wrong compiled program. Each
+    # distinct parameter set compiles its own program (they reach static
+    # control flow in the knee function), cached for the process lifetime.
+    threshold_db = float(threshold_db)
+    ratio = float(ratio)
+    knee_factor_db = float(knee_factor_db)
+    attack_samples = int(attack_samples)
+    release_samples = int(release_samples)
+    mix_compressed = float(mix_compressed)
+    downward_compression = bool(downward_compression)
     key = (
         "compressor",
-        float(threshold_db),
-        float(ratio),
-        float(knee_factor_db),
-        int(attack_samples),
-        int(release_samples),
-        float(mix_compressed),
-        bool(downward_compression),
+        threshold_db,
+        ratio,
+        knee_factor_db,
+        attack_samples,
+        release_samples,
+        mix_compressed,
+        downward_compression,
     )
     return _dev_jit(
         key,

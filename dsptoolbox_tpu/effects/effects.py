@@ -884,8 +884,10 @@ class DigitalDelay(AudioEffect):
         if saturation is None:
             saturation = "digital"
         if callable(saturation):
-            sat_callable = saturation
-            self.saturation_func = lambda x: sat_callable(x)
+            # store the user callable itself: the delay's compiled program
+            # is cached keyed on this object, and a wrapping lambda would
+            # defeat the cache (and leak an entry) on every reassignment
+            self.saturation_func = saturation
             return
         saturation = saturation.lower()
         # module-level functions, NOT per-instance lambdas: the delay's

@@ -117,6 +117,8 @@ def time_smoothing_host(
     from scipy.signal import lfilter, lfilter_zi
 
     x = np.asarray(x)
+    if ascending_time_s <= 0.0:
+        return x.copy()  # alpha = 1: identity (matches the device guard)
     alpha = get_smoothing_factor_ema(ascending_time_s, sampling_rate_hz)
     b = np.array([alpha])
     a = np.array([1.0, -(1.0 - alpha)])

@@ -11,8 +11,8 @@ TPU replacements for the reference's three numba kernels:
 - spectral deconvolution: batched regularized division + irfft.
 
 The data-dependent trimming heuristics (`:285-411`) stay host-side: they are
-scalar decision logic over tiny envelopes, not bulk compute (the envelope
-itself is computed on device).
+scalar decision logic over tiny envelopes, not bulk compute (scipy hilbert +
+EMA on the host — device round trips cost more than the math).
 """
 
 from __future__ import annotations
@@ -26,9 +26,7 @@ import numpy as np
 
 from ..helpers.other import pearson_correlation
 from ..helpers.gain_and_level import to_db
-from ..helpers.latency import analytic_signal
 from ..helpers.other import find_nearest_points_index_in_vector
-from ..helpers.smoothing import time_smoothing
 from ..helpers.windows_extra import calculate_tukey_like_window
 from ..ops.pad_trim import pad_trim_axis
 from ..standard.enums import Window
@@ -551,8 +549,8 @@ def trim_ir_indices(
     safety_distance_to_noise_floor_db: float = 10.0,
 ) -> tuple[int, int, int]:
     """Start/stop/impulse indices for smart IR trimming
-    (`_transfer_functions.py:276-411`). Envelope math on device, decision
-    logic host-side."""
+    (`_transfer_functions.py:276-411`). All host-side: 1-D decision logic
+    on data that already lives on the host (scipy hilbert + EMA)."""
     time_data = np.asarray(time_data).reshape(-1)
     impulse_index = int(np.argmax(np.abs(time_data)))
     offset_start_samples = int(offset_start_s * fs_hz + 0.5)

@@ -216,6 +216,26 @@ def test_wav_reader_against_scipy():
         np.testing.assert_allclose(data, data_ref, atol=0)
 
 
+def test_power_spectrogram_device_tf_parity():
+    # _get_power_spectrogram_device hand-mirrors stft's t/f construction
+    # (host-side, to avoid device-constant fetches); guard against the two
+    # drifting apart, and check the power values themselves
+    import dsptoolbox_tpu as dsp
+
+    rng = np.random.default_rng(12)
+    s = dsp.Signal(None, rng.standard_normal((48000, 2)) * 0.3, 24000)
+    t_ref, f_ref, S = s.get_spectrogram()
+    t_dev, f_dev, P = s._get_power_spectrogram_device()
+    np.testing.assert_allclose(t_dev, np.asarray(t_ref), rtol=1e-12)
+    np.testing.assert_allclose(f_dev, np.asarray(f_ref), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(P),
+        np.abs(np.asarray(S)) ** 2,
+        rtol=1e-4,
+        atol=1e-10,
+    )
+
+
 class TestPallasFraming:
     def test_interpret_matches_xla_path(self):
         """The fused Pallas framing kernel (interpret mode on CPU) must
