@@ -252,6 +252,27 @@ class TestFxReviewRegressions:
         with pytest.raises(AssertionError, match="zero samples"):
             d.apply(s)
 
+    def test_digital_delay_custom_saturation(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(44)
+        s = dsp.Signal(None, rng.standard_normal((4096, 1)) * 0.3, 8000)
+
+        def my_sat(x):
+            return jnp.tanh(x)
+
+        d = dsp.effects.DigitalDelay(delay_time_ms=50.0, feedback=0.4)
+        d.set_advanced_parameters(saturation=my_sat)
+        out = d.apply(s)
+        assert np.isfinite(out.time_data).all()
+        d2 = dsp.effects.DigitalDelay(delay_time_ms=50.0, feedback=0.4)
+        out_digital = d2.apply(s)
+        # the saturator actually participates in the comb recursion
+        assert not np.allclose(out.time_data, out_digital.time_data)
+        # and a reused instance produces identical results (cached program)
+        out_again = d.apply(s)
+        np.testing.assert_array_equal(out.time_data, out_again.time_data)
+
     def test_digital_delay_untraceable_saturation_clear_error(self):
         rng = np.random.default_rng(43)
         s = dsp.Signal(None, rng.standard_normal((2048, 1)) * 0.3, 48000)
