@@ -98,6 +98,33 @@ class TestGainLevel:
             1e-5,
         )
 
+    def test_db_conversion_location_dispatch(self, ref):
+        # contract: host inputs stay numpy (f64, matching the reference's
+        # own dtype), device inputs stay device arrays — host decision
+        # logic must never pay a device round trip for dB math
+        from dsptoolbox.helpers.gain_and_level import (
+            from_db as ref_from_db,
+            to_db as ref_to_db,
+        )
+
+        x = np.abs(rng.standard_normal(64)) + 1e-3
+        out_host = H.to_db(x, True)
+        assert isinstance(out_host, np.ndarray)
+        assert not isinstance(out_host, jnp.ndarray)
+        np.testing.assert_allclose(out_host, ref_to_db(x, True), rtol=1e-12)
+        np.testing.assert_allclose(
+            H.from_db(-6.0, True), ref_from_db(-6.0, True), rtol=1e-12
+        )
+        out_dev = H.to_db(jnp.asarray(x, jnp.float32), True)
+        assert isinstance(out_dev, jnp.ndarray)
+        assert not isinstance(out_dev, np.ndarray)
+        # dynamic-range floor agrees across locations
+        np.testing.assert_allclose(
+            np.asarray(H.to_db(jnp.asarray(x, jnp.float32), True, 20)),
+            H.to_db(x, True, 20),
+            rtol=1e-5,
+        )
+
     def test_normalize(self, ref, close):
         from dsptoolbox.helpers.gain_and_level import _normalize
 
