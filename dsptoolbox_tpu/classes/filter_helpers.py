@@ -112,17 +112,41 @@ def impulse(length_samples: int = 512, delay_samples: int = 0) -> np.ndarray:
     return imp
 
 
+def _eval_descending_poly_ratio_on_arc(cr, c, n_points: int):
+    """``polyval(cr, z) / polyval(c, z)`` for ``z = exp(1j·linspace(0, π,
+    n_points))`` without Horner evaluation.
+
+    Factoring ``z^(L-1)`` out of both descending-order polynomials leaves
+    ``Σ x[j]·z^(-j)``, and on the grid ``ω_k = πk/(n_points-1) = 2πk/N``
+    (``N = 2(n_points-1)``) that sum IS the length-N real FFT of ``x`` with
+    indices folded mod N. Replaces the reference's O(L·F) `np.polyval`
+    (`classes/filter_helpers.py:181-189`), which costs ~10 s for an IR-length
+    polynomial, with two O(N log N) f64 FFTs — identical math on the same
+    grid, f64 rounding differences only (~1e-12)."""
+    N = 2 * (n_points - 1)
+
+    def _fold_rfft(x):
+        if len(x) > N:
+            folded = np.zeros(N, dtype=x.dtype)
+            np.add.at(folded, np.arange(len(x)) % N, x)
+        else:
+            folded = x
+        return np.fft.rfft(folded, n=N)[:n_points]
+
+    return _fold_rfft(np.asarray(cr)), _fold_rfft(np.asarray(c))
+
+
 def group_delay_filter(ba, length_samples: int = 512, fs_hz: int = 48000):
     """Group delay of a filter from ba via ramped-coefficient polynomial
-    evaluation (`classes/filter_helpers.py:166-205`). Static host math —
-    designs are tiny."""
+    evaluation (`classes/filter_helpers.py:166-205`). Host f64 math; the
+    polynomial ratio is evaluated by FFT (see
+    `_eval_descending_poly_ratio_on_arc`) so IR-length inputs stay fast."""
     omega = np.linspace(0, np.pi, length_samples)
     c = np.convolve(ba[0], np.conjugate(ba[1][::-1]))
     cr = c * np.arange(len(c))
-    z = np.exp(1j * omega)
-    num = np.polyval(cr, z)
-    denum = np.polyval(c, z)
-    gd = np.real(num / denum) - len(ba[1]) + 1
+    num, denum = _eval_descending_poly_ratio_on_arc(cr, c, length_samples)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gd = np.real(num / denum) - len(ba[1]) + 1
     gd[~np.isfinite(gd)] = 0
     f = omega / np.pi * (fs_hz / 2)
     return f, gd / fs_hz

@@ -56,7 +56,15 @@ def get_fractional_impulse_peak_index(
     time_data = time_data[start_offset:, :]
     delay_samples = delay_samples - start_offset
 
-    h = np.asarray(analytic_signal(jnp.asarray(time_data), axis=0)).imag
+    # the analytic signal is complex: take .imag INSIDE the program —
+    # fetching a complex device array is unsupported on tunneled TPU
+    # backends and a failed transfer poisons the client
+    from .._config import run_jitted_complex
+
+    h = np.asarray(
+        run_jitted_complex(lambda td: analytic_signal(td, axis=0).imag,
+                           time_data)
+    )
     x = np.arange(-polynomial_points + 1, polynomial_points + 1)
     latency_samples = np.zeros(n_channels)
     for ch in range(n_channels):
