@@ -483,7 +483,9 @@ def average_irs(
 
         latencies = find_ir_latency(signal)
         channel_to_follow = int(np.argmax(latencies))
-        td = avg_sig.time_data
+        # writable copy: the time_data getter returns a read-only host view
+        # of the device array
+        td = np.array(avg_sig.time_data)
         for i in range(signal.number_of_channels):
             if channel_to_follow == i:
                 continue

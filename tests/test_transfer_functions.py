@@ -320,6 +320,30 @@ class TestIRTools:
             "averaging sanity",
         )
 
+    def test_average_irs_time_branch_vs_reference(self, ref, close):
+        # regression: the time-average branch wrote into the read-only host
+        # view returned by the time_data getter
+        rir = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        td2 = np.concatenate([np.asarray(rir.time_data)] * 2, axis=1)
+        td2[:, 1] = np.roll(td2[:, 1], 7)
+        got = tf.average_irs(
+            dsp.ImpulseResponse.from_time_data(td2, rir.sampling_rate_hz),
+            time_average=True,
+        )
+        ref_ir = _ref_tf(ref).average_irs(
+            ref.ImpulseResponse.from_time_data(
+                td2.copy(), rir.sampling_rate_hz
+            ),
+            time_average=True,
+        )
+        assert np.all(np.isfinite(got.time_data))
+        close(
+            got.time_data[:, 0],
+            ref_ir.time_data[:, 0],
+            1e-3,
+            "time-averaged IR",
+        )
+
 
 class TestHarmonicDistortionAnalysis:
     def test_oracle(self, ref):
