@@ -235,18 +235,12 @@ def fw_snr_seg(
     n_channels = xhat.number_of_channels
     out = np.zeros(n_channels)
     eps = 1e-30
-    wj = jnp.asarray(window)
-    for ch in range(n_channels):
-        ch_x = 0 if multichannel else ch
-        xb = np.stack(
-            [b.time_data[:, ch_x] for b in x_bands.bands], axis=1
-        )  # (T, bands)
-        xhb = np.stack(
-            [b.time_data[:, ch] for b in xhat_bands.bands], axis=1
-        )
+    lo, hi = float(snr_range_db[0]), float(snr_range_db[1])
+
+    def _fwsnrseg_channel(xb, xhb, wj):
         # frames: (bands, K, L)
-        Xf = frame_signal(jnp.asarray(xb.T), len(window), step, True) * wj
-        Xhf = frame_signal(jnp.asarray(xhb.T), len(window), step, True) * wj
+        Xf = frame_signal(xb, len(window), step, True) * wj
+        Xhf = frame_signal(xhb, len(window), step, True) * wj
         X = jnp.abs(jnp.fft.rfft(Xf, axis=-1))  # (bands, K, F)
         Xh = jnp.abs(jnp.fft.rfft(Xhf, axis=-1))
         W = X**gamma
@@ -257,8 +251,21 @@ def fw_snr_seg(
         )  # (K, F)
         weights = jnp.sum(W, axis=0)
         snr_frame = jnp.mean(10 * snr_jm / weights, axis=-1)  # (K,)
-        snr_frame = jnp.clip(
-            snr_frame, min=snr_range_db[0], max=snr_range_db[1]
+        snr_frame = jnp.clip(snr_frame, min=lo, max=hi)
+        return jnp.mean(snr_frame)
+
+    from .._config import run_maybe_jitted
+
+    wj = jnp.asarray(window)
+    for ch in range(n_channels):
+        ch_x = 0 if multichannel else ch
+        # stack bands on device — fetching every band's full buffer to the
+        # host dominates runtime on slow device->host links
+        xb = jnp.stack(
+            [b.time_data_jax[:, ch_x] for b in x_bands.bands], axis=0
+        )  # (bands, T)
+        xhb = jnp.stack(
+            [b.time_data_jax[:, ch] for b in xhat_bands.bands], axis=0
         )
-        out[ch] = float(jnp.mean(snr_frame))
+        out[ch] = float(run_maybe_jitted(_fwsnrseg_channel, xb, xhb, wj))
     return out
