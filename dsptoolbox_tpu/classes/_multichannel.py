@@ -80,6 +80,15 @@ class MultichannelData(ABC):
     def get_channels(self, channels):
         """Copy with only the selected channels."""
         channels = np.atleast_1d(np.asarray(channels).squeeze())
+        n = self._data_shape()[1]
+        bad = channels[(channels < -n) | (channels >= n)]
+        if bad.size:
+            # jax gather clamps out-of-range indices silently; the reference
+            # indexes numpy and raises (tests/test_classes.py:155)
+            raise IndexError(
+                f"index {int(bad[0])} is out of bounds for axis 1 with "
+                f"size {n}"
+            )
         return self._create_copy_with_new_data(
             self._get_data()[:, jnp.asarray(channels)]
         )

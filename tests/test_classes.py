@@ -707,3 +707,24 @@ class TestClassesReviewRegressions:
         s.remove_channel(-2)
         want = np.delete(td, -2, axis=1)
         np.testing.assert_allclose(s.time_data, want, rtol=1e-6)
+
+    def test_get_channels_out_of_range_raises_index_error(self):
+        # jax gather clamps out-of-range indices silently; the reference
+        # indexes numpy and raises IndexError
+        # (reference tests/test_classes.py:155)
+        import pytest
+
+        import dsptoolbox_tpu as dsp
+
+        rng = np.random.default_rng(26)
+        td = rng.standard_normal((128, 2))
+        td = td / np.abs(td).max() * 0.5
+        s = dsp.Signal.from_time_data(td, 48000)
+        with pytest.raises(IndexError):
+            s.get_channels(12)
+        with pytest.raises(IndexError):
+            s.get_channels([0, -3])
+        # valid negative index still works (numpy semantics)
+        np.testing.assert_allclose(
+            s.get_channels(-1).time_data[:, 0], td[:, 1], rtol=1e-6
+        )
