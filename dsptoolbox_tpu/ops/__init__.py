@@ -12,11 +12,23 @@ from .framing import (
     reconstruct_framed_signal,
     window_envelope,
 )
+from .differentiable import (
+    biquad_coefficients_diff,
+    fit_sos_to_magnitude,
+    sosfilt_diff,
+    sosfreqz_diff,
+    sosfreqz_host,
+)
 from .pad_trim import pad_trim_axis
 from .spectral import csm_from_spectrum, csm_welch, stft, welch
 from .windows import check_cola, get_window
 
 __all__ = [
+    "biquad_coefficients_diff",
+    "fit_sos_to_magnitude",
+    "sosfilt_diff",
+    "sosfreqz_diff",
+    "sosfreqz_host",
     "compute_number_frames",
     "frame_signal",
     "overlap_add",
