@@ -143,6 +143,18 @@ def main():
     step_fn = jax.jit(step)
     chk = jnp.zeros((), jnp.float32)
 
+    # XLA's own cost model for the compiled step: flops + bytes accessed,
+    # the basis for the MFU / HBM-utilization fields below.
+    flops = bytes_accessed = 0.0
+    try:
+        ca = step_fn.lower(x, exc, reg, chk).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        bytes_accessed = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+
     # warmup/compile + full host sync
     x_cur, chk = step_fn(x, exc, reg, chk)
     _ = float(chk)
@@ -163,6 +175,11 @@ def main():
     audio_seconds = batch * seconds_per_signal
     realtime_factor = audio_seconds / dt
 
+    # MFU vs the v5e bf16 MXU peak (197 TFLOP/s); this pipeline is
+    # FFT/bandwidth-dominated, so HBM utilization is the binding ceiling —
+    # report both (see tools/profile.py for the per-kernel breakdown).
+    peak_bf16 = 197e12
+    peak_hbm = 819e9
     print(
         json.dumps(
             {
@@ -170,6 +187,15 @@ def main():
                 "value": round(realtime_factor, 1),
                 "unit": "x realtime per chip (fp32, 48kHz)",
                 "vs_baseline": round(realtime_factor / 1000.0, 3),
+                "mfu": round(flops / dt / peak_bf16, 5) if flops else None,
+                "achieved_tflops": (
+                    round(flops / dt / 1e12, 3) if flops else None
+                ),
+                "hbm_utilization": (
+                    round(bytes_accessed / dt / peak_hbm, 4)
+                    if bytes_accessed
+                    else None
+                ),
             }
         )
     )

@@ -222,7 +222,6 @@ def sosfilt_diff(sos: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         raise ValueError(f"sos must be (S, 6), got {sos.shape}")
     a0 = sos[:, 3:4]
     sos = sos / a0
-    T = x.shape[-1]
     y = x
     for s_idx in range(sos.shape[0]):
         b, a = sos[s_idx, :3], sos[s_idx, 3:]
@@ -234,7 +233,7 @@ def sosfilt_diff(sos: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
             [jnp.zeros_like(s[:1, ..., 0]), s[:-1, ..., 0]], axis=0
         )
         y = jnp.moveaxis(b0 * xt + s0_shifted, 0, -1)
-    return y[..., :T]
+    return y
 
 
 def fit_sos_to_magnitude(
@@ -250,14 +249,17 @@ def fit_sos_to_magnitude(
 
     ``make_sos(params) -> (S, 6)`` is a user-supplied traced designer (e.g.
     stacked `biquad_coefficients_diff` rows). Runs Adam entirely on device
-    inside one jitted `lax.scan`; returns ``(params, loss_history)``.
+    as one jitted program (the whole `lax.scan` optimization loop compiles
+    once per call-site closure); returns ``(params, loss_history)``.
     """
     target = jnp.asarray(target_mag_db, jnp.float32)
     freqs = jnp.asarray(freqs_hz, jnp.float32)
 
     def loss_fn(params):
         H = sosfreqz_diff(make_sos(params), freqs, fs_hz)
-        mag_db = 20.0 * jnp.log10(jnp.abs(H) + 1e-12)
+        # |H|^2 + eps inside the log keeps the VJP finite when the response
+        # grid hits a true zero (grad of abs() is NaN at 0).
+        mag_db = 10.0 * jnp.log10(H.real**2 + H.imag**2 + 1e-24)
         return jnp.mean((mag_db - target) ** 2)
 
     grad_fn = jax.value_and_grad(loss_fn)
@@ -274,9 +276,14 @@ def fit_sos_to_magnitude(
         return (params, m, v), loss
 
     p0 = jnp.asarray(params0, jnp.float32)
-    (params, _, _), losses = jax.lax.scan(
-        step,
-        (p0, jnp.zeros_like(p0), jnp.zeros_like(p0)),
-        jnp.arange(steps, dtype=jnp.float32),
-    )
+
+    @jax.jit
+    def _run(p0):
+        return jax.lax.scan(
+            step,
+            (p0, jnp.zeros_like(p0), jnp.zeros_like(p0)),
+            jnp.arange(steps, dtype=jnp.float32),
+        )
+
+    (params, _, _), losses = _run(p0)
     return params, losses
