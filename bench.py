@@ -177,7 +177,7 @@ def main():
 
     # MFU vs the v5e bf16 MXU peak (197 TFLOP/s); this pipeline is
     # FFT/bandwidth-dominated, so HBM utilization is the binding ceiling —
-    # report both (see tools/profile.py for the per-kernel breakdown).
+    # report both (see tools/profiler.py for the per-kernel breakdown).
     peak_bf16 = 197e12
     peak_hbm = 819e9
     print(

@@ -893,11 +893,36 @@ class BeamformerMVDR(BeamformerGridded):
         center_frequency_hz: float,
         octave_fraction: int = 3,
         gamma: float = 10,
+        solve_on_device: bool = True,
     ) -> np.ndarray:
+        """MVDR map. The default path runs fully on the device: per-bin
+        diagonal equilibration + diagonal loading + Cholesky + triangular
+        solve + quadratic form in one jitted program (the CSM never
+        visits the host).
+
+        ``gamma`` is the diagonal-loading level in dB below each mic's
+        auto-power: the solved matrix is ``C + 10^(-gamma/10)·diag(C)``
+        (robust-Capon loading). The reference accepts ``gamma`` but never
+        uses it and inverts the raw CSM in float64
+        (`beamforming.py:1242,1299`) — measured Welch CSMs of coherent
+        scenes are rank-deficient (cond ~1e9+), so that inverse is
+        numerically arbitrary; the loaded solve is the well-posed form.
+        ``solve_on_device=False`` reproduces the reference exactly
+        (unloaded host f64 inverse + device quadratic form).
+        """
+        if solve_on_device:
+            f, map = self._map_device_loaded(
+                center_frequency_hz, octave_fraction, gamma
+            )
+            if len(f) > 1:
+                map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
+            else:
+                map = map.squeeze(1)
+            self.map = self.grid.reconstruct_map_shape(map)
+            return self.map.copy()
         f, csm = self._csm_slice(center_frequency_hz, octave_fraction)
         wave_numbers = f * np.pi * 2 / self.c
-        # The CSM of a coherent scene is near-singular: its inverse is
-        # meaningless in fp32 (NaN maps). Invert host-side in f64 like the
+        # Reference-exact path: invert host-side in f64 like the
         # reference (`beamforming.py:1290-1298`). The quadratic form
         # h^H C^-1 h is then safe on the device in fp32: C^-1 is Hermitian
         # PSD, so the form is a sum of POSITIVE eigen-contributions — no
@@ -927,6 +952,67 @@ class BeamformerMVDR(BeamformerGridded):
             map = map.squeeze()
         self.map = self.grid.reconstruct_map_shape(map)
         return self.map.copy()
+
+    def _map_device_loaded(
+        self,
+        center_frequency_hz: float,
+        octave_fraction: int,
+        gamma: float,
+    ):
+        """Per-bin MVDR map ``(f, map (G, F))`` via the fully on-device
+        loaded solve: with D = diag(C) and γ = 10^(-gamma/10), the solved
+        system is C + γ·D, equilibrated as D^½(C̃ + γI)D^½ where C̃ has
+        unit diagonal. The factorization is a batched LU with partial
+        pivoting — NOT Cholesky: the reference CSM convention stores the
+        element-wise *square root* of the cross-powers for amplitude
+        scalings (`_spectral_methods.py:171-172`), which is Hermitian but
+        indefinite (measured eigenvalues −12…+34 on the bench scene), so
+        no PD factorization exists. Equilibration + loading keeps the
+        fp32 solve within ~1e-5 of the f64 oracle on the loaded system.
+        One jitted program; only the (G, F) real map crosses to the
+        host."""
+        from .._config import run_jitted_complex
+
+        f_all, csm_re_dev, csm_im_dev = self.signal._get_csm_device()
+        id1, id2 = self._band_ids(
+            center_frequency_hz, octave_fraction, f_all
+        )
+        f = f_all[id1:id2]
+        wave_numbers = np.asarray(f * np.pi * 2 / self.c)
+        amp_dev, diff_dev = self._amp_diff_device()
+        gamma_rel = float(10.0 ** (-gamma / 10.0))
+        tiny = float(np.finfo(np.float32).tiny)
+
+        def _mvdr_core(ampj, diffj, kj, cre_full, cim_full):
+            C = cre_full[id1:id2] + 1j * cim_full[id1:id2]  # (F, M, M)
+            d = jnp.real(jnp.diagonal(C, axis1=-2, axis2=-1))  # (F, M)
+            s = jax.lax.rsqrt(jnp.maximum(d, tiny))
+            # two-step scaling: s⊗s overflows fp32 when a bin has zero
+            # energy (s ~ 1.8e19 → s² = inf → 0·inf = NaN); scaling C by
+            # each factor separately stays finite (|C_ij| ≤ √(d_i d_j))
+            Cn = (C * s[:, :, None]) * s[:, None, :]
+            eye = jnp.eye(Cn.shape[-1], dtype=Cn.dtype)
+            h = ampj[None, :, :] * jnp.exp(
+                -1j * (kj[:, None, None] * diffj[None, :, :])
+            )  # (F, M, G)
+            hs = h * s[:, :, None]
+            x = jnp.linalg.solve(Cn + gamma_rel * eye, hs)  # (F, M, G)
+            # h^H (C+γD)^-1 h = (D^-½h)^H (C̃+γI)^-1 (D^-½h); real part as
+            # the reference takes .real of the multi_dot
+            denom = jnp.real(jnp.sum(jnp.conj(hs) * x, axis=1))  # (F, G)
+            return (1.0 / denom).T  # (G, F)
+
+        map = np.array(
+            run_jitted_complex(
+                _mvdr_core,
+                amp_dev,
+                diff_dev,
+                wave_numbers,
+                csm_re_dev,
+                csm_im_dev,
+            )
+        )
+        return f, map
 
 
 class BeamformerDASTime(BaseBeamformer):

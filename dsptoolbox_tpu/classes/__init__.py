@@ -9,11 +9,13 @@ from .filter import Filter
 from .filterbank import FilterBank
 from .impulse_response import ImpulseResponse
 from .multibandsignal import MultiBandSignal
-from .signal import Signal
+from .signal import DeviceSpectralData, DeviceTimeData, Signal
 from .spectrum import Spectrum
 
 __all__ = [
     "Signal",
+    "DeviceSpectralData",
+    "DeviceTimeData",
     "ImpulseResponse",
     "MultiBandSignal",
     "Filter",

@@ -54,6 +54,48 @@ class DeviceTimeData(NamedTuple):
     peak: float | None = None
 
 
+class DeviceSpectralData(NamedTuple):
+    """Complex spectral matrix held on the device as a (real, imag) pair.
+
+    Returned by ``cwt``/``vqt``/``Signal.get_spectrogram`` with
+    ``return_device=True`` so device-side consumers (synchrosqueezing,
+    feature stacks, mel projections) never pay the host fetch — a full
+    (bins × T × C) complex scalogram is ~100 MB for a 4 s signal, ~20 s
+    over a ~15 MB/s tunneled link. The host-matrix API (the default,
+    reference parity: `transforms/transforms.py:687,812`) is unchanged.
+
+    The pair representation (not one complex array) exists because some
+    backends cannot transfer complex buffers across the host boundary at
+    all; composing happens host-side in :meth:`to_numpy`.
+    """
+
+    real: jnp.ndarray
+    imag: jnp.ndarray
+
+    @property
+    def shape(self) -> tuple:
+        return self.real.shape
+
+    @property
+    def dtype(self):
+        return jnp.result_type(self.real.dtype, 1j)
+
+    def complex_device(self) -> jnp.ndarray:
+        """Compose on device (inside jit-able code paths only on backends
+        with broken complex transfers)."""
+        return _dev_jit("compose_complex", lambda r, i: r + 1j * i)(
+            self.real, self.imag
+        )
+
+    def to_numpy(self) -> np.ndarray:
+        """Materialize to a host complex matrix (complex-transfer-safe)."""
+        return np.asarray(self.real) + 1j * np.asarray(self.imag)
+
+    def __array__(self, dtype=None):
+        out = self.to_numpy()
+        return out.astype(dtype) if dtype is not None else out
+
+
 # Cached device helpers for the setter fast path (module-level jits:
 # one compile per shape, not one per call).
 _DEV_JIT: dict = {}
@@ -807,8 +849,37 @@ class Signal(MultichannelData):
         self._cache["csm_dev"] = (self._spectrum_param_key(), f, re, im)
         return f.copy(), re, im
 
-    def get_spectrogram(self, force_computation: bool = False):
-        """(t, f, stft ``(F, n_frames, C)``) (`classes/signal.py:1009-1057`)."""
+    def get_spectrogram(
+        self,
+        force_computation: bool = False,
+        return_device: bool = False,
+    ):
+        """(t, f, stft ``(F, n_frames, C)``) (`classes/signal.py:1009-1057`).
+
+        ``return_device=True`` returns the complex STFT as a
+        :class:`DeviceSpectralData` (real/imag device pair) so downstream
+        device consumers skip the host fetch of the full matrix."""
+        if return_device:
+            re, im = self._get_complex_spectrogram_device()
+            p = self._spectrogram_parameters
+            overlap = int(
+                p["overlap_percent"] / 100 * p["window_length_samples"]
+                + 0.5
+            )
+            length_padded = self._time_data.shape[0] + (
+                2 * overlap if p["padding"] else 0
+            )
+            t = np.linspace(
+                0, length_padded / self.sampling_rate_hz, re.shape[1]
+            )
+            f = np.fft.rfftfreq(
+                (
+                    p["fft_length_samples"]
+                    or p["window_length_samples"]
+                ),
+                1 / self.sampling_rate_hz,
+            )
+            return t, f, DeviceSpectralData(re, im)
         if not force_computation and "spectrogram" in self._cache:
             t, f, S = self._cache["spectrogram"]
             return t.copy(), f.copy(), S.copy()
@@ -849,6 +920,46 @@ class Signal(MultichannelData):
                 _cache_leaf(t), _cache_leaf(f), _cache_leaf(S)
             )
         return t, f, S
+
+    def _get_complex_spectrogram_device(self):
+        """Complex STFT ``(F, n_frames, C)`` as a (real, imag) device-array
+        pair — never crosses the host boundary. Shares the spectrogram
+        parameter set with `get_spectrogram`."""
+        if self.activate_cache and "spectrogram_complex_dev" in self._cache:
+            return self._cache["spectrogram_complex_dev"]
+        p = self._spectrogram_parameters
+        from .._config import run_jitted_complex
+
+        fs_hz = self.sampling_rate_hz
+        wl = p["window_length_samples"]
+        wt = p["window_type"]
+        ol = p["overlap_percent"]
+        fl = p["fft_length_samples"]
+        det = p["detrend"]
+        pad = p["padding"]
+        scal = p["scaling"]
+
+        def _stft_pair(td):
+            _, _, S = stft(
+                td.T,
+                sampling_rate_hz=fs_hz,
+                window_length_samples=wl,
+                window_type=wt,
+                overlap_percent=ol,
+                fft_length_samples=fl,
+                detrend=det,
+                padding=pad,
+                scaling=scal,
+            )
+            S = jnp.transpose(S, (2, 1, 0))  # (F, frames, C)
+            return S.real, S.imag
+
+        re, im = run_jitted_complex(
+            _stft_pair, self._time_data, materialize=False
+        )
+        if self.activate_cache:
+            self._cache["spectrogram_complex_dev"] = (re, im)
+        return re, im
 
     def _get_power_spectrogram_device(self):
         """(t, f, |STFT|² device ``(F, n_frames, C)``) — the power
@@ -1254,7 +1365,10 @@ class Signal(MultichannelData):
         self.time_data = np.asarray(data)
 
     def _create_copy_with_new_data(self, data) -> "Signal":
-        return self.copy_with_new_time_data(np.asarray(data))
+        # Keep device arrays on the device: np.asarray here would be a
+        # synchronous host fetch + re-upload (~70 ms per get_channels on
+        # tunneled backends). copy_with_new_time_data handles both kinds.
+        return self.copy_with_new_time_data(data)
 
     def _update_state(self) -> None:
         self.__update_state()

@@ -387,23 +387,28 @@ class SpectralSubtractor(AudioEffect):
             mag = jnp.abs(spec)
             power = mag**sub_e
 
-            # adaptive noise PSD recursion over frames, batched over
-            # bins/channels
+            # Adaptive noise PSD recursion over frames. The recursion
+            #   noise[k] = below[k] ? ff·noise[k-1] + (1-ff)·mag[k]
+            #                       : noise[k-1]
+            # is a first-order affine map with coefficients known ahead of
+            # the scan: A[k] = below ? ff : 1, B[k] = below ? (1-ff)·mag : 0.
+            # Composed affine maps under `associative_scan` run in log
+            # depth (~9 levels for ~500 frames) instead of a ~500-step
+            # sequential scan — the former 25+ ms tail of this program.
             below = rms_db < thr  # (C, K)
+            below_f = below[:, :, None].astype(mag.dtype)  # (C, K, 1)
+            A = 1.0 - below_f * (1.0 - ff)  # (C, K, 1) broadcastable to F
+            B = below_f * (1.0 - ff) * mag  # (C, K, F)
 
-            def step(noise_psd, inp):
-                mag_k, below_k = inp  # (C, F), (C,)
-                updated = noise_psd * ff + mag_k * (1 - ff)
-                noise_psd = jnp.where(
-                    below_k[:, None], updated, noise_psd
-                )
-                return noise_psd, noise_psd
+            def compose(left, right):
+                a1, b1 = left
+                a2, b2 = right
+                return a1 * a2, a2 * b1 + b2
 
-            init = jnp.zeros((mag.shape[0], mag.shape[2]), mag.dtype)
-            _, noise_track = jax.lax.scan(
-                step, init, (jnp.moveaxis(mag, 1, 0), below.T)
-            )  # (K, C, F)
-            noise_track = jnp.moveaxis(noise_track, 0, 1)  # (C, K, F)
+            A_full = jnp.broadcast_to(A, mag.shape)
+            _, noise_track = jax.lax.associative_scan(
+                compose, (A_full, B), axis=1
+            )  # prefix B with zero init == the recursion's output (C, K, F)
             sub = jnp.clip(
                 power - sub_f * noise_track**sub_e,
                 min=0,

@@ -226,6 +226,48 @@ def indices_above_threshold_dbfs(
     )(jnp.asarray(time_vec))
 
 
+def indices_above_threshold_dbfs_packed(
+    time_vec: jnp.ndarray,
+    threshold_dbfs: float,
+    attack_smoothing_coeff: float,
+    release_smoothing_coeff: float,
+    normalize: bool = True,
+):
+    """Same mask as `indices_above_threshold_dbfs` but bit-packed on the
+    device into uint8 (np.unpackbits layout, big-endian bit order): the
+    host fetch shrinks 8x, which dominates `activity_detector` latency on
+    tunneled backends. Unpack with
+    ``np.unpackbits(np.asarray(out))[:T].astype(bool)``."""
+    from ..classes.signal import _dev_jit
+
+    def _packed(tv):
+        mask = _indices_above_threshold_core(
+            tv,
+            threshold_dbfs,
+            attack_smoothing_coeff,
+            release_smoothing_coeff,
+            normalize,
+        )
+        T = mask.shape[0]
+        pad = (-T) % 8
+        bits = jnp.concatenate(
+            [mask.astype(jnp.uint8), jnp.zeros(pad, jnp.uint8)]
+        ).reshape(-1, 8)
+        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+        return (bits * weights).sum(axis=1, dtype=jnp.uint8)
+
+    return _dev_jit(
+        (
+            "activity_mask_packed",
+            float(threshold_dbfs),
+            float(attack_smoothing_coeff),
+            float(release_smoothing_coeff),
+            bool(normalize),
+        ),
+        _packed,
+    )(jnp.asarray(time_vec))
+
+
 def _indices_above_threshold_core(
     time_vec: jnp.ndarray,
     threshold_dbfs: float,

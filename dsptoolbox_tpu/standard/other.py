@@ -15,7 +15,10 @@ from ..helpers.latency import analytic_signal
 from ..helpers.other import check_format_in_path
 from ..helpers.smoothing import get_smoothing_factor_ema
 from ..ops.fft_conv import fft_convolve
-from .backend import indices_above_threshold_dbfs
+from .backend import (
+    indices_above_threshold_dbfs,
+    indices_above_threshold_dbfs_packed,
+)
 from .enums import FilterBankMode, FilterCoefficientsType, InterpolationDomain, SpectrumType
 
 
@@ -58,22 +61,27 @@ def activity_detector(
     release_coeff = get_smoothing_factor_ema(
         release_time_ms / 1e3, signal.sampling_rate_hz
     )
-    signal_indices = np.asarray(
-        indices_above_threshold_dbfs(
-            jnp.asarray(signal_filtered.time_data[:, 0]),
-            threshold_dbfs=threshold_dbfs,
-            attack_smoothing_coeff=attack_coeff,
-            release_smoothing_coeff=release_coeff,
-            normalize=relative_to_peak,
-        )
+    # The mask is computed on device and fetched bit-packed (8x smaller);
+    # the compaction below runs on the host against the (cached) host
+    # copy of the time data — a boolean gather has data-dependent output
+    # shape, so it cannot stay in a device program anyway.
+    T = signal_filtered.length_samples
+    packed = indices_above_threshold_dbfs_packed(
+        signal_filtered.time_data_jax[:, 0],
+        threshold_dbfs=threshold_dbfs,
+        attack_smoothing_coeff=attack_coeff,
+        release_smoothing_coeff=release_coeff,
+        normalize=relative_to_peak,
     )
+    signal_indices = np.unpackbits(np.asarray(packed))[:T].astype(bool)
     noise_indices = ~signal_indices
     detected_sig = signal.copy()
     noise = signal.copy()
     detected_sig.clear_time_window()
     noise.clear_time_window()
+    td_host = signal.time_data  # single host fetch (cached when possible)
     if signal_indices.any():
-        detected_sig.time_data = signal.time_data[signal_indices, 0]
+        detected_sig.time_data = td_host[signal_indices, 0]
     else:
         warn(
             "No detected activity, threshold might be too high. Detected "
@@ -81,7 +89,7 @@ def activity_detector(
         )
         detected_sig.time_data = np.zeros(500)
     if noise_indices.any():
-        noise.time_data = signal.time_data[noise_indices, 0]
+        noise.time_data = td_host[noise_indices, 0]
     else:
         warn(
             "No detected noise, threshold might be too low. Noise will be "

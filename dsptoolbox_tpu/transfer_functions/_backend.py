@@ -444,14 +444,164 @@ def _complex_smoothing_operator(
     return W
 
 
+_BANDED_TR = 128  # rows per banded-kernel tile
+
+
+@lru_cache(maxsize=8)
+def _banded_smoothing_plan(
+    n_bins: int,
+    f_first: float,
+    delta_f: float,
+    octave_fraction: float,
+    window_key: tuple,
+):
+    """Segmented banded form of the smoothing operator: O(F·W) memory.
+
+    Same math as `_smoothing_row_window` / `_complex_smoothing_operator`,
+    built fully vectorized. Rows are tiled in blocks of ``_BANDED_TR``;
+    each block stores a dense ``(TR, SPAN)`` weight slab plus the global
+    column offset of its band start. Blocks are grouped into segments
+    with geometrically growing SPAN (band width grows ∝ frequency), so
+    total memory ≈ 1.3× the true band area instead of SPAN_max·F.
+
+    Returns a list of ``{rows, offsets (NB,), slab (NB, TR, SPAN)}``.
+    """
+    F = int(n_bins)
+    freqs = f_first + np.arange(F, dtype=np.float64) * delta_f
+    window_y = np.asarray(window_key, dtype=np.float64)
+    n_lut = len(window_y)
+    factor = 2.0 ** (1.0 / octave_fraction / 2.0)
+    i = np.arange(F, dtype=np.int64)
+    ind_low = i - np.trunc(
+        (freqs - freqs / factor) / delta_f + 0.5
+    ).astype(np.int64)
+    ind_high = (
+        i
+        + np.trunc((freqs * factor - freqs) / delta_f + 0.5).astype(
+            np.int64
+        )
+        + 1
+    )
+    eff_high = np.minimum(ind_high, F)
+    width = ind_high - ind_low
+    identity = (ind_low + 2) >= eff_high
+
+    # segment row ranges: geometric so per-segment SPAN tracks the local
+    # band width (a single global SPAN would cost SPAN_max·F memory)
+    bounds = [0]
+    nxt = 2048
+    while nxt < F:
+        bounds.append(nxt)
+        nxt *= 2
+    bounds.append(F)
+
+    a_log = np.log10(3.0)
+    lut_dx = 2.0 / (n_lut - 1)
+    segments = []
+    TR = _BANDED_TR
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        rows = s1 - s0
+        nb = -(-rows // TR)
+        rows_padded = nb * TR
+        r_idx = s0 + np.arange(rows_padded)
+        valid_row = r_idx < F
+        r_clip = np.minimum(r_idx, F - 1)
+        il = ind_low[r_clip]
+        eh = eff_high[r_clip]
+        wd = width[r_clip]
+        ident = identity[r_clip] | (~valid_row)
+        base = il.reshape(nb, TR).min(axis=1)  # (NB,)
+        span_raw = int(
+            (eh.reshape(nb, TR).max(axis=1) - base).max()
+        )
+        span = max(128, -(-span_raw // 128) * 128)
+        k = np.arange(span, dtype=np.int64)
+        base_r = np.repeat(base, TR)  # (rows_padded,)
+        col = base_r[:, None] + k[None, :]  # global column index
+        krel = col - il[:, None]
+        in_band = (krel >= 0) & (col < eh[:, None]) & (
+            krel < wd[:, None]
+        )
+        wm1 = np.where(wd > 1, wd - 1, 1).astype(np.float64)
+        # np.logspace(log10 3, 0, width)[krel] − 2, vectorized with the
+        # same start + k·step evaluation order as np.linspace
+        step = -a_log / wm1
+        val = a_log + krel * step[:, None]
+        pos = np.clip(10.0**val - 2.0, -1.0, 1.0)
+        u = (pos + 1.0) / lut_dx
+        iu = np.clip(np.floor(u).astype(np.int64), 0, n_lut - 2)
+        frac = u - iu
+        w = window_y[iu] * (1.0 - frac) + window_y[iu + 1] * frac
+        w = np.where(in_band, w, 0.0)
+        norm = w.sum(axis=1, keepdims=True)
+        w = w / np.where(norm == 0.0, 1.0, norm)
+        # identity rows (too-narrow bands): one-hot at the row's own bin
+        ident_col = r_clip - base_r
+        w[ident] = 0.0
+        w[ident, ident_col[ident]] = 1.0
+        segments.append(
+            {
+                "rows": rows,
+                "offsets": base.astype(np.int32),
+                "slab": w.reshape(nb, TR, span).astype(np.float32),
+            }
+        )
+    return segments
+
+
+def complex_smoothing_banded(
+    spectrum: jnp.ndarray,
+    frequency_vector: np.ndarray,
+    octave_fraction: float,
+    window_y: np.ndarray,
+) -> jnp.ndarray:
+    """O(F·W) banded smoothing on device (Pallas kernel on TPU, gathered
+    batched matmul elsewhere). Replaces both the dense operator for long
+    spectra and the former host fallback."""
+    from ..ops.pallas_banded import banded_apply
+
+    fv = np.asarray(frequency_vector, dtype=np.float64)
+    plan = _banded_smoothing_plan(
+        len(fv),
+        float(fv[0]),
+        float(fv[1] - fv[0]),
+        float(octave_fraction),
+        tuple(np.asarray(window_y).tolist()),
+    )
+    one_d = spectrum.ndim == 1
+    x = spectrum[:, None] if one_d else spectrum
+    is_c = jnp.iscomplexobj(x)
+    planes = (
+        jnp.concatenate([x.real, x.imag], axis=1) if is_c else x
+    ).astype(jnp.float32)
+    max_span = max(s["slab"].shape[2] for s in plan)
+    F, C = planes.shape
+    x_padded = jnp.pad(planes, ((0, max_span), (0, 0)))
+    outs = [
+        banded_apply(s["slab"], s["offsets"], x_padded)[: s["rows"]]
+        for s in plan
+    ]
+    out = jnp.concatenate(outs, axis=0)
+    if is_c:
+        out = out[:, : C // 2] + 1j * out[:, C // 2 :]
+    out = out.astype(spectrum.dtype)
+    return out[:, 0] if one_d else out
+
+
 def complex_smoothing_core(
     spectrum: jnp.ndarray,
     frequency_vector: np.ndarray,
     octave_fraction: float,
     window_y: np.ndarray,
 ) -> jnp.ndarray:
-    """Apply the static smoothing operator on device: one (F×F)@(F,C)
-    matmul. ``spectrum (F, C)`` complex or real; linear frequency grid."""
+    """Smoothing operator on device. Short spectra use one (F×F)@(F,C)
+    matmul (dense operator, cached); long spectra use the O(F·W) banded
+    path (`complex_smoothing_banded`). ``spectrum (F, C)`` complex or
+    real; linear frequency grid."""
+    if len(frequency_vector) > 4096:
+        return complex_smoothing_banded(
+            spectrum, frequency_vector, octave_fraction, window_y
+        )
     W = _complex_smoothing_operator(
         tuple(np.asarray(frequency_vector, dtype=np.float64).tolist()),
         float(octave_fraction),

@@ -1174,26 +1174,19 @@ def complex_smoothing(
     window: Window = Window.Hann,
 ) -> Spectrum:
     """Complex smoothing in the selected domain
-    (`transfer_functions.py:1788-1876`; numba kernel #1 → static banded
-    operator matmul, see `_backend.complex_smoothing_core`)."""
+    (`transfer_functions.py:1788-1876`; numba kernel #1 → device kernels:
+    a cached dense-operator matmul for short spectra, the O(F·W) Pallas
+    banded kernel for long ones — see `_backend.complex_smoothing_core`).
+    Everything runs in one jitted device program; there is no host
+    compute path."""
     assert octave_fraction > 0.0, "Octave fraction must be greater than 0"
     f, sp_host = ir.get_spectrum()
     window_values = window(3000, True)
 
-    # long spectra: the dense (F, F) operator would not fit (memory /
-    # compile payload); use the O(F·W) host kernel — identical math
-    use_host = len(f) > 4096
-
     def _smooth_all(sp):
-        # xp: numpy on the host path (no eager complex device buffers),
-        # jax.numpy inside the jitted program otherwise
-        xp = np if use_host else jnp
+        xp = jnp
 
         def smooth(x):
-            if use_host:
-                return bk.complex_smoothing_host(
-                    x, f, octave_fraction, window_values
-                )
             return bk.complex_smoothing_core(
                 x, f, octave_fraction, window_values
             )
@@ -1225,10 +1218,5 @@ def complex_smoothing(
 
     from .._config import run_jitted_complex, to_host
 
-    if use_host:
-        # pure numpy path (jnp.* functions accept/return numpy here via
-        # the host kernel; the surrounding trig ops run eagerly on host)
-        out = _smooth_all(to_host(sp_host))
-    else:
-        out = run_jitted_complex(_smooth_all, to_host(sp_host))
+    out = run_jitted_complex(_smooth_all, to_host(sp_host))
     return Spectrum(f, np.asarray(out))

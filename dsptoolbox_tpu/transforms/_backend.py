@@ -116,8 +116,28 @@ def squeeze_scalogram(
 ) -> np.ndarray:
     """Synchrosqueezing via phase-transform reassignment
     (`_transforms.py:227-301`). The per-(f,t,ch) Python loop becomes a
-    one-hot scatter over frequency bins on device."""
-    sc = jnp.asarray(scalogram)  # (F, T, C) complex
+    one-hot scatter over frequency bins, run as ONE jitted device
+    program (eagerly this was ~20 dispatch round trips)."""
+    from .._config import run_jitted_complex
+
+    freqs = np.asarray(freqs)
+    return run_jitted_complex(
+        lambda sc: _squeeze_core(
+            sc, freqs, fs, delta_w, apply_frequency_normalization
+        ),
+        scalogram,
+    )
+
+
+def _squeeze_core(
+    sc: jnp.ndarray,
+    freqs: np.ndarray,
+    fs: int,
+    delta_w: float = 0.05,
+    apply_frequency_normalization: bool = False,
+) -> jnp.ndarray:
+    """Traceable synchrosqueezing body: complex scalogram ``(F, T, C)`` →
+    complex synchrosqueezed matrix, all inside the caller's trace."""
     scalpow = jnp.abs(sc) ** 2
     valid = scalpow > 1e-40
 
@@ -156,7 +176,7 @@ def squeeze_scalogram(
     cc = jnp.arange(C)[None, None, :]
     sync = jnp.zeros((len(freqs), Tn, C), contrib.dtype)
     sync = sync.at[ind, tt, cc].add(contrib)
-    return np.asarray(sync)
+    return sync
 
 
 def get_kernels_vqt(

