@@ -679,7 +679,13 @@ class BeamformerDASFrequency(BeamformerGridded):
         center_frequency_hz: float,
         octave_fraction: int = 3,
         remove_csm_diagonal: bool = True,
+        mesh=None,
     ) -> np.ndarray:
+        if mesh is not None and mesh.devices.size > 1:
+            return self._get_beamformer_map_mesh(
+                center_frequency_hz, octave_fraction, remove_csm_diagonal,
+                mesh,
+            )
         # zero-copy path: the CSM stays on the device; the analysis-band
         # slice, diagonal removal and quadratic form all run in one
         # program. Fetching the ~1 MB band slice to host and re-uploading
@@ -719,6 +725,52 @@ class BeamformerDASFrequency(BeamformerGridded):
             csm_im_dev,
         )
         map = np.array(map_fg)
+        if remove_csm_diagonal:
+            map[map < 0] = 0
+        if len(f) > 1:
+            map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
+        else:
+            map = map.squeeze()
+        self.map = self.grid.reconstruct_map_shape(map)
+        return self.map.copy()
+
+    def _get_beamformer_map_mesh(
+        self, center_frequency_hz, octave_fraction, remove_csm_diagonal,
+        mesh,
+    ) -> np.ndarray:
+        """Grid-parallel DAS over a device mesh
+        (`parallel.ops.parallel_das_map`): grid points shard across the
+        mesh's first axis, each device builds the steering block for its
+        chunk in-program and evaluates its quadratic forms locally — the
+        analysis-band CSM slice is replicated (a few hundred kB), so no
+        collectives are needed. The grid is padded to a mesh-divisible
+        count with unit-amplitude/zero-delay points and trimmed back."""
+        f, csm = self._csm_slice(center_frequency_hz, octave_fraction)
+        wave_numbers = f * np.pi * 2 / self.c
+        if remove_csm_diagonal:
+            n_ch = self.signal.number_of_channels
+            off = 1.0 - np.eye(csm.shape[-1])
+            csm = csm * (n_ch / (n_ch - 1) * off)
+        amp, diff = self.st_vec.get_amp_diff(self.grid, self.mics)
+        amp = np.asarray(amp)
+        diff = np.asarray(diff)
+        G = amp.shape[1]
+        n = int(mesh.shape[mesh.axis_names[0]])
+        pad = (-G) % n
+        if pad:
+            amp = np.concatenate(
+                [amp, np.ones((amp.shape[0], pad), amp.dtype)], axis=1
+            )
+            diff = np.concatenate(
+                [diff, np.zeros((diff.shape[0], pad), diff.dtype)], axis=1
+            )
+        from ..parallel.ops import parallel_das_map
+
+        # np.array: device buffers come back read-only and the diagonal-
+        # removal clip below writes in place
+        map = np.array(
+            parallel_das_map(amp, diff, wave_numbers, csm, mesh)
+        )[:G]
         if remove_csm_diagonal:
             map[map < 0] = 0
         if len(f) > 1:

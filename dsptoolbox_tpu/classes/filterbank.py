@@ -43,8 +43,59 @@ def _sos_bank_or_none(filters: list) -> "np.ndarray | None":
     )
 
 
+def _banked_filter_apply_mesh(
+    signal: Signal, bank: "np.ndarray", summed: bool, mesh
+):
+    """Band-parallel bank application over a device mesh
+    (`parallel.ops.parallel_filterbank`): the band axis shards across the
+    mesh's first axis, each device runs the blocked-IIR kernel for its
+    bands. The bank is padded to a mesh-divisible band count with silent
+    (zero-numerator) sections — safe for both Parallel (trimmed) and
+    Summed (adds zero). Returns the same per-band triples contract as
+    `_banked_filter_apply`."""
+    from ..parallel.ops import parallel_filterbank
+
+    B = bank.shape[0]
+    n = int(mesh.shape[mesh.axis_names[0]])
+    pad = (-B) % n
+    if pad:
+        silent = np.zeros((pad, bank.shape[1], 6), bank.dtype)
+        silent[:, :, 3] = 1.0  # a0 = 1: valid sections, zero output
+        bank = np.concatenate([bank, silent], axis=0)
+
+    x = signal.time_data_jax.T  # (C, T)
+    y = parallel_filterbank(bank, x, mesh)[:B]  # (B, C, T), band-sharded
+    yt = jnp.swapaxes(y, -1, -2)  # (B, T, C)
+    need_peaks = bool(signal.constrain_amplitude)
+
+    def _peak(v):
+        if jnp.iscomplexobj(v):
+            return float(
+                jnp.maximum(
+                    jnp.max(jnp.abs(v.real)), jnp.max(jnp.abs(v.imag))
+                )
+            )
+        return float(jnp.max(jnp.abs(v)))
+
+    if summed:
+        ys = jnp.sum(yt, axis=0)  # (T, C)
+        peak = _peak(ys) if need_peaks else None
+        if jnp.iscomplexobj(ys):
+            return ys.real, ys.imag, peak
+        return ys, None, peak
+    triples = []
+    for b in range(B):
+        yb = yt[b]
+        peak = _peak(yb) if need_peaks else None
+        if jnp.iscomplexobj(yb):
+            triples.append((yb.real, yb.imag, peak))
+        else:
+            triples.append((yb, None, peak))
+    return triples
+
+
 def _banked_filter_apply(
-    signal: Signal, bank: "np.ndarray", summed: bool = False
+    signal: Signal, bank: "np.ndarray", summed: bool = False, mesh=None
 ):
     """All bands in ONE cached jitted program on the device: the 16-band
     gammatone (or N-way crossover) runs as a single band-batched blocked-IIR
@@ -58,6 +109,8 @@ def _banked_filter_apply(
     from .._config import run_jitted_complex
     from ..ops.iir_block import sosfilt_bank_apply, sosfilt_bank_operators
 
+    if mesh is not None and mesh.devices.size > 1:
+        return _banked_filter_apply_mesh(signal, bank, summed, mesh)
     x = signal.time_data_jax.T  # (C, T)
     ops = sosfilt_bank_operators(bank, x.shape[-1])
     # the peaks reduction is only consumed by the amplitude constraint; when
@@ -125,9 +178,15 @@ def filterbank_on_signal(
     activate_zi: bool = False,
     zero_phase: bool = False,
     same_sampling_rate: bool = True,
+    mesh=None,
 ):
     """Apply a list of filters in the selected mode
-    (`classes/filter_helpers.py:385-451`)."""
+    (`classes/filter_helpers.py:385-451`).
+
+    ``mesh``: optional `jax.sharding.Mesh` — when the bank is stackable
+    (all-SOS, no zi, no zero-phase) the band axis shards across the mesh
+    (`_banked_filter_apply_mesh`); otherwise the hint is ignored and the
+    single-device path runs."""
     from .filter_helpers import _replace_channels
 
     n_filt = len(filters)
@@ -141,7 +200,7 @@ def filterbank_on_signal(
         if bankable:
             bank = _sos_bank_or_none(filters)
             if bank is not None:
-                triples = _banked_filter_apply(signal, bank)
+                triples = _banked_filter_apply(signal, bank, mesh=mesh)
                 channels = np.arange(signal.number_of_channels)
                 from .signal import DeviceTimeData
 
@@ -176,7 +235,7 @@ def filterbank_on_signal(
             bank = _sos_bank_or_none(filters)
             if bank is not None:
                 re, im, peak = _banked_filter_apply(
-                    signal, bank, summed=True
+                    signal, bank, summed=True, mesh=mesh
                 )
                 from .signal import DeviceTimeData
 
@@ -347,9 +406,14 @@ class FilterBank:
         mode: FilterBankMode,
         activate_zi: bool = False,
         zero_phase: bool = False,
+        mesh=None,
     ):
         """Apply the bank (`classes/filterbank.py:396-478`): Parallel →
-        MultiBandSignal, Sequential/Summed → Signal."""
+        MultiBandSignal, Sequential/Summed → Signal.
+
+        ``mesh``: optional `jax.sharding.Mesh` for band-parallel execution
+        across devices (Parallel/Summed SOS banks without zi/zero-phase);
+        ignored where the bank cannot shard."""
         if isinstance(signal, MultiBandSignal):
             raise TypeError(
                 "This method only supports Signal objects. Use "
@@ -379,6 +443,7 @@ class FilterBank:
             activate_zi=activate_zi,
             zero_phase=zero_phase,
             same_sampling_rate=self.same_sampling_rate,
+            mesh=mesh,
         )
 
     def filter_multiband_signal(

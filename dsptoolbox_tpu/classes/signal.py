@@ -768,13 +768,22 @@ class Signal(MultichannelData):
 
         return _csm
 
-    def get_csm(self, force_computation=False):
+    def get_csm(self, force_computation=False, mesh=None):
         """(freqs, csm ``(F, C, C)``) — one batched einsum on device
-        (`classes/signal.py:948-1007`; kernel `ops/spectral.py`)."""
+        (`classes/signal.py:948-1007`; kernel `ops/spectral.py`).
+
+        ``mesh``: optional `jax.sharding.Mesh`. With more than one device,
+        the Welch CSM runs channel-parallel across the mesh's first axis
+        (row-parallel Gram matrix, `parallel.ops.parallel_csm`): each
+        device computes its channel block's windowed spectra locally,
+        `all_gather`s them over ICI, and forms its rows with one local
+        einsum. Multi-chip is a kwarg, not a rewrite."""
         assert self.number_of_channels > 1, (
             "Cross spectral matrix can only be computed when at least two "
             "channels are available"
         )
+        if mesh is not None and mesh.devices.size > 1:
+            return self._get_csm_mesh(mesh)
         if not force_computation and "csm" in self._cache:
             f, csm = self._cache["csm"]
             return f.copy(), csm.copy()
@@ -814,6 +823,44 @@ class Signal(MultichannelData):
         if self.activate_cache:
             self._cache["csm"] = (_cache_leaf(f), _cache_leaf(csm))
         return f, csm
+
+    def _get_csm_mesh(self, mesh):
+        """Channel-parallel Welch CSM over a device mesh. The channel axis
+        is zero-padded to a mesh-divisible count (zero channels produce
+        zero CSM rows/columns) and the result is trimmed back. Bypasses
+        the host cache — callers opting into mesh execution recompute.
+        Mean averaging only (median needs the global frame population)."""
+        p = self._spectrum_parameters
+        assert (
+            self.spectrum_method == SpectrumMethod.WelchPeriodogram
+        ), "mesh-parallel CSM is only available for the Welch method"
+        assert str(p["average"]).lower().endswith("mean"), (
+            "mesh-parallel CSM supports mean averaging only (median needs "
+            "every frame on every device)"
+        )
+        from ..parallel.ops import parallel_csm
+
+        n = int(mesh.shape[mesh.axis_names[0]])
+        x = self._time_data.T  # (C, T), device-resident
+        pad = (-x.shape[0]) % n
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0
+            )
+        f, csm = parallel_csm(
+            x,
+            mesh,
+            sampling_rate_hz=self.sampling_rate_hz,
+            window_length_samples=p["window_length_samples"],
+            window_type=p["window_type"],
+            overlap_percent=p["overlap_percent"],
+            detrend=p["detrend"],
+            scaling=p["scaling"],
+        )
+        from .._config import to_host
+
+        C = self.number_of_channels
+        return f, to_host(csm)[:, :C, :C]
 
     def _get_csm_device(self):
         """Device-resident CSM: ``(freqs, real (F,C,C), imag (F,C,C))``

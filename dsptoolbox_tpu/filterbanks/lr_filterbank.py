@@ -163,9 +163,15 @@ class LRFilterBank:
         mode: FilterBankMode = FilterBankMode.Parallel,
         activate_zi: bool = False,
         zero_phase: bool = False,
+        mesh=None,
     ):
         """Split into bands with allpass corrections
-        (`_filterbank.py:222-320`). Channels run batched on device."""
+        (`_filterbank.py:222-320`). Channels run batched on device.
+
+        ``mesh`` is accepted for API uniformity with `FilterBank` but
+        ignored: the LR crossover tree is sequential across stages (each
+        band is the previous stage's output), so the band axis cannot
+        shard."""
         if mode == FilterBankMode.Sequential:
             warn(
                 "sequential mode is not supported for this filter bank. "

@@ -23,7 +23,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8: check_rep became check_vma
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map(
+            f,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops.spectral import welch as _welch
 from ..ops.windows import get_window
@@ -66,7 +78,7 @@ def parallel_welch(
     return jax.jit(fn, in_shardings=sharding)(jax.device_put(x, sharding))
 
 
-def _windowed_spectra(xl, window, step, norm):
+def _windowed_spectra(xl, window, step, norm, detrend=True):
     """Local windowed FFT frames (C_local, K, F). Same frame pipeline as
     the single-device path (`ops/spectral.py:_windowed_frames`): window
     first, then per-frame mean removal."""
@@ -74,7 +86,8 @@ def _windowed_spectra(xl, window, step, norm):
 
     frames = frame_signal(xl, len(window), step, True)
     frames = frames * jnp.asarray(window, frames.dtype)
-    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if detrend:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
     return jnp.fft.rfft(frames, axis=-1, norm=norm)
 
 
@@ -86,6 +99,7 @@ def parallel_csm(
     window_length_samples: int = 1024,
     window_type: Window = Window.Hann,
     overlap_percent: float = 50.0,
+    detrend: bool = True,
     scaling: SpectrumScaling = SpectrumScaling.PowerSpectralDensity,
 ) -> tuple[np.ndarray, jnp.ndarray]:
     """Cross-spectral matrix of ``x (C, T)``, rows sharded over the mesh.
@@ -107,7 +121,9 @@ def parallel_csm(
     norm = scaling.fft_norm()
 
     def local(xl):
-        Xl = _windowed_spectra(xl, window, step, norm)  # (C/n, K, F)
+        Xl = _windowed_spectra(
+            xl, window, step, norm, detrend
+        )  # (C/n, K, F)
         X_all = jax.lax.all_gather(
             Xl, axis, axis=0, tiled=True
         )  # (C, K, F)
@@ -134,6 +150,15 @@ def parallel_csm(
     csm = jax.jit(fn, in_shardings=in_sharding)(
         jax.device_put(x, in_sharding)
     )
+    # finish exactly like the single-device kernel
+    # (ops/spectral.py:csm_welch tail): exact-real diagonal, physical
+    # scaling + halved edge bins, per-pair sqrt for amplitude scalings,
+    # then the reference-order Hermitian assembly — GSPMD keeps these
+    # elementwise/transpose ops on the sharded array
+    from ..ops.spectral import _assemble_csm_reference_order
+
+    eye = jnp.eye(csm.shape[-1])
+    csm = csm * (1 - eye) + jnp.real(csm) * eye
     if scaling.has_physical_units():
         factor = scaling.get_scaling_factor(
             window_length_samples, sampling_rate_hz, window
@@ -141,12 +166,11 @@ def parallel_csm(
         edge = np.ones(csm.shape[0])
         edge[0] = edge[-1] = 0.5
         csm = csm * factor * jnp.asarray(edge)[:, None, None]
-    # per-pair sqrt for amplitude scalings, like csm_welch (the returned
-    # convention stays the plain Hermitian Gram matrix — see docstring)
     if scaling.is_amplitude_scaling():
         csm = jnp.sqrt(
             csm.astype(jnp.result_type(csm.dtype, jnp.complex64))
         )
+    csm = _assemble_csm_reference_order(csm)
     f = np.fft.rfftfreq(window_length_samples, 1 / sampling_rate_hz)
     return f, csm
 

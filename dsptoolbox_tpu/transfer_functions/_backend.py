@@ -800,10 +800,19 @@ def _find_index_above_noise_floor(
 def frequency_vector_with_frequency_resolution(
     delta_f_hz: float, sampling_rate_hz: int
 ):
-    """(f_vec, delta_f, time_length) for a requested frequency resolution."""
-    length_time_data = int(sampling_rate_hz / delta_f_hz + 0.5)
-    f_vec = np.fft.rfftfreq(length_time_data, 1 / sampling_rate_hz)
-    return f_vec, f_vec[1] - f_vec[0], length_time_data
+    """(f_vec, delta_f, time_length) for a requested frequency resolution.
+
+    Matches `_transfer_functions.py:574-606`: an odd-length linspace whose
+    last point is EXACTLY Nyquist — an rfftfreq-based vector can overshoot
+    Nyquist by one ulp, which a downstream interpolator with zero-pad edge
+    handling turns into a zeroed Nyquist bin (one wrong bin spreads
+    ~|H(Nyq)|/F error over the whole irfft)."""
+    nyquist_hz = sampling_rate_hz / 2.0
+    length_f_vec = int(nyquist_hz / delta_f_hz + 0.5)
+    if length_f_vec % 2 == 0:
+        length_f_vec += 1
+    f_vec = np.linspace(0.0, nyquist_hz, length_f_vec, endpoint=True)
+    return f_vec, f_vec[1], (length_f_vec - 1) * 2
 
 
 def complex_smoothing_host(

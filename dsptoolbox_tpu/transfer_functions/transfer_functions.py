@@ -596,19 +596,23 @@ def lin_phase_from_mag(
             np.ones(spectrum.number_of_channels) * group_delay_s
         )
 
-    phase = correct_for_real_phase_spectrum(
-        jnp.asarray(
-            -2 * np.pi * f_vec[:, None] * group_delay_to_use_s[None, :]
+    from .._config import run_jitted_complex
+
+    raw_phase = -2 * np.pi * f_vec[:, None] * group_delay_to_use_s[None, :]
+    target_length = int(
+        2 * max(group_delay_to_use_s) * sampling_rate_hz + 0.5
+    )
+
+    def _linphase_ir(mag_in, phase_in):
+        # one program: the complex spectrum never exists eagerly (backends
+        # with broken complex transfer cannot materialize it)
+        phase = correct_for_real_phase_spectrum(phase_in)
+        td = jnp.fft.irfft(
+            mag_in * jnp.exp(1j * phase), axis=0, n=original_length
         )
-    )
-    time_data = jnp.fft.irfft(
-        mag * jnp.exp(1j * phase), axis=0, n=original_length
-    )
-    time_data = pad_trim_axis(
-        time_data,
-        int(2 * max(group_delay_to_use_s) * sampling_rate_hz + 0.5),
-        axis=0,
-    )
+        return pad_trim_axis(td, target_length, axis=0)
+
+    time_data = run_jitted_complex(_linphase_ir, mag, raw_phase)
     return ImpulseResponse.from_time_data(
         np.asarray(time_data), sampling_rate_hz
     )

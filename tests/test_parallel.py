@@ -72,25 +72,11 @@ class TestParallelCSM:
             scaling=SpectrumScaling.PowerSpectralDensity,
         )
         np.testing.assert_allclose(f_p, f_s)
-        got = np.asarray(csm_p)
-        want = np.asarray(csm_s)
-        # the sharded path returns the plain Hermitian Gram matrix; the
-        # single-device path mirrors the reference's one-sided packing
-        # (upper triangle conjugated) — compare against the raw Gram rows
-        # via its lower triangle + real diagonal
-        C = got.shape[1]
-        il = np.tril_indices(C, -1)
-        # the parallel path returns the plain Gram convention
-        # G[a,b] = E[conj(X_a) X_b]; the reference packs the conjugate in
-        # the lower triangle, hence the conj() here
+        # the sharded path now finishes with the same exact-real diagonal
+        # + reference-order Hermitian assembly as the single-device kernel,
+        # so the matrices compare directly
         np.testing.assert_allclose(
-            got[:, il[0], il[1]], np.conj(want[:, il[0], il[1]]),
-            rtol=2e-3, atol=1e-10,
-        )
-        np.testing.assert_allclose(
-            np.real(got[:, np.arange(C), np.arange(C)]),
-            np.real(want[:, np.arange(C), np.arange(C)]),
-            rtol=2e-3, atol=1e-10,
+            np.asarray(csm_p), np.asarray(csm_s), rtol=2e-3, atol=1e-8
         )
 
 

@@ -170,14 +170,14 @@ class TestPhaseTools:
         rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
         f_m, gd_m = tf.minimum_group_delay(rir_m)
         f_r, gd_r = _ref_tf(ref).minimum_group_delay(rir_r)
-        close(gd_m, gd_r, 1e-3, "min gd")
+        close(gd_m, gd_r, 1e-5, "min gd")
 
     def test_minimum_phase(self, ref, close):
         rir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
         rir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
         f_m, ph_m = tf.minimum_phase(rir_m)
         f_r, ph_r = _ref_tf(ref).minimum_phase(rir_r)
-        close(ph_m, ph_r, 1e-3, "min phase")
+        close(ph_m, ph_r, 1e-5, "min phase")
 
     def test_min_phase_from_mag(self, ref, close):
         f = np.linspace(0, 4000, 257)
@@ -186,7 +186,7 @@ class TestPhaseTools:
         r = _ref_tf(ref).min_phase_from_mag(
             ref.Spectrum(f, mag.copy()), 8000, 512
         )
-        close(m.time_data, r.time_data, 1e-3, "min_phase_from_mag")
+        close(m.time_data, r.time_data, 1e-6, "min_phase_from_mag")
 
     def test_lin_phase_from_mag(self, ref, close):
         f = np.linspace(0, 4000, 257)
@@ -199,9 +199,11 @@ class TestPhaseTools:
             ref.Spectrum(f, mag.copy()), 8000, group_delay_ms=20,
             check_causality=False,
         )
-        # tolerance reflects fp32 interpolation of an (adversarial) white
-        # random magnitude onto the dense design grid
-        close(m.time_data, r.time_data, 1e-2, "lin_phase_from_mag")
+        # measured 8e-6: fp32 interpolation of an (adversarial) white
+        # random magnitude onto the dense design grid. Was 1e-2 before the
+        # design grid pinned Nyquist exactly (an ulp overshoot zeroed the
+        # Nyquist bin through the interpolator's zero-pad edge handling)
+        close(m.time_data, r.time_data, 5e-5, "lin_phase_from_mag")
 
 
 class TestIRTools:
