@@ -245,7 +245,7 @@ def run_maybe_jitted(fn, *args):
     return run_jitted_complex(fn, *args, materialize=False)
 
 
-def run_jitted_complex(fn, *args, materialize: bool = True):
+def run_jitted_complex(fn, *args, materialize: bool = True, key=None):
     """Run ``fn(*args)`` as one jitted program whose complex results are
     returned to the host safely.
 
@@ -286,17 +286,23 @@ def run_jitted_complex(fn, *args, materialize: bool = True):
             split_args.append(a_np)
             spec.append(False)
 
-    try:
-        key = (
-            _freeze_function(fn),
-            tuple(spec),
-            tuple(
-                (a.shape, str(a.dtype)) for a in split_args
-            ),
-            broken,
-        )
-    except (_Unfreezable, RecursionError):
-        key = None
+    shapes = tuple((a.shape, str(a.dtype)) for a in split_args)
+    if key is not None:
+        # caller-supplied program identity: skips the closure freezer
+        # (walking/hashing captured values costs ~0.5 ms per call on hot
+        # library paths). The caller must include every value the traced
+        # program depends on; arg shapes/dtypes are appended here.
+        key = ("explicit", key, tuple(spec), shapes, broken)
+    else:
+        try:
+            key = (
+                _freeze_function(fn),
+                tuple(spec),
+                shapes,
+                broken,
+            )
+        except (_Unfreezable, RecursionError):
+            key = None
 
     entry = _rjc_cache_get(key) if key is not None else None
     if entry is None:

@@ -13,7 +13,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.fft_conv import fft_convolve
-from ..ops.iir import filtfilt_ba, lfilter, sosfilt, sosfiltfilt
+from ..ops.iir import (
+    filtfilt_ba,
+    lfilter,
+    sosfilt,
+    sosfilt_zero_state,
+    sosfiltfilt,
+)
 from ..standard.enums import BiquadEqType
 
 
@@ -259,7 +265,7 @@ def filter_on_signal(
         elif zero_phase:
             y = run_maybe_jitted(lambda xv: sosfiltfilt(sos, xv), x)
         else:
-            y = run_maybe_jitted(lambda xv: sosfilt(sos, xv)[0], x)
+            y = run_maybe_jitted(lambda xv: sosfilt_zero_state(sos, xv), x)
     new_signal = _replace_channels(
         signal, y.T, channels, warning_on_complex_output
     )

@@ -18,16 +18,29 @@ from .multibandsignal import MultiBandSignal
 from .signal import Signal
 
 
+_BANK_STACK_CACHE: dict = {}
+
+
 def _sos_bank_or_none(filters: list) -> "np.ndarray | None":
     """Stacked ``(B, S_max, 6)`` cascade bank when every filter is SOS and
     the bank is dtype-homogeneous (all real or all complex, so no band is
     silently promoted); shorter cascades are padded with exact identity
-    sections. ``None`` when the bank cannot be stacked."""
+    sections. ``None`` when the bank cannot be stacked.
+
+    Memoized on the identity of the member ``sos`` arrays (replaced, never
+    mutated, by the Filter API): restacking a 17-band gammatone cost
+    ~0.3 ms per filter call. Use `_bank_hash` for a content token."""
     if not filters or not all(
         getattr(f, "has_sos", False) for f in filters
     ):
         return None
     sos_list = [np.asarray(f.sos) for f in filters]
+    token = tuple(id(s) for s in sos_list)
+    hit = _BANK_STACK_CACHE.get(token)
+    if hit is not None and all(
+        a is b for a, b in zip(hit[0], sos_list)
+    ):
+        return hit[1]
     flags = [np.iscomplexobj(s) for s in sos_list]
     if any(flags) and not all(flags):
         return None
@@ -35,12 +48,26 @@ def _sos_bank_or_none(filters: list) -> "np.ndarray | None":
     if flags[0]:
         identity = identity.astype(np.complex128)
     max_s = max(s.shape[0] for s in sos_list)
-    return np.stack(
+    bank = np.stack(
         [
             np.vstack([s] + [identity[None]] * (max_s - s.shape[0]))
             for s in sos_list
         ]
     )
+    h = hash(bank.tobytes())
+    if len(_BANK_STACK_CACHE) > 64:
+        _BANK_STACK_CACHE.clear()
+    _BANK_STACK_CACHE[token] = (sos_list, bank, h)
+    return bank
+
+
+def _bank_hash(bank: np.ndarray) -> int:
+    """Content token for a stacked bank; hits the stack cache when the
+    bank came from `_sos_bank_or_none`."""
+    for refs, cached, h in _BANK_STACK_CACHE.values():
+        if cached is bank:
+            return h
+    return hash(bank.tobytes())
 
 
 def _banked_filter_apply_mesh(
@@ -112,7 +139,29 @@ def _banked_filter_apply(
     if mesh is not None and mesh.devices.size > 1:
         return _banked_filter_apply_mesh(signal, bank, summed, mesh)
     x = signal.time_data_jax.T  # (C, T)
-    ops = sosfilt_bank_operators(bank, x.shape[-1])
+
+    # Zero-state bank application dispatch: long signals route to exact
+    # frequency sampling (one shared FFT + band-batched multiply + iFFT,
+    # `ops.iir_freq`) — bandwidth-bound instead of a sequential block
+    # chain. Short signals or unusable pole margins use the blocked MXU
+    # path. Crossover measured on TPU v5e (BASELINE.md).
+    T = x.shape[-1]
+    freq_nfft = None
+    if T >= 4096:
+        from ..ops.iir_freq import decay_margin, plan_nfft
+
+        margins = [decay_margin(bank[b]) for b in range(bank.shape[0])]
+        if all(m is not None for m in margins):
+            from ..ops.fft_conv import next_fast_len
+
+            nfft = int(next_fast_len(T + max(margins), real=True))
+            if nfft <= 4 * T:
+                freq_nfft = nfft
+    ops = (
+        None
+        if freq_nfft is not None
+        else sosfilt_bank_operators(bank, x.shape[-1])
+    )
     # the peaks reduction is only consumed by the amplitude constraint; when
     # the signal does not constrain, skip it — fetching the (B,) peaks array
     # is the ONLY host sync on this path, and dropping it lets successive
@@ -120,7 +169,12 @@ def _banked_filter_apply(
     need_peaks = bool(signal.constrain_amplitude)
 
     def fn(xv):
-        y = sosfilt_bank_apply(ops, xv)  # (B, C, T)
+        if freq_nfft is not None:
+            from ..ops.iir_freq import sosfilt_bank_freq
+
+            y = sosfilt_bank_freq(bank, xv, nfft=freq_nfft)  # (B, C, T)
+        else:
+            y = sosfilt_bank_apply(ops, xv)  # (B, C, T)
         if summed:
             y = jnp.sum(y, axis=0)  # (C, T)
             yt = y.T
@@ -159,7 +213,21 @@ def _banked_filter_apply(
         )
         return tuple((yt[b], None) for b in range(yt.shape[0])), peaks
 
-    pairs, peaks = run_jitted_complex(fn, x, materialize=False)
+    pairs, peaks = run_jitted_complex(
+        fn,
+        x,
+        materialize=False,
+        # explicit program identity (skips the closure freezer): the
+        # traced program depends on the bank content, the dispatch
+        # decision, and the output contract flags
+        key=(
+            "bank_apply",
+            _bank_hash(bank),
+            bool(summed),
+            bool(need_peaks),
+            freq_nfft,
+        ),
+    )
     if need_peaks:
         peaks = np.atleast_1d(np.asarray(peaks))
     if summed:

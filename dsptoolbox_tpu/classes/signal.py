@@ -1389,8 +1389,11 @@ class Signal(MultichannelData):
         )
         new_signal.calibrated_signal = self.calibrated_signal
         new_signal.activate_cache = self.activate_cache
-        new_signal._spectrum_parameters = deepcopy(self._spectrum_parameters)
-        new_signal._spectrogram_parameters = deepcopy(
+        # shallow copies: parameter values are scalars/enums/tuples (see
+        # set_spectrum_parameters), and deepcopy here was the single
+        # largest Python cost in filter-bank pipelines (~20 copies/call)
+        new_signal._spectrum_parameters = dict(self._spectrum_parameters)
+        new_signal._spectrogram_parameters = dict(
             self._spectrogram_parameters
         )
         return new_signal

@@ -246,8 +246,16 @@ def fw_snr_seg(
         W = X**gamma
         Xn = X / jnp.sum(X, axis=-1, keepdims=True)
         Xhn = Xh / jnp.sum(Xh, axis=-1, keepdims=True)
+        # log-domain form of the reference's log10(Xn^2/(Xn-Xhn+eps)^2)
+        # (`distances/_distances.py:177`): squaring the near-cancelling
+        # difference first underflows to exactly 0 in float32 (the
+        # reference runs in float64), turning single bins into +inf and
+        # clipping whole frames to the SNR ceiling
         snr_jm = jnp.sum(
-            jnp.log10(Xn**2 / (Xn - Xhn + eps) ** 2) * W, axis=0
+            2.0
+            * (jnp.log10(Xn + eps) - jnp.log10(jnp.abs(Xn - Xhn) + eps))
+            * W,
+            axis=0,
         )  # (K, F)
         weights = jnp.sum(W, axis=0)
         snr_frame = jnp.mean(10 * snr_jm / weights, axis=-1)  # (K,)

@@ -283,7 +283,52 @@ class LRFilterBank:
 
         else:
 
+            def _freq_nfft(T: int):
+                # the whole split tree is zero-state: one forward rfft and
+                # composite per-band responses replace the sosfilt chain
+                # (exact frequency sampling, `ops.iir_freq`)
+                from ..ops.iir_freq import decay_margin
+
+                margins = []
+                for pair in self.sos:
+                    for sos in pair:
+                        margins.append(decay_margin(sos))
+                if any(m is None for m in margins):
+                    return None
+                from ..ops.fft_conv import next_fast_len
+
+                nfft = int(next_fast_len(T + max(margins), real=True))
+                return nfft if nfft <= 4 * T else None
+
             def program(x):
+                T = x.shape[-1]
+                nfft = _freq_nfft(T)
+                if nfft is not None:
+                    from ..ops.iir_freq import sos_freq_response
+
+                    X = jnp.fft.rfft(x, n=nfft, axis=-1)
+                    lp = [
+                        sos_freq_response(self.sos[c][0], nfft, False)
+                        for c in range(self.number_of_cross)
+                    ]
+                    hp = [
+                        sos_freq_response(self.sos[c][1], nfft, False)
+                        for c in range(self.number_of_cross)
+                    ]
+                    outs = []
+                    cur = X
+                    for cn in range(self.number_of_cross):
+                        band = cur * lp[cn]
+                        cur = cur * hp[cn]
+                        for ap_n in range(cn + 1, self.number_of_cross):
+                            band = band * (lp[ap_n] + hp[ap_n])
+                        outs.append(
+                            jnp.fft.irfft(band, n=nfft, axis=-1)[..., :T]
+                        )
+                    outs.append(
+                        jnp.fft.irfft(cur, n=nfft, axis=-1)[..., :T]
+                    )
+                    return tuple(jnp.swapaxes(b, 0, 1) for b in outs)
                 outs = []
                 for cn in range(self.number_of_cross):
                     band, _ = sosfilt(self.sos[cn][0], x)

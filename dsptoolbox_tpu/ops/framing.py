@@ -98,15 +98,29 @@ def overlap_add(
     n_frames, window_length = frames.shape[-2], frames.shape[-1]
     if total_length is None:
         total_length = step * n_frames + window_length - step
-    flat_idx = (
-        np.arange(n_frames)[:, None] * step + np.arange(window_length)[None, :]
-    ).reshape(-1)
-    out = jnp.zeros(frames.shape[:-2] + (total_length,), dtype=frames.dtype)
-    valid = flat_idx < total_length
-    flat_idx = np.where(valid, flat_idx, total_length)  # drop OOB via clamp+mask
-    vals = frames.reshape(frames.shape[:-2] + (-1,))
-    vals = jnp.where(jnp.asarray(valid), vals, 0)
-    return out.at[..., flat_idx].add(vals, mode="drop")
+    # Scatter-free overlap-add: pad the window axis to k·step, view each
+    # frame as k contiguous step-chunks, and accumulate the j-th chunk of
+    # every frame at chunk row (frame + j). k static shifted adds of dense
+    # (n_frames, step) views — XLA lowers them to fused strided updates,
+    # where the equivalent scatter-add serializes on TPU.
+    k = -(-window_length // step)
+    pad = k * step - window_length
+    if pad:
+        frames = jnp.pad(
+            frames, [(0, 0)] * (frames.ndim - 1) + [(0, pad)]
+        )
+    chunks = frames.reshape(frames.shape[:-1] + (k, step))
+    rows = n_frames + k - 1
+    acc = jnp.zeros(frames.shape[:-2] + (rows, step), dtype=frames.dtype)
+    for j in range(k):
+        acc = acc.at[..., j : j + n_frames, :].add(chunks[..., :, j, :])
+    out = acc.reshape(frames.shape[:-2] + (rows * step,))
+    if rows * step >= total_length:
+        return out[..., :total_length]
+    return jnp.pad(
+        out,
+        [(0, 0)] * (out.ndim - 1) + [(0, total_length - rows * step)],
+    )
 
 
 def window_envelope(

@@ -184,6 +184,32 @@ def sosfilt(
     return sosfilt_block(sos, x, zi=zi)
 
 
+# Below this many samples the FFT's fixed cost beats its bandwidth win;
+# measured on TPU v5e (see BASELINE.md crossover table).
+_FREQ_MIN_T = 4096
+
+
+def sosfilt_zero_state(sos: np.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-state ``sosfilt`` returning ``y`` only, auto-dispatched.
+
+    Long signals route to exact frequency sampling (`ops.iir_freq`): two
+    FFTs instead of a sequential block chain — the fastest TPU path when
+    no initial/final state is needed. Short signals, near-unstable
+    cascades, or margins that would blow up the FFT length fall back to
+    the blocked MXU formulation (`ops.iir_block`).
+    """
+    from .iir_block import sosfilt_block
+
+    T = x.shape[-1]
+    if T >= _FREQ_MIN_T:
+        from .iir_freq import plan_nfft, sosfilt_freq
+
+        nfft = plan_nfft(np.asarray(sos), T)
+        if nfft is not None and nfft <= 4 * T:
+            return sosfilt_freq(sos, x, nfft=nfft)
+    return sosfilt_block(sos, x)[0]
+
+
 def sosfilt_assoc(
     sos: np.ndarray,
     x: jnp.ndarray,

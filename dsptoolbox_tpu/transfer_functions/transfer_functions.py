@@ -167,13 +167,17 @@ def spectral_deconvolve(
             raise ValueError(
                 "start_stop_hz vector should have 2 or 4 values"
             )
-        eps = bk.regularization_window_device(
+        eps_key = (
             tuple(float(v) for v in ssz),
             int(len(freqs_hz)),
             float(freqs_hz[0]),
             float(freqs_hz[1] - freqs_hz[0]),
+        )
+        eps = bk.regularization_window_device(
+            *eps_key
         )  # (F, 1), broadcasts over channels in the division
     else:
+        eps_key = None
         eps = None
 
     def _deconv(nre, nim, dre, dim):
@@ -190,6 +194,9 @@ def spectral_deconvolve(
         denum_re,
         denum_im,
         materialize=False,  # the IR stays device-resident
+        # explicit program identity: every closure dependency of _deconv
+        # (the eps window is fully determined by eps_key via the lru cache)
+        key=("deconv_core", bool(multichannel), int(length), eps_key),
     )
     new_sig = ImpulseResponse(
         None,

@@ -63,7 +63,7 @@ def config1_deconvolution():
         ir_w, _ = dsp.transfer_functions.window_ir(ir, 2**14)
         return ir_w.time_data_jax
 
-    dt = timeit(run, n_iters=5)
+    dt = timeit(run, n_iters=20)
     audio_s = chirp.length_samples / chirp.sampling_rate_hz
     return {
         "config": 1,
@@ -151,7 +151,7 @@ def config3_filterbanks():
             r.time_data_jax,
         )
 
-    dt = timeit(run, n_iters=5)
+    dt = timeit(run, n_iters=20)
     audio_s = s.length_samples / fs
     return {
         "config": 3,
