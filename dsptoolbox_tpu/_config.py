@@ -38,6 +38,97 @@ def default_complex():
     return _COMPLEX
 
 
+_MOSAIC_HEALTHY: bool | None = None
+_MOSAIC_PROBE_TIMEOUT_S = 45.0
+_MOSAIC_CACHE_TTL_S = 600.0
+
+
+def mosaic_healthy() -> bool:
+    """True when the active TPU backend compiles Mosaic (Pallas) kernels.
+
+    The tunneled dev backend's Mosaic compile service wedges
+    nondeterministically: the same `pallas_call` that compiles in ~2 s can
+    hang indefinitely minutes later, and a hung compile cannot be
+    cancelled in-process. Every Pallas dispatch site therefore consults
+    this one-time *subprocess* probe (tiny kernel, hard deadline); on
+    timeout the library stays on its XLA formulations, which every Pallas
+    path has. The verdict is cached per process and, with a TTL, in the
+    temp dir so short-lived processes don't re-pay the probe.
+    """
+    global _MOSAIC_HEALTHY
+    if _MOSAIC_HEALTHY is not None:
+        return _MOSAIC_HEALTHY
+    import jax
+
+    try:
+        if jax.default_backend() != "tpu":
+            _MOSAIC_HEALTHY = False
+            return False
+    except RuntimeError:  # pragma: no cover
+        _MOSAIC_HEALTHY = False
+        return False
+
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    cache = os.path.join(tempfile.gettempdir(), "dsptb_mosaic_probe.json")
+    try:
+        with open(cache) as f:
+            rec = json.load(f)
+        if time.time() - rec["time"] < _MOSAIC_CACHE_TTL_S:
+            _MOSAIC_HEALTHY = bool(rec["ok"])
+            return _MOSAIC_HEALTHY
+    except (OSError, ValueError, KeyError):
+        pass
+
+    probe = (
+        "import jax, jax.numpy as jnp\n"
+        "from jax.experimental import pallas as pl\n"
+        "def k(x_ref, o_ref):\n"
+        "    o_ref[:] = x_ref[:] + 1.0\n"
+        "x = jnp.zeros((8, 128), jnp.float32)\n"
+        "y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)\n"
+        "jax.block_until_ready(y)\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=_MOSAIC_PROBE_TIMEOUT_S,
+            capture_output=True,
+        )
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    _MOSAIC_HEALTHY = ok
+    try:
+        with open(cache, "w") as f:
+            json.dump({"ok": ok, "time": time.time()}, f)
+    except OSError:  # pragma: no cover
+        pass
+    return ok
+
+
+_PALLAS_IIR_MODE = "auto"  # "auto" (TPU only) | "on" | "off"
+
+
+def set_pallas_iir(mode: str) -> None:
+    """Select the blocked-IIR lead kernel: "auto" uses the Pallas
+    time-tiled kernel on TPU backends when the regime favours it (see
+    `ops.iir_block`), "on" forces it (interpret mode off-TPU is slow —
+    testing only), "off" always uses the XLA doubling-prefix path."""
+    global _PALLAS_IIR_MODE
+    assert mode in ("auto", "on", "off"), mode
+    _PALLAS_IIR_MODE = mode
+
+
+def pallas_iir_mode() -> str:
+    return _PALLAS_IIR_MODE
+
+
 _COMPLEX_TRANSFER_BROKEN: bool | None = None
 
 

@@ -135,6 +135,27 @@ def _pick_block(T: int) -> int:
     return 128
 
 
+# Minimum full blocks before the single-program Pallas lead kernel beats
+# the XLA doubling-prefix formulation (launch-overhead crossover; see
+# tools/bench_iir.py and the BASELINE.md table).
+_PALLAS_MIN_BLOCKS = 16
+
+
+def _use_pallas_lead(compute_dtype, n_full: int) -> bool:
+    from .._config import pallas_iir_mode
+
+    mode = pallas_iir_mode()
+    if mode == "off":
+        return False
+    if compute_dtype != jnp.float32 or n_full < _PALLAS_MIN_BLOCKS:
+        return False
+    if mode == "on":
+        return True
+    from .pallas_iir import pallas_iir_available
+
+    return pallas_iir_available()
+
+
 @jax.named_scope("dsptb.sosfilt_block")
 def sosfilt_block(
     sos: np.ndarray,
@@ -186,7 +207,17 @@ def sosfilt_block(
     else:
         s0 = jnp.zeros(x.shape[:-1] + (N,), x.dtype)
 
-    if n_full > 0:
+    if n_full > 0 and _use_pallas_lead(compute_dtype, n_full):
+        # Single-program Pallas lead: sequential superblock grid with the
+        # carried state in VMEM (`ops.pallas_iir`) — one kernel launch
+        # instead of the dozen the prefix formulation compiles to.
+        from .pallas_iir import sosfilt_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        y, s_end = sosfilt_pallas(
+            HmatT, GyT, ALT, MT, lead, s0=s0, interpret=interpret
+        )
+    elif n_full > 0:
         # Heavy, embarrassingly parallel part: within-block convolution and
         # input→state injections for ALL blocks as two batched matmuls.
         y_free = jnp.dot(xb, HmatT, precision=_HIGH)  # (n_blk, ..., L)

@@ -115,10 +115,9 @@ def banded_apply(
 ) -> jnp.ndarray:
     """Dispatch banded matmul to the Pallas TPU kernel or the XLA path."""
     if use_pallas is None:
-        try:
-            use_pallas = jax.default_backend() == "tpu"
-        except RuntimeError:  # pragma: no cover
-            use_pallas = False
+        from .._config import mosaic_healthy
+
+        use_pallas = mosaic_healthy()
     slab = jnp.asarray(slab, jnp.float32)
     offsets = jnp.asarray(offsets, jnp.int32)
     if use_pallas:

@@ -103,11 +103,9 @@ def windowed_frames_fused(
     L = len(window)
     if L % step or x.shape[0] % 8 or step % 128:
         return None
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:  # pragma: no cover
-        return None
-    if platform not in ("tpu", "axon"):
+    from .._config import mosaic_healthy
+
+    if not mosaic_healthy():
         return None
     T = x.shape[-1]
     n_frames, _ = compute_number_frames(L, step, T, True)

@@ -198,8 +198,8 @@ def sosfilt_pallas(
 
 
 def pallas_iir_available() -> bool:
-    """True when the default backend can compile Mosaic TPU kernels."""
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:  # pragma: no cover
-        return False
+    """True when the default backend compiles Mosaic TPU kernels (probed
+    with a deadline — see `_config.mosaic_healthy`)."""
+    from .._config import mosaic_healthy
+
+    return mosaic_healthy()

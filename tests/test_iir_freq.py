@@ -104,6 +104,27 @@ class TestPallasIIR:
         y_xla, _ = sosfilt_block(sos, jnp.asarray(x[:, :lead]))
         assert np.max(np.abs(np.asarray(y) - np.asarray(y_xla))) < 1e-5
 
+    def test_dispatch_in_sosfilt_block(self):
+        """Forced-on Pallas lead inside `sosfilt_block` (interpret mode)
+        agrees with the XLA prefix path, remainder tail and zf included."""
+        from dsptoolbox_tpu import _config
+
+        sos = butter(6, 0.3, output="sos")
+        x = RNG.standard_normal((2, 4096 + 77)).astype(np.float32)
+        zi1 = np.tile(sosfilt_zi(sos)[None], (2, 1, 1)) * 0.3
+        y_ref, zf_ref = sosfilt_block(
+            sos, jnp.asarray(x), zi=jnp.asarray(zi1, jnp.float32)
+        )
+        _config.set_pallas_iir("on")
+        try:
+            y_p, zf_p = sosfilt_block(
+                sos, jnp.asarray(x), zi=jnp.asarray(zi1, jnp.float32)
+            )
+        finally:
+            _config.set_pallas_iir("auto")
+        assert np.max(np.abs(np.asarray(y_p) - np.asarray(y_ref))) < 1e-5
+        assert np.max(np.abs(np.asarray(zf_p) - np.asarray(zf_ref))) < 1e-6
+
     def test_initial_state_and_zf(self):
         sos = butter(4, 0.2, output="sos")
         B, T, L = 3, 1024, 128
