@@ -1067,6 +1067,43 @@ class BeamformerMVDR(BeamformerGridded):
         return f, map
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("t_out",))
+def _das_time_chunk(xpad, shift, h, w, t_out):
+    """Delay-and-sum over one grid chunk.
+
+    ``y[g, t] = sum_m w[m, g] * sum_k h[m, g, k] * xpad[m, t + shift[m, g]
+    - k]`` as one gather of ``(M, G, t_out + N - 1)`` windows followed by
+    N slice-einsums (the k-sum). xpad (M, Tp); shift/w (M, G); h (M, G, N).
+    """
+    N = h.shape[2]
+    u = jnp.arange(t_out + N - 1) - (N - 1)  # conv support
+    idx = u[None, None, :] + shift[:, :, None]  # (M, G, U)
+    z = jnp.take_along_axis(xpad[:, None, :], idx, axis=2)  # (M, G, U)
+    y = jnp.zeros((h.shape[1], t_out), xpad.dtype)
+    for k in range(N):
+        y = y + jnp.einsum(
+            "mg,mgt->gt", w * h[:, :, k], z[:, :, N - 1 - k : N - 1 - k + t_out]
+        )
+    return y
+
+
+@_partial(jax.jit, static_argnames=("t_out",))
+def _monopole_projection_kernel(xpad, shift, h, amp, t_out):
+    """``y[d, t] = amp[d] * sum_k h[d, k] * xpad[t + shift[d] - k]`` —
+    one source signal delayed to D destinations. xpad (Tp,); shift/amp
+    (D,); h (D, N)."""
+    N = h.shape[1]
+    t = jnp.arange(t_out)
+    idx0 = t[None, :] + shift[:, None]  # (D, T)
+    y = jnp.zeros((h.shape[0], t_out), xpad.dtype)
+    for k in range(N):
+        y = y + h[:, k : k + 1] * jnp.take(xpad, idx0 - k)
+    return y * amp[:, None]
+
+
 class BeamformerDASTime(BaseBeamformer):
     """Time-domain delay-and-sum (`beamforming.py:1317-1395`)."""
 
@@ -1083,37 +1120,75 @@ class BeamformerDASTime(BaseBeamformer):
         self.beamformer_type = "Delay-and-sum (Time)"
 
     def get_beamformer_output(self) -> Signal:
-        out_sig = self.signal.get_channels(0)
+        """One batched Kaiser-sinc fractional-delay-and-sum program over
+        (grid, mics) — replaces the reference's per-grid-point × per-mic
+        `fractional_delay` loop (`beamforming.py:1317-1395`) with a gather
+        + einsum kernel, chunked over grid points to bound the gather
+        buffer. Numerically equivalent to applying the same pyfar-design
+        fractional-delay FIR per channel."""
+        from .._config import default_float
+        from ..standard.backend import fractional_delay_filter_batch
+
         ds = self.mics.get_distances_to_point(self.grid.coordinates)
         if ds.ndim == 1:
             ds = ds[:, None]
+        fs = self.signal.sampling_rate_hz
         min_distance = np.min(ds)
         r0 = np.max(ds)
-        longest_delay = int(
-            (r0 - min_distance) / self.c * self.signal.sampling_rate_hz + 2
+        longest_delay = int((r0 - min_distance) / self.c * fs + 2)
+        td = self.signal.time_data_jax  # (T, M)
+        T = td.shape[0]
+        total_length = T + longest_delay
+        M, G = ds.shape
+
+        s, h = fractional_delay_filter_batch(
+            ((r0 - ds) / self.c * fs).ravel(), 30, 60
         )
-        total_length = out_sig.time_data_jax.shape[0] + longest_delay
-        out_sig = pad_trim(out_sig, total_length)
-        for ig in range(self.grid.number_of_points):
-            delays = (r0 - ds[:, ig]) / self.c
-            new_time_data = np.zeros((total_length, 1))
-            for im in range(self.mics.number_of_points):
-                ntd = (
-                    fractional_delay(
-                        self.signal.get_channels(im), delays[im]
-                    ).time_data
-                    * ds[im, ig]
-                )
-                ntd = np.asarray(
-                    pad_trim_axis(jnp.asarray(ntd), total_length, axis=0)
-                )
-                new_time_data += ntd
-            new_time_data /= self.mics.number_of_points
-            out_sig.add_channel(
-                None, new_time_data, out_sig.sampling_rate_hz
+        N = h.shape[1]
+        dt = default_float()
+        s = s.reshape(M, G)
+        h = h.reshape(M, G, N).astype(dt)
+        # reference weighting: each delayed channel is scaled by its
+        # distance, the sum divided by the mic count
+        w = (ds / M).astype(dt)  # (M, G)
+
+        # pad the mic signals so every gathered index is in range
+        front = int(max(0, s.max()) + N)
+        back = int(max(0, total_length - T - s.min()) + N)
+        xpad = jnp.concatenate(
+            [
+                jnp.zeros((M, front), td.dtype),
+                td.T,
+                jnp.zeros((M, back), td.dtype),
+            ],
+            axis=1,
+        )
+        shift = front - s  # (M, G) host ints
+
+        # chunk the grid so the (M, Gc, total+N) gather stays ~<=64 MB
+        bytes_per_point = M * (total_length + N) * np.dtype(dt).itemsize
+        g_chunk = int(max(1, min(G, 64e6 // max(1, bytes_per_point))))
+        n_chunks = -(-G // g_chunk)
+        outs = []
+        for ci in range(n_chunks):
+            lo, hi = ci * g_chunk, min(G, (ci + 1) * g_chunk)
+            pad = g_chunk - (hi - lo)
+            sh_c = np.pad(shift[:, lo:hi], ((0, 0), (0, pad)), mode="edge")
+            h_c = np.pad(h[:, lo:hi], ((0, 0), (0, pad), (0, 0)), mode="edge")
+            w_c = np.pad(w[:, lo:hi], ((0, 0), (0, pad)), mode="edge")
+            outs.append(
+                _das_time_chunk(
+                    xpad,
+                    jnp.asarray(sh_c, jnp.int32),
+                    jnp.asarray(h_c),
+                    jnp.asarray(w_c),
+                    total_length,
+                )[: hi - lo]
             )
-        out_sig.remove_channel(0)
-        return out_sig
+        out = jnp.concatenate(outs, axis=0).T  # (total_length, G)
+
+        base = pad_trim(self.signal.get_channels(0), total_length)
+        return base.copy_with_new_time_data(out)
 
 
 class MonopoleSource:
@@ -1131,17 +1206,43 @@ class MonopoleSource:
         self.coordinates = coordinates
 
     def get_signals_on_array(self, mics: MicArray, c: float = 343) -> Signal:
-        distances = mics.get_distances_to_point(self.coordinates)
-        delays = distances / c
-        multi = self.emitted_signal.copy()
-        for i in range(len(distances)):
-            ns = fractional_delay(
-                self.emitted_signal, delays[i], keep_length=True
+        """Project the source onto every mic with ONE batched Kaiser-sinc
+        fractional-delay program (delay + 1/(1+r) spreading loss per mic)
+        instead of the reference's per-mic `fractional_delay` + append loop
+        (`beamforming.py:1397-1459`)."""
+        from .._config import default_float
+        from ..standard.backend import fractional_delay_filter_batch
+
+        distances = mics.get_distances_to_point(self.coordinates)  # (M,)
+        fs = self.emitted_signal.sampling_rate_hz
+        if self.emitted_signal.is_complex_signal:
+            warn(
+                "Imaginary time data will be ignored in this function. "
+                "Delay it manually by creating another signal object, if "
+                "needed."
             )
-            ns.time_data = ns.time_data / (1.0 + distances[i])
-            multi = append_signals([multi, ns], allow_padding_trimming=True)
-        multi.remove_channel(0)
-        return multi
+        x = self.emitted_signal.time_data_jax[:, 0]  # (T,)
+        T = x.shape[0]
+        assert np.max(distances) / c * fs < T, (
+            "Delay too large for the given signal"
+        )
+        s, h = fractional_delay_filter_batch(distances / c * fs, 30, 60)
+        dt = default_float()
+        amp = (1.0 / (1.0 + distances)).astype(dt)  # (M,)
+        N = h.shape[1]
+        front = int(max(0, s.max()) + N)
+        back = int(max(0, -s.min()) + N)
+        xpad = jnp.concatenate(
+            [jnp.zeros(front, x.dtype), x, jnp.zeros(back, x.dtype)]
+        )
+        out = _monopole_projection_kernel(
+            xpad,
+            jnp.asarray(front - s, jnp.int32),
+            jnp.asarray(h.astype(dt)),
+            jnp.asarray(amp),
+            T,
+        ).T  # (T, M)
+        return self.emitted_signal.copy_with_new_time_data(out)
 
 
 def mix_sources_on_array(sources, mics: MicArray, c: float = 343) -> Signal:

@@ -80,6 +80,10 @@ class DeviceSpectralData(NamedTuple):
     def dtype(self):
         return jnp.result_type(self.real.dtype, 1j)
 
+    @property
+    def ndim(self) -> int:
+        return self.real.ndim
+
     def complex_device(self) -> jnp.ndarray:
         """Compose on device (inside jit-able code paths only on backends
         with broken complex transfers)."""
@@ -182,9 +186,17 @@ class Signal(MultichannelData):
     # ======== Properties ====================================================
     @property
     def time_data(self) -> np.ndarray:
-        """Time data ``(T, C)`` as host numpy (API parity with the
-        reference). Use ``time_data_jax`` for the device array."""
-        return np.asarray(self._time_data)
+        """Time data ``(T, C)`` as a writable host numpy array (API parity
+        with the reference's getter, `classes/signal.py:220`). Unlike the
+        reference, the returned array does NOT alias internal storage —
+        in-place mutation does not write back (augmented assignment
+        ``sig.time_data += x`` still works because the property setter runs;
+        see docs/parity_notes.md). Use ``time_data_jax`` for the device
+        array."""
+        out = np.asarray(self._time_data)
+        if not out.flags.writeable:
+            out = out.copy()
+        return out
 
     @property
     def time_data_jax(self) -> jnp.ndarray:
@@ -306,7 +318,10 @@ class Signal(MultichannelData):
     def time_data_imaginary(self) -> np.ndarray | None:
         if self._time_data_imag is None:
             return None
-        return np.asarray(self._time_data_imag)
+        out = np.asarray(self._time_data_imag)
+        if not out.flags.writeable:
+            out = out.copy()
+        return out
 
     @time_data_imaginary.setter
     def time_data_imaginary(self, new_imag):

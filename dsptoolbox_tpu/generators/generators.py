@@ -129,7 +129,7 @@ def sync_log_chirp(
     t = np.linspace(0.0, T, int(T * sampling_rate_hz + 0.5))
     phase = 2.0 * np.pi * f1 * L * (np.exp(t / L) - 1.0)
     phase = np.mod(phase, 2.0 * np.pi)
-    return jnp.sin(jnp.asarray(phase, jnp.float32)), T
+    return jnp.sin(jnp.asarray(phase, default_float())), T
 
 
 def chirp(
@@ -173,7 +173,7 @@ def chirp(
         k = (range_hz[1] - range_hz[0]) / length_seconds
         freqs = (range_hz[0] + k / 2 * t) * 2 * np.pi
         phase = np.mod(freqs * t + phase_offset, 2 * np.pi)
-        chirp_td = jnp.sin(jnp.asarray(phase, jnp.float32))
+        chirp_td = jnp.sin(jnp.asarray(phase, default_float()))
     elif type_of_chirp == ChirpType.Logarithmic:
         t = np.linspace(0, length_seconds, l_samples)
         k = np.exp(
@@ -183,7 +183,7 @@ def chirp(
             2 * np.pi * range_hz[0] / np.log(k) * (k**t - 1) + phase_offset,
             2 * np.pi,
         )
-        chirp_td = jnp.sin(jnp.asarray(phase, jnp.float32))
+        chirp_td = jnp.sin(jnp.asarray(phase, default_float()))
     elif type_of_chirp == ChirpType.SyncLog:
         chirp_td, T = sync_log_chirp(
             range_hz, length_seconds, sampling_rate_hz

@@ -27,7 +27,9 @@ from .ops import (
     parallel_das_map,
     parallel_fir_filter,
     parallel_filterbank,
+    parallel_stft,
     parallel_welch,
+    parallel_welch_time,
     sharded_map_reduce,
 )
 
@@ -37,6 +39,8 @@ __all__ = [
     "shard_channels",
     "replicate",
     "parallel_welch",
+    "parallel_welch_time",
+    "parallel_stft",
     "parallel_csm",
     "parallel_fir_filter",
     "parallel_filterbank",

@@ -425,3 +425,176 @@ def parallel_batch_descriptors(
     )
     sharding = NamedSharding(mesh, P(axis, None))
     return jax.jit(fn)(jax.device_put(jnp.asarray(rirs), sharding))
+
+
+def _framed_halo_setup(window_length, step, T, n):
+    """Shared validation for time-sharded framed spectral ops: each device
+    owns the frames STARTING in its shard (L/step of them) and needs the
+    right neighbor's first ``window - step`` samples (one `ppermute` halo
+    over ICI — the STFT-framing analog of overlap-save sequence
+    parallelism, SURVEY §5)."""
+    assert T % n == 0, f"time length {T} must divide across {n} devices"
+    L = T // n
+    assert L % step == 0, (
+        f"local shard ({L}) must be a multiple of the hop size ({step}) so "
+        "every device owns a whole number of frames"
+    )
+    halo = window_length - step
+    assert halo <= L, "window overhang longer than a time shard"
+    return L, halo
+
+
+def _local_framed_spectra_halo(
+    xl, window, step, norm, detrend, fft_length, axis, n
+):
+    """Frames of the local time shard, extended by the right-neighbor halo:
+    ``(..., L/step, F)`` windowed spectra. Runs inside `shard_map`."""
+    W = len(window)
+    halo_len = W - step
+    if halo_len > 0:
+        # send this shard's HEAD one device to the left
+        halo = jax.lax.ppermute(
+            xl[..., :halo_len],
+            axis,
+            [(i, (i - 1) % n) for i in range(n)],
+        )
+        # the last shard sees zeros beyond the end of the recording (the
+        # zero_padding convention of `frame_signal`)
+        last = jax.lax.axis_index(axis) == n - 1
+        halo = jnp.where(last, jnp.zeros_like(halo), halo)
+        xl = jnp.concatenate([xl, halo], axis=-1)
+    K_local = (xl.shape[-1] - halo_len) // step
+    starts = jnp.arange(K_local) * step
+    idx = starts[:, None] + jnp.arange(W)[None, :]
+    frames = xl[..., idx]  # (..., K_local, W) gather
+    frames = frames * jnp.asarray(window, frames.dtype)
+    if detrend:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    return jnp.fft.rfft(frames, axis=-1, n=fft_length, norm=norm)
+
+
+def parallel_stft(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    sampling_rate_hz: int,
+    window_length_samples: int = 1024,
+    window_type: Window = Window.Hann,
+    overlap_percent: float = 50.0,
+    fft_length_samples: int | None = None,
+    detrend: bool = False,
+    scaling: SpectrumScaling = SpectrumScaling.FFTBackward,
+):
+    """STFT of ``x (..., T)`` with the TIME axis sharded across the mesh
+    (sequence parallelism for hour-long recordings).
+
+    Each device frames its own time shard; the ``window - step`` samples
+    that the shard's last frames overhang into the neighbor arrive via one
+    `ppermute` halo exchange over ICI. Output ``(..., n_frames, F)`` stays
+    frame-sharded (frames = time). Equals the single-device
+    ``ops.stft(..., padding=False)`` (the reference's edge padding,
+    `_spectral_methods.py:246`, is a global transform of the time axis —
+    apply it before sharding when needed).
+    Matches `_framed_signal_representation.py:9` framing.
+    """
+    axis = mesh.axis_names[0]
+    n = int(mesh.shape[axis])
+    if fft_length_samples is None:
+        fft_length_samples = window_length_samples
+    window = get_window(window_type, window_length_samples, symmetric=False)
+    overlap = int(
+        overlap_percent / 100 * window_length_samples + 0.5
+    )  # stft rounds (ops/spectral.py:189)
+    step = window_length_samples - overlap
+    _framed_halo_setup(window_length_samples, step, x.shape[-1], n)
+    norm = scaling.fft_norm()
+
+    def local(xl):
+        return _local_framed_spectra_halo(
+            xl, window, step, norm, detrend, fft_length_samples, axis, n
+        )
+
+    spec_in = P(*([None] * (x.ndim - 1) + [axis]))
+    spec_out = P(*([None] * (x.ndim - 1) + [axis, None]))
+    fn = shard_map(
+        local, mesh=mesh, in_specs=spec_in, out_specs=spec_out,
+        check_rep=False,
+    )
+    sharding = NamedSharding(mesh, spec_in)
+    S = jax.jit(fn, in_shardings=sharding)(jax.device_put(x, sharding))
+
+    if scaling.has_physical_units():
+        edge = np.ones(S.shape[-1])
+        edge[0] = 1 / 2**0.5
+        if fft_length_samples % 2 == 0:
+            edge[-1] = 1 / 2**0.5
+        S = S * jnp.asarray(edge)
+        factor = scaling.get_scaling_factor(
+            fft_length_samples, sampling_rate_hz, window
+        )
+        if not scaling.is_amplitude_scaling():
+            S = jnp.abs(S) ** 2.0
+        S = S * factor
+
+    n_frames = S.shape[-2]
+    time_s = np.linspace(0, x.shape[-1] / sampling_rate_hz, n_frames)
+    freqs_hz = np.fft.rfftfreq(len(window), 1 / sampling_rate_hz)
+    return time_s, freqs_hz, S
+
+
+def parallel_welch_time(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    sampling_rate_hz: int,
+    window_length_samples: int = 1024,
+    window_type: Window = Window.Hann,
+    overlap_percent: float = 50.0,
+    detrend: bool = True,
+    scaling: SpectrumScaling = SpectrumScaling.PowerSpectralDensity,
+) -> jnp.ndarray:
+    """Welch autospectra of ``x (..., T)`` with the TIME axis sharded
+    across the mesh: each device averages the periodograms of its own
+    frames (halo exchange as in `parallel_stft`), one `psum` over ICI
+    merges the partial sums. Mean averaging only (median needs the global
+    frame population on one device). Returns the replicated ``(..., F)``
+    spectrum equal to the single-device ``ops.welch`` up to summation
+    order."""
+    axis = mesh.axis_names[0]
+    n = int(mesh.shape[axis])
+    window = get_window(window_type, window_length_samples, symmetric=False)
+    overlap = int(
+        overlap_percent / 100 * window_length_samples
+    )  # welch truncates (ops/spectral.py:116)
+    step = window_length_samples - overlap
+    L, _ = _framed_halo_setup(window_length_samples, step, x.shape[-1], n)
+    norm = scaling.fft_norm()
+    K_total = x.shape[-1] // step
+
+    def local(xl):
+        X = _local_framed_spectra_halo(
+            xl, window, step, norm, detrend, window_length_samples, axis, n
+        )
+        part = jnp.sum(jnp.abs(X) ** 2.0, axis=-2)  # (..., F)
+        return jax.lax.psum(part, axis) / K_total
+
+    spec_in = P(*([None] * (x.ndim - 1) + [axis]))
+    spec_out = P(*([None] * x.ndim))
+    fn = shard_map(
+        local, mesh=mesh, in_specs=spec_in, out_specs=spec_out,
+        check_rep=False,
+    )
+    sharding = NamedSharding(mesh, spec_in)
+    csd = jax.jit(fn, in_shardings=sharding)(jax.device_put(x, sharding))
+
+    if scaling.has_physical_units():
+        factor = scaling.get_scaling_factor(
+            window_length_samples, sampling_rate_hz, window
+        )
+        csd = csd * factor
+        edge = np.ones(csd.shape[-1])
+        edge[0] = edge[-1] = 0.5
+        csd = csd * jnp.asarray(edge, dtype=csd.real.dtype)
+    if scaling.is_amplitude_scaling():
+        csd = jnp.sqrt(csd)
+    return csd

@@ -34,13 +34,23 @@ def append_signals(
                 )
             complex_data |= s.is_complex_signal
         total_length = len(signals[0])
+        if not complex_data:
+            # device-resident path: pad/trim and concatenate without any
+            # host fetch (the setter keeps jnp inputs on the device)
+            cols = [
+                pad_trim_axis(
+                    s.time_data_jax, total_length, axis=0, in_the_end=at_end
+                )
+                for s in signals
+            ]
+            new_sig = signals[0].copy()
+            new_sig.time_data = jnp.concatenate(cols, axis=1)
+            return new_sig
         cols = []
         for s in signals:
-            td = s.time_data
-            if complex_data:
-                td = td.astype(np.complex128)
-                if s.is_complex_signal:
-                    td = td + 1j * s.time_data_imaginary
+            td = s.time_data.astype(np.complex128)
+            if s.is_complex_signal:
+                td = td + 1j * s.time_data_imaginary
             td = np.asarray(
                 pad_trim_axis(
                     jnp.asarray(td), total_length, axis=0, in_the_end=at_end

@@ -368,15 +368,24 @@ def istft(
         return td
 
     from .._config import run_jitted_complex
+    from ..classes.signal import DeviceSpectralData
 
     # one jitted program with real output: complex spectra never cross
-    # the host boundary (required on tunneled backends)
-    td = np.asarray(run_jitted_complex(_istft_core, stft).T)
+    # the host boundary (required on tunneled backends). The reconstructed
+    # time data stays a device array end to end — the returned Signal holds
+    # it without a host round trip (`_assign_device_time_data`).
+    if isinstance(stft, DeviceSpectralData):
+        td = run_jitted_complex(
+            lambda re, im: _istft_core(re + 1j * im),
+            stft.real,
+            stft.imag,
+            materialize=False,
+        ).T
+    else:
+        td = run_jitted_complex(_istft_core, stft, materialize=False).T
     if original_signal is not None:
-        td = np.asarray(
-            pad_trim_axis(
-                jnp.asarray(td), original_signal.time_data_jax.shape[0], axis=0
-            )
+        td = pad_trim_axis(
+            td, original_signal.time_data_jax.shape[0], axis=0
         )
         return original_signal.copy_with_new_time_data(td)
     return Signal(None, time_data=td, sampling_rate_hz=sampling_rate_hz)

@@ -57,7 +57,28 @@ def _install_audio_stubs():
             pass
 
         sd.DeviceList = DeviceList
-        sd.query_devices = lambda *a, **k: DeviceList()
+        # one fake duplex device so the reference's own
+        # tests/test_audio_io.py (print_device_info + set_device(0)) run
+        # against the stub
+        _fake_dev = {
+            "name": "stub-duplex",
+            "index": 0,
+            "hostapi": 0,
+            "max_input_channels": 2,
+            "max_output_channels": 2,
+            "default_low_input_latency": 0.01,
+            "default_low_output_latency": 0.01,
+            "default_high_input_latency": 0.1,
+            "default_high_output_latency": 0.1,
+            "default_samplerate": 48000.0,
+        }
+
+        def _query_devices(device=None, kind=None, **k):
+            if device is None and kind is None:
+                return DeviceList([dict(_fake_dev)])
+            return dict(_fake_dev)
+
+        sd.query_devices = _query_devices
         sd.playrec = sd.play = sd.rec = lambda *a, **k: None
         sd.sleep = lambda ms: None
 

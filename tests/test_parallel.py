@@ -139,6 +139,81 @@ class TestSequenceParallelFIR:
         assert len(got.sharding.device_set) == 8
 
 
+class TestSequenceParallelFramedSpectral:
+    """Time-axis sharding for framed spectral ops (STFT/Welch): the
+    `ppermute` halo carries the window overhang across shard boundaries
+    (SURVEY §5's STFT-framing halo-exchange point)."""
+
+    def test_parallel_stft_matches_single_device(self, mesh):
+        from dsptoolbox_tpu.ops.spectral import stft
+
+        rng = np.random.default_rng(7)
+        # T = 8 devices * 4096; window 512, 50% overlap -> step 256 | L
+        x = jnp.asarray(
+            rng.standard_normal((2, 8 * 4096)).astype(np.float32)
+        )
+        t_p, f_p, S_p = par.parallel_stft(
+            x, mesh, sampling_rate_hz=48000,
+            window_length_samples=512, overlap_percent=50.0,
+        )
+        t_s, f_s, S_s = stft(
+            x, sampling_rate_hz=48000, window_length_samples=512,
+            overlap_percent=50.0, padding=False,
+        )
+        np.testing.assert_allclose(f_p, f_s)
+        assert S_p.shape == S_s.shape
+        np.testing.assert_allclose(
+            np.asarray(S_p), np.asarray(S_s), rtol=1e-4, atol=1e-5
+        )
+        # frames (= time) axis genuinely sharded
+        assert len(S_p.sharding.device_set) == 8
+
+    def test_parallel_stft_physical_scaling(self, mesh):
+        from dsptoolbox_tpu.ops.spectral import stft
+
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(
+            rng.standard_normal((8 * 2048,)).astype(np.float32)
+        )
+        _, _, S_p = par.parallel_stft(
+            x, mesh, sampling_rate_hz=16000,
+            window_length_samples=256,
+            scaling=SpectrumScaling.PowerSpectralDensity,
+        )
+        _, _, S_s = stft(
+            x, sampling_rate_hz=16000, window_length_samples=256,
+            padding=False,
+            scaling=SpectrumScaling.PowerSpectralDensity,
+        )
+        np.testing.assert_allclose(
+            np.asarray(S_p), np.asarray(S_s), rtol=1e-4, atol=1e-8
+        )
+
+    def test_parallel_welch_time_matches_single_device(self, mesh):
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(
+            rng.standard_normal((3, 8 * 4096)).astype(np.float32)
+        )
+        got = par.parallel_welch_time(
+            x, mesh, sampling_rate_hz=48000,
+            window_length_samples=1024,
+        )
+        want = welch(
+            x, sampling_rate_hz=48000, window_length_samples=1024
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-9
+        )
+
+    def test_parallel_stft_bad_shard_raises(self, mesh):
+        x = jnp.zeros((8 * 1000,), jnp.float32)  # 1000 not multiple of 256
+        with pytest.raises(AssertionError):
+            par.parallel_stft(
+                x, mesh, sampling_rate_hz=48000,
+                window_length_samples=512,
+            )
+
+
 def test_parallel_das_map_matches_single_device(mesh):
     """Grid-parallel DAS equals the single-device einsum."""
     import jax.numpy as jnp

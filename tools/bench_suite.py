@@ -75,51 +75,35 @@ def config1_deconvolution():
 
 
 def config2_stft_welch_csm():
-    """speech.flac: STFT -> ISTFT roundtrip + Welch PSD + CSM (device ops,
-    steady-state jitted)."""
-    import jax
-    import jax.numpy as jnp
-
+    """speech.flac: STFT -> ISTFT roundtrip + Welch PSD + CSM, driven
+    entirely through the PUBLIC class layer (`Signal.get_spectrogram` /
+    `transforms.istft` / `Signal.get_spectrum` / `Signal.get_csm` +
+    `append_signals`) — the same call sequence as the reference oracle
+    `r2()` below."""
     import dsptoolbox_tpu as dsp
-    from dsptoolbox_tpu.ops.framing import reconstruct_framed_signal
-    from dsptoolbox_tpu.ops.spectral import csm_welch, stft, welch
-    from dsptoolbox_tpu.ops.windows import get_window
-    from dsptoolbox_tpu.standard.enums import Window
 
     s = dsp.Signal(f"{EXAMPLE}/speech.flac")
-    x = jnp.asarray(np.asarray(s.time_data).T.astype(np.float32))
+    s.set_spectrogram_parameters(window_length_samples=1024)
     fs = s.sampling_rate_hz
-    T = x.shape[-1]
-    wl = 1024
-    step = wl // 2
-    win = get_window(Window.Hann, wl, symmetric=False)
+    T = s.length_samples
 
-    @jax.jit
-    def run(x):
-        _, _, S = stft(
-            x, sampling_rate_hz=fs, window_length_samples=wl,
-            overlap_percent=50.0,
+    def run():
+        t, f, S = s.get_spectrogram(
+            force_computation=True, return_device=True
         )
-        frames = jnp.fft.irfft(S, n=wl, axis=-1)
-        y = reconstruct_framed_signal(
-            frames, step, win, original_signal_length=T
-        )
-        psd = welch(
-            x, None, sampling_rate_hz=fs, window_length_samples=wl,
-        )
-        x2 = jnp.concatenate([x, y[..., :T].reshape(x.shape)], axis=0)
-        _, C = csm_welch(
-            x2, sampling_rate_hz=fs, window_length_samples=wl
-        )
-        return y, psd, C
+        y = dsp.transforms.istft(S, original_signal=s)
+        f2, sp = s.get_spectrum(force_computation=True)
+        two = dsp.append_signals([s, y])
+        f3, C = two.get_csm(force_computation=True)
+        return y.time_data_jax, sp, C
 
-    dt = timeit(lambda: run(x))
+    dt = timeit(run)
     audio_s = T / fs
     return {
         "config": 2,
-        "metric": "STFT+ISTFT+Welch+CSM",
+        "metric": "STFT+ISTFT+Welch+CSM (public class API)",
         "value": round(audio_s / dt, 1),
-        "unit": "x realtime per chip (fp32)",
+        "unit": "x realtime per chip (library E2E incl. host)",
         "seconds_per_iter": round(dt, 5),
     }
 

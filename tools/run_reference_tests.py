@@ -60,13 +60,16 @@ import pytest  # noqa: E402
 
 if __name__ == "__main__":
     os.chdir(REPO)
-    args = [
-        "/root/reference/tests",
+    extra = sys.argv[1:]
+    # an explicit test path in the extra args replaces the whole-suite
+    # default (file-by-file runs isolate slow files / crashes)
+    has_path = any(a.startswith("/root/reference/tests") for a in extra)
+    args = ([] if has_path else ["/root/reference/tests"]) + [
         "-q",
         "-p",
         "no:cacheprovider",
         "--basetemp",
         "/tmp/ref_suite_tmp",
         "--continue-on-collection-errors",
-    ] + sys.argv[1:]
+    ] + extra
     raise SystemExit(pytest.main(args))
