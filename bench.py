@@ -191,8 +191,10 @@ def main():
                 "achieved_tflops": (
                     round(flops / dt / 1e12, 3) if flops else None
                 ),
+                # cost-model estimate clamped at the physical ceiling
+                # (XLA's byte count can double-count fused reads)
                 "hbm_utilization": (
-                    round(bytes_accessed / dt / peak_hbm, 4)
+                    round(min(1.0, bytes_accessed / dt / peak_hbm), 4)
                     if bytes_accessed
                     else None
                 ),

@@ -201,6 +201,18 @@ def _replace_channels(signal, y, channels, warn_complex: bool):
     return signal.copy_with_new_time_data(new_td)
 
 
+def _oracle_exact_f64() -> bool:
+    """True in float64 drop-in mode: IIR/zero-phase application routes
+    through the literal scipy recursions on the host so results are
+    BIT-identical to the reference (its tests assert rtol=1e-7/atol=0
+    against scipy, `tests/test_classes.py:495-531`; any re-associated
+    f64 kernel fails on near-zero samples). The fp32/TPU device kernels
+    are unaffected."""
+    from .._config import default_float
+
+    return np.dtype(default_float()) == np.float64
+
+
 def filter_on_signal(
     signal,
     sos: np.ndarray,
@@ -213,8 +225,35 @@ def filter_on_signal(
     (`classes/filter_helpers.py:208-286`). Returns (new_signal, zi_new)."""
     if channels is None:
         channels = np.arange(signal.number_of_channels)
-    x = signal.time_data_jax[:, jnp.asarray(channels)].T  # (C_sel, T)
     complex_sos = np.iscomplexobj(sos)
+    if _oracle_exact_f64() and not complex_sos:
+        import scipy.signal as _ssig
+
+        xh = np.asarray(
+            signal.time_data[:, np.asarray(channels)].T, np.float64
+        )  # (C_sel, T)
+        if zi is not None:
+            zi_all = np.stack(zi, axis=0)  # (C_all, S, 2)
+            zi_sel = np.transpose(
+                zi_all[np.asarray(channels)], (1, 0, 2)
+            )  # (S, C_sel, 2)
+            y, zf = _ssig.sosfilt(sos, xh, axis=-1, zi=zi_sel)
+            zi_all[np.asarray(channels)] = np.transpose(zf, (1, 0, 2))
+            zi_new = [zi_all[c] for c in range(zi_all.shape[0])]
+        elif zero_phase:
+            y = _ssig.sosfiltfilt(sos, xh, axis=-1)
+            zi_new = None
+        else:
+            y = _ssig.sosfilt(sos, xh, axis=-1)
+            zi_new = None
+        new_signal = _replace_channels(
+            signal,
+            jnp.asarray(np.ascontiguousarray(y.T)),
+            channels,
+            warning_on_complex_output,
+        )
+        return new_signal, zi_new
+    x = signal.time_data_jax[:, jnp.asarray(channels)].T  # (C_sel, T)
     if zi is not None:
         from .._config import run_maybe_jitted
 
@@ -289,6 +328,40 @@ def filter_on_signal_ba(
     b, a = np.atleast_1d(ba[0]), np.atleast_1d(ba[1])
     if channels is None:
         channels = np.arange(signal.number_of_channels)
+    if (
+        _oracle_exact_f64()
+        and not np.iscomplexobj(b)
+        and not np.iscomplexobj(a)
+    ):
+        import scipy.signal as _ssig
+
+        xh = np.asarray(
+            signal.time_data[:, np.asarray(channels)].T, np.float64
+        )  # (C_sel, T)
+        if zi is not None:
+            zi_all = np.stack(zi, axis=0)  # (C_all, N)
+            zi_sel = zi_all[np.asarray(channels)]
+            y, zf = _ssig.lfilter(b, a, xh, axis=-1, zi=zi_sel)
+            zi_all[np.asarray(channels)] = zf
+            zi_new = [zi_all[c] for c in range(zi_all.shape[0])]
+        elif zero_phase:
+            y = _ssig.filtfilt(b, a, xh, axis=-1)
+            zi_new = None
+        elif is_fir:
+            y = _ssig.oaconvolve(
+                xh, b[None, :], mode="full", axes=-1
+            )[..., : xh.shape[-1]]
+            zi_new = None
+        else:
+            y = _ssig.lfilter(b, a, xh, axis=-1)
+            zi_new = None
+        new_signal = _replace_channels(
+            signal,
+            jnp.asarray(np.ascontiguousarray(y.T)),
+            channels,
+            warning_on_complex_output,
+        )
+        return new_signal, zi_new
     x = signal.time_data_jax[:, jnp.asarray(channels)].T  # (C_sel, T)
     T = x.shape[-1]
     if zi is not None:
@@ -311,13 +384,33 @@ def filter_on_signal_ba(
         # filter_on_signal
         if zero_phase:
             if is_fir:
+                # scipy.filtfilt semantics for a pure FIR (odd-ext padding
+                # + zi-initialized passes) in FFT-conv form: without
+                # feedback the TDF2 initial state surfaces as an additive
+                # length-N head correction, so each pass is one conv + one
+                # slice-add — no sequential scan
+                from ..ops.iir import _odd_ext, lfilter_zi
+
+                padlen = 3 * max(len(a), len(b))
+                if T <= padlen:
+                    raise ValueError(
+                        "Input too short for filtfilt padding"
+                    )
+                zi0 = lfilter_zi(b, a)
 
                 def _zp_fir(xv):
                     h = jnp.asarray(b, dtype=xv.real.dtype)
-                    yv = fft_convolve(xv, h)[..., :T]
-                    return jnp.flip(
-                        fft_convolve(jnp.flip(yv, -1), h)[..., :T], -1
-                    )
+                    ziv = jnp.asarray(zi0, dtype=xv.real.dtype)
+
+                    def one_pass(u):
+                        yv = fft_convolve(u, h)[..., : u.shape[-1]]
+                        head = ziv * u[..., :1]
+                        return yv.at[..., : ziv.shape[0]].add(head)
+
+                    ext = _odd_ext(xv, padlen)
+                    yv = one_pass(ext)
+                    yv = jnp.flip(one_pass(jnp.flip(yv, -1)), -1)
+                    return yv[..., padlen:-padlen]
 
                 y = run_maybe_jitted(_zp_fir, x)
             else:

@@ -368,7 +368,9 @@ class Signal(MultichannelData):
 
     @sampling_rate_hz.setter
     def sampling_rate_hz(self, new_sampling_rate_hz):
-        assert new_sampling_rate_hz is not None
+        assert isinstance(new_sampling_rate_hz, (int, np.integer)), (
+            "Sampling rate can only be an integer"
+        )
         self.__sampling_rate_hz = int(new_sampling_rate_hz)
 
     @property
@@ -1300,10 +1302,12 @@ class Signal(MultichannelData):
         range_hz=[20.0, 20e3],
         unwrap: bool = False,
         smoothing: int = 0,
-        remove_ir_latency: bool = False,
+        remove_ir_latency=None,
     ):
-        """Phase plot; requires an FFT-type spectrum
-        (`classes/signal.py:1451-1545`)."""
+        """Phase plot; requires an FFT-type spectrum.
+
+        ``remove_ir_latency``: None, "peak", "min_phase" or per-channel
+        delays in samples (`classes/signal.py:1451-1545`)."""
         from ..plots import general_plot
 
         assert self.spectrum_method == SpectrumMethod.FFT, (
@@ -1312,20 +1316,47 @@ class Signal(MultichannelData):
         )
         from .._config import to_host
 
+        prior_smoothing = self._spectrum_parameters["smoothing"]
+        self._spectrum_parameters["smoothing"] = 0
         f, sp = self.get_spectrum()
+        self._spectrum_parameters["smoothing"] = prior_smoothing
         # presentation boundary: host math (complex arrays must not cross
         # the device boundary eagerly on tunneled backends)
         ph = np.angle(to_host(sp))
-        if remove_ir_latency:
+        if remove_ir_latency is not None:
             from ..helpers.latency import (
                 get_fractional_impulse_peak_index,
                 remove_ir_latency_from_phase,
             )
 
-            lat = get_fractional_impulse_peak_index(self.time_data)
+            if isinstance(remove_ir_latency, str):
+                mode_ = remove_ir_latency.lower()
+                if mode_ == "peak":
+                    delays = get_fractional_impulse_peak_index(
+                        self.time_data, 1
+                    )
+                elif mode_ == "min_phase":
+                    from ..helpers.latency import fractional_latency
+                    from ..helpers.minimum_phase import (
+                        min_phase_ir_from_real_cepstrum,
+                    )
+
+                    min_ir = np.asarray(
+                        min_phase_ir_from_real_cepstrum(
+                            jnp.asarray(self.time_data.T), 8
+                        )
+                    ).T[: len(self), :]
+                    delays = fractional_latency(
+                        self.time_data, min_ir, 1
+                    )
+                else:
+                    raise ValueError("No valid latency removal")
+            else:
+                delays = np.atleast_1d(remove_ir_latency)
             ph = np.asarray(
                 remove_ir_latency_from_phase(
-                    f, ph, lat, self.sampling_rate_hz
+                    f, jnp.asarray(ph), np.asarray(delays),
+                    self.sampling_rate_hz,
                 )
             )
         if smoothing != 0:

@@ -29,13 +29,13 @@ class TestMusicFilterbankChain:
         for b in range(mb_m.number_of_bands):
             close(
                 mb_m.bands[b].time_data, mb_r.bands[b].time_data,
-                2e-4, f"elise LR band {b}",
+                2e-5, f"elise LR band {b}",
             )
 
         # downsample the low band like a crossover-based processor would
         low_m = dsp.resample(mb_m.bands[0], 11025)
         low_r = ref.resample(mb_r.bands[0], 11025)
-        close(low_m.time_data, low_r.time_data, 5e-4, "elise low resampled")
+        close(low_m.time_data, low_r.time_data, 2e-5, "elise low resampled")
 
     def test_gammatone_analysis(self, ref, close):
         s_m = dsp.pad_trim(dsp.Signal(f"{EXAMPLE}/fuer_elise.wav"), 2**14)
@@ -51,7 +51,7 @@ class TestMusicFilterbankChain:
         mb_r = fb_r.filter_signal(s_r, ref.FilterBankMode.Parallel)
         rec_m = fb_m.reconstruct(mb_m)
         rec_r = fb_r.reconstruct(mb_r)
-        close(rec_m.time_data, rec_r.time_data, 5e-4, "elise gammatone rec")
+        close(rec_m.time_data, rec_r.time_data, 2e-5, "elise gammatone rec")
 
 
 class TestBatchedRIRDescriptors:

@@ -118,7 +118,13 @@ def profile_program(fn, args, label: str, trace_dir: str | None = None,
         "achieved_tflops": round(flops / best / 1e12, 4),
         "mfu_bf16_peak": round(flops / best / PEAK_BF16_FLOPS, 5),
         "mfu_fp32_effective": round(flops / best / PEAK_FP32_FLOPS, 5),
+        # XLA cost-model estimate; clamped at 1.0 because the byte count
+        # is approximate (fused reads can be double-counted) — the raw
+        # ratio is kept alongside for transparency
         "hbm_utilization": round(
+            min(1.0, bytes_accessed / best / PEAK_HBM_BYTES_PER_S), 4
+        ),
+        "hbm_utilization_raw_estimate": round(
             bytes_accessed / best / PEAK_HBM_BYTES_PER_S, 4
         ),
     }
