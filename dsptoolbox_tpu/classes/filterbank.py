@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from copy import deepcopy
 from pickle import HIGHEST_PROTOCOL, dump
+from warnings import warn
 
 import jax.numpy as jnp
 import numpy as np
@@ -594,23 +595,49 @@ class FilterBank:
         mode: FilterBankMode = FilterBankMode.Parallel,
         zero_phase: bool = False,
     ):
-        """Impulse responses of the bank (`classes/filterbank.py:534-600`)."""
+        """Impulse responses of the bank (`classes/filterbank.py:534-600`).
+
+        Multirate banks deliver a parallel `MultiBandSignal` with one
+        dirac per filter at that filter's own rate
+        (`classes/filterbank.py:572-586`)."""
         from .filter_helpers import impulse
         from .impulse_response import ImpulseResponse
 
+        if not self.same_sampling_rate:
+            assert mode == FilterBankMode.Parallel, (
+                "Multirate filter bank can only deliver an IR in parallel "
+                "mode"
+            )
+            mb = MultiBandSignal(same_sampling_rate=False)
+            for ind, filt in enumerate(self.filters):
+                d = ImpulseResponse(
+                    None,
+                    impulse(length_samples),
+                    self.sampling_rate_hz[ind],
+                    constrain_amplitude=False,
+                )
+                mb.add_band(filt.filter_signal(d, zero_phase=zero_phase))
+            return mb
         d = ImpulseResponse(
             None,
             impulse(length_samples),
-            (
-                self.sampling_rate_hz
-                if self.same_sampling_rate
-                else self.sampling_rate_hz[0]
-            ),
+            self.sampling_rate_hz,
             constrain_amplitude=False,
         )
         return self.filter_signal(d, mode, zero_phase=zero_phase)
 
     # ======== Plots =========================================================
+    def _multirate_plot_skip(self) -> bool:
+        """The reference skips response plots for multirate banks with a
+        warning (`classes/filterbank.py:694-700`)."""
+        if not self.same_sampling_rate:
+            warn(
+                "Plotting for multirate FilterBank is not supported, "
+                "skipping plots"
+            )
+            return True
+        return False
+
     def _response_irs(
         self, length_samples: int, mode, zero_phase: bool = False
     ):
@@ -631,6 +658,8 @@ class FilterBank:
     ):
         """Magnitude responses of all bands
         (`classes/filterbank.py:662-770`)."""
+        if self._multirate_plot_skip():
+            return None
         from ..helpers.gain_and_level import to_db
         from ..plots import general_plot
 
@@ -663,6 +692,8 @@ class FilterBank:
         unwrap: bool = False,
     ):
         """Phase responses (`classes/filterbank.py:771-870`)."""
+        if self._multirate_plot_skip():
+            return None
         from ..plots import general_plot
 
         irs = self._response_irs(length_samples, mode)
@@ -694,6 +725,8 @@ class FilterBank:
         range_hz=[20, 20e3],
     ):
         """Group delays (`classes/filterbank.py:871-1008`)."""
+        if self._multirate_plot_skip():
+            return None
         import jax.numpy as jnp
 
         from ..plots import general_plot

@@ -183,6 +183,9 @@ class MultiBandSignal:
         assert len(np.unique(new_order)) == len(new_order), (
             "There are repeated indexes in the new order vector"
         )
+        assert np.all(
+            (new_order >= 0) & (new_order < self.number_of_bands)
+        ), "Indexes of the new order vector exceed the number of bands"
         self.bands = [self.bands[i] for i in new_order]
         return self
 

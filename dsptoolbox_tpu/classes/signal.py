@@ -120,6 +120,61 @@ def _cache_leaf(a):
     return np.copy(a) if isinstance(a, np.ndarray) else a
 
 
+class _AliasedTimeData(np.ndarray):
+    """Writable host mirror of a Signal's device time data.
+
+    The reference getter returns its internal numpy buffer
+    (`classes/signal.py:220`), so callers mutate signals in place
+    (``sig.time_data[50, :] = 1.0`` in its own tests,
+    `tests/test_transfer_functions.py:333`). A device container cannot
+    alias jax memory, so this subclass emulates the contract: item
+    assignment and in-place ufuncs on the mirror (or any view of it) push
+    the whole buffer back to the device and invalidate the signal's
+    spectral caches. Plain reads cost nothing; out-of-place ops return
+    ordinary numpy arrays.
+
+    Known gap vs true aliasing (documented in docs/parity_notes.md):
+    C-level writes that bypass ``__setitem__``/ufuncs-with-``out``
+    (e.g. ``np.copyto``/``nan_to_num(copy=False)``) mutate only the host
+    mirror until the next tracked write.
+    """
+
+    _owner = None  # root mirror's Signal; propagated to views
+
+    def __array_finalize__(self, obj):
+        if obj is not None:
+            self._owner = getattr(obj, "_owner", None)
+
+    def _writeback(self):
+        owner = self._owner
+        if owner is not None:
+            owner._sync_host_mirror()
+
+    def __setitem__(self, key, value):
+        np.ndarray.__setitem__(self, key, value)
+        self._writeback()
+
+    def __array_ufunc__(self, ufunc, method, *inputs, out=None, **kwargs):
+        # compute on plain ndarrays, then write back when an output
+        # buffer is (a view of) the mirror
+        def _plain(x):
+            return (
+                x.view(np.ndarray) if isinstance(x, _AliasedTimeData) else x
+            )
+
+        if out is not None:
+            kwargs["out"] = tuple(_plain(o) for o in out)
+        results = getattr(ufunc, method)(
+            *(_plain(i) for i in inputs), **kwargs
+        )
+        if out is not None:
+            for o in out:
+                if isinstance(o, _AliasedTimeData):
+                    o._writeback()
+            return out[0] if len(out) == 1 else out
+        return results
+
+
 class Signal(MultichannelData):
     """General multichannel audio signal container backed by a device array.
 
@@ -142,6 +197,8 @@ class Signal(MultichannelData):
         self.activate_cache = activate_cache
         self._state_counter = 0
         self._cache: dict = {}
+        self._host_mirror = None
+        self._host_mirror_state = -1
         if path is not None:
             assert time_data is None, (
                 "Constructor cannot take a path and a vector at the same time"
@@ -186,17 +243,42 @@ class Signal(MultichannelData):
     # ======== Properties ====================================================
     @property
     def time_data(self) -> np.ndarray:
-        """Time data ``(T, C)`` as a writable host numpy array (API parity
-        with the reference's getter, `classes/signal.py:220`). Unlike the
-        reference, the returned array does NOT alias internal storage —
-        in-place mutation does not write back (augmented assignment
-        ``sig.time_data += x`` still works because the property setter runs;
-        see docs/parity_notes.md). Use ``time_data_jax`` for the device
+        """Time data ``(T, C)`` as a writable host MIRROR of the device
+        array (API parity with the reference's aliasing getter,
+        `classes/signal.py:220`): item assignment and in-place ufuncs on
+        the returned array (or views of it) write back to the device and
+        invalidate spectral caches — see :class:`_AliasedTimeData` and
+        docs/parity_notes.md. Use ``time_data_jax`` for the device
         array."""
-        out = np.asarray(self._time_data)
-        if not out.flags.writeable:
-            out = out.copy()
-        return out
+        # getattr: objects unpickled from older snapshots lack the slots
+        if (
+            getattr(self, "_host_mirror", None) is not None
+            and self._host_mirror_state == self._state_counter
+        ):
+            return self._host_mirror
+        arr = np.array(self._time_data)  # writable host copy
+        mirror = arr.view(_AliasedTimeData)
+        mirror._owner = self
+        self._host_mirror = mirror
+        self._host_mirror_state = self._state_counter
+        return mirror
+
+    def _sync_host_mirror(self) -> None:
+        """Upload the (mutated) host mirror back to the device.
+
+        Mirrors the reference's aliasing semantics: no amplitude
+        re-constraining, the time window is kept; spectral caches are
+        invalidated (the reference silently serves stale caches here —
+        invalidating is strictly safer)."""
+        m = getattr(self, "_host_mirror", None)
+        if m is None:
+            return
+        self._time_data = jnp.asarray(
+            np.ascontiguousarray(np.asarray(m)), dtype=default_float()
+        )
+        self._state_counter += 1
+        self._cache.clear()
+        self._host_mirror_state = self._state_counter
 
     @property
     def time_data_jax(self) -> jnp.ndarray:
@@ -430,8 +512,12 @@ class Signal(MultichannelData):
         return self.metadata_str
 
     def __iter__(self):
+        """Iterate over per-channel column arrays like the reference
+        (`classes/signal.py:492-495`). The columns slice one writable host
+        copy — mutations do not write back (see docs/parity_notes.md)."""
+        td = self.time_data
         return iter(
-            self.get_channels(ch) for ch in range(self.number_of_channels)
+            [td[:, x] for x in range(self.number_of_channels)]
         )
 
     # ======== Spectrum configuration ========================================
@@ -667,12 +753,20 @@ class Signal(MultichannelData):
 
         return _fft_spectrum, fft_length
 
-    def get_spectrum(self, force_computation=False):
+    def get_spectrum(self, force_computation=False, return_device=False):
         """(freqs, spectrum ``(F, C)``) per the stored parameters.
 
         Welch → real spectrum; FFT → complex backward-normalized rfft with
         optional smoothing/physical scaling (`classes/signal.py:861-946`).
+
+        ``return_device=True`` leaves the spectrum on the device (complex
+        FFT spectra come back as a :class:`DeviceSpectralData` real/imag
+        pair, without the mono squeeze) so device-side consumers skip the
+        host fetch — one ~32 ms round trip per call on tunneled backends.
         """
+        if return_device:
+            f, re, im = self._get_spectrum_device()
+            return f, (re if im is None else DeviceSpectralData(re, im))
         if not force_computation and "spectrum" in self._cache:
             f, sp = self._cache["spectrum"]
             return f.copy(), sp.copy()
@@ -785,7 +879,8 @@ class Signal(MultichannelData):
 
         return _csm
 
-    def get_csm(self, force_computation=False, mesh=None):
+    def get_csm(self, force_computation=False, mesh=None,
+                return_device=False):
         """(freqs, csm ``(F, C, C)``) — one batched einsum on device
         (`classes/signal.py:948-1007`; kernel `ops/spectral.py`).
 
@@ -794,11 +889,18 @@ class Signal(MultichannelData):
         (row-parallel Gram matrix, `parallel.ops.parallel_csm`): each
         device computes its channel block's windowed spectra locally,
         `all_gather`s them over ICI, and forms its rows with one local
-        einsum. Multi-chip is a kwarg, not a rewrite."""
+        einsum. Multi-chip is a kwarg, not a rewrite.
+
+        ``return_device=True`` returns the CSM as a
+        :class:`DeviceSpectralData` (real/imag device pair) — no host
+        fetch at all for device-side consumers."""
         assert self.number_of_channels > 1, (
             "Cross spectral matrix can only be computed when at least two "
             "channels are available"
         )
+        if return_device:
+            f, re, im = self._get_csm_device()
+            return f, DeviceSpectralData(re, im)
         if mesh is not None and mesh.devices.size > 1:
             return self._get_csm_mesh(mesh)
         if not force_computation and "csm" in self._cache:
@@ -810,7 +912,24 @@ class Signal(MultichannelData):
             _csm = self._csm_welch_closure()
 
             if _complex_transfer_broken():
-                f, csm = run_jitted_complex(_csm, self._time_data)
+                # pack (real, imag) into ONE stacked buffer: each host
+                # materialization pays a full tunnel round trip (~32 ms),
+                # so one fetch instead of three (f + re + im) dominates
+                # warm get_csm latency; freqs are rebuilt host-side
+                packed = np.asarray(
+                    run_jitted_complex(
+                        lambda td: (
+                            lambda fc: jnp.stack([fc[1].real, fc[1].imag])
+                        )(_csm(td)),
+                        self._time_data,
+                        materialize=False,
+                    )
+                )
+                csm = packed[0] + 1j * packed[1]
+                f = np.fft.rfftfreq(
+                    self._spectrum_parameters["window_length_samples"],
+                    1 / self.sampling_rate_hz,
+                )
             else:
                 f, csm = _csm(self._time_data)
         else:

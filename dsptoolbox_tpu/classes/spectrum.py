@@ -137,38 +137,38 @@ class Spectrum(MultichannelData):
     def length_frequency_bins(self) -> int:
         return len(self.frequency_vector_hz)
 
+    @staticmethod
+    def _host2d(x) -> np.ndarray:
+        """Host 2-D numpy view of spectral data (complex-safe fetch for
+        device inputs)."""
+        from .._config import to_host
+
+        if isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray):
+            x = to_host(x)
+        return np.atleast_2d(np.asarray(x))
+
     @property
-    def spectral_data(self) -> jnp.ndarray:
+    def spectral_data(self) -> np.ndarray:
+        """Spectral data ``(F, C)`` as the internal WRITABLE host numpy
+        array — in-place mutation writes through, exactly like the
+        reference getter (`classes/spectrum.py:219-230`; its own tests
+        mutate it, `tests/test_filterbanks.py:105`). Device consumers
+        upload on use (the arrays are small analysis containers)."""
         return self.__spectral_data
 
     @spectral_data.setter
     def spectral_data(self, new_data):
-        from .._config import _complex_transfer_broken, to_host
-
-        # np.iscomplexobj inspects the dtype only — no transfer happens
-        if np.iscomplexobj(new_data) and _complex_transfer_broken():
-            # complex buffers cannot live on tunneled devices: store the
-            # spectrum host-side; device consumers re-enter through
-            # run_jitted_complex
-            data = np.atleast_2d(to_host(new_data))
-            if data.shape[0] == 1 and data.shape[1] > 1:
-                data = data.T
-            assert data.shape[0] == len(self.frequency_vector_hz), (
-                "Spectral data does not match frequency vector length"
-            )
-            self.__spectral_data = data.astype(np.complex128)
-            return
-        data = jnp.atleast_2d(jnp.asarray(new_data))
-        if data.shape[0] == 1 and data.shape[1] > 1:
+        data = self._host2d(new_data)
+        assert data.ndim == 2, "Spectral data must have two dimensions"
+        if data.shape[0] < data.shape[1]:
             data = data.T
         assert data.shape[0] == len(self.frequency_vector_hz), (
             "Spectral data does not match frequency vector length"
         )
-        if jnp.iscomplexobj(data):
-            data = data.astype(default_complex())
-        else:
-            data = data.astype(default_float())
-        self.__spectral_data = data
+        # reference dtypes: float64 magnitude / complex128 spectra
+        self.__spectral_data = data.astype(
+            np.complex128 if np.iscomplexobj(data) else np.float64
+        )
 
     @property
     def is_magnitude(self) -> bool:
@@ -331,7 +331,9 @@ class Spectrum(MultichannelData):
             ),
         )
         self.frequency_vector_hz = new_freqs_hz
-        self.__spectral_data = jnp.atleast_2d(new_sp)
+        self.__spectral_data = self._host2d(new_sp).astype(
+            np.complex128 if np.iscomplexobj(new_sp) else np.float64
+        )
         return self
 
     def normalize(
@@ -347,7 +349,7 @@ class Spectrum(MultichannelData):
             if reference_channel is None
             else values[0, reference_channel]
         )
-        self.__spectral_data = self.spectral_data / norm
+        self.__spectral_data = self.spectral_data / self._host2d(norm)
         return self
 
     def apply_gain(self, gain_db) -> "Spectrum":
@@ -355,7 +357,7 @@ class Spectrum(MultichannelData):
         assert len(gains) == 1 or len(gains) == self.number_of_channels, (
             "Number of gains is not compatible"
         )
-        self.__spectral_data = self.spectral_data * jnp.asarray(
+        self.__spectral_data = self.spectral_data * np.asarray(
             from_db(gains, True), dtype=self.spectral_data.real.dtype
         )
         return self
@@ -557,9 +559,9 @@ class Spectrum(MultichannelData):
             self.frequency_vector_hz = new_f
         wt = window_type.to_scipy_format()
         if self.is_magnitude:
-            self.__spectral_data = fractional_octave_smoothing(
-                data, beta, octave_fraction, wt
-            )
+            self.__spectral_data = self._host2d(
+                fractional_octave_smoothing(data, beta, octave_fraction, wt)
+            ).astype(np.float64)
             return self
         mag = fractional_octave_smoothing(
             jnp.abs(data), beta, octave_fraction, wt
@@ -567,9 +569,19 @@ class Spectrum(MultichannelData):
         ph = fractional_octave_smoothing(
             jnp.unwrap(jnp.angle(data), axis=0), beta, octave_fraction, wt
         )
-        self.__spectral_data = (mag * jnp.exp(1j * ph)).astype(
-            default_complex()
+        from .._config import run_jitted_complex
+
+        re_s, im_s = run_jitted_complex(
+            lambda m, p_: (lambda c: (c.real, c.imag))(
+                m * jnp.exp(1j * p_)
+            ),
+            mag,
+            ph,
+            materialize=False,
         )
+        self.__spectral_data = (
+            np.asarray(re_s) + 1j * np.asarray(im_s)
+        ).astype(np.complex128)
         return self
 
     def set_coherence(self, coherence) -> "Spectrum":

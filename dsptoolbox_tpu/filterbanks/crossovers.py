@@ -7,6 +7,8 @@ via `Filter.filter_and_resample_signal`.
 
 from __future__ import annotations
 
+import numpy as np
+
 
 from ..classes.filter import Filter
 from ..classes.filterbank import FilterBank
@@ -126,6 +128,57 @@ class BaseCrossover(FilterBank):
             signal.bands[1],
             self.filters_synthesis,
             up_factor=2 if upsample else 1,
+        )
+
+    def plot_magnitude(
+        self,
+        length_samples: int = 512,
+        mode: FilterBankMode = FilterBankMode.Parallel,
+        range_hz=[20.0, 20e3],
+        downsample: bool = True,
+    ):
+        """Magnitude response plot; with ``downsample`` the dirac is run
+        through the downsampling analysis path and each band is plotted at
+        its decimated rate (`_filterbank.py:954-1075`)."""
+        if not downsample:
+            return super().plot_magnitude(length_samples, mode, range_hz)
+        from .._config import to_host
+        from ..generators import dirac
+        from ..helpers.gain_and_level import to_db
+        from ..plots import general_plot
+        from ..standard.enums import SpectrumMethod
+
+        d = dirac(
+            length_samples,
+            sampling_rate_hz=self.sampling_rate_hz,
+            number_of_channels=1,
+        )
+        bs = self.filter_signal(d, mode=mode, downsample=True)
+        if mode == FilterBankMode.Parallel:
+            sigs = list(bs.bands)
+            labels = [f"Filter {h}" for h in range(len(sigs))]
+        elif mode == FilterBankMode.Sequential:
+            sigs = [bs]
+            labels = [
+                f"Sequential - Channel {n}"
+                for n in range(bs.number_of_channels)
+            ]
+        elif mode == FilterBankMode.Summed:
+            sigs = [bs]
+            labels = ["Summed"]
+        else:
+            raise ValueError("Invalid filter bank mode")
+        mats = []
+        f = None
+        for b in sigs:
+            b.spectrum_method = SpectrumMethod.FFT
+            f_b, sp = b.get_spectrum()
+            mats.append(np.squeeze(to_db(np.abs(to_host(sp)), True)))
+            if f is None:
+                f = f_b
+        mat = np.atleast_2d(np.array(mats)).T
+        return general_plot(
+            f, mat, range_hz, ylabel="Magnitude / dB", labels=labels
         )
 
 

@@ -170,14 +170,45 @@ class StateVariableFilter(RealtimeFilter):
         self.state[1] = np.asarray(s1)
         return np.asarray(out)
 
+    def _process_host_f64(self, td: np.ndarray) -> np.ndarray:
+        """Literal per-sample recursion vectorized over channels — the
+        float64 drop-in mode needs the block path BIT-identical to
+        `process_sample` (the reference's tests assert_array_equal the
+        two, `tests/test_classes.py:1261-1275`); an XLA scan may contract
+        to FMA and differ in the last ulp."""
+        g = self.g
+        res = self.resonance
+        iv = self.intermediate_value
+        s = self.state
+        T = td.shape[0]
+        out = np.empty((T, 4, td.shape[1]), np.float64)
+        for t in range(T):
+            x = td[t]
+            yh = (x - (res + g) * s[0] - s[1]) * iv
+            yb = g * yh + s[0]
+            s[0] = g * yh + yb
+            yl = g * yb + s[1]
+            s[1] = g * yb + yl
+            out[t, 0] = yl
+            out[t, 1] = yh
+            out[t, 2] = yb
+            out[t, 3] = yl - res * yb + yh
+        return out
+
     def filter_signal(self, signal):
         """→ MultiBandSignal with LP/HP/BP/AP bands
         (`sv_filter.py:115-180`)."""
+        from ..classes.filter_helpers import _oracle_exact_f64
         from ..classes.multibandsignal import MultiBandSignal
 
         if self.n_channels != signal.number_of_channels:
             self.set_n_channels(signal.number_of_channels)
-        out = self._process_device(signal.time_data)  # (T, 4, C)
+        if _oracle_exact_f64():
+            out = self._process_host_f64(
+                np.asarray(signal.time_data, np.float64)
+            )
+        else:
+            out = self._process_device(signal.time_data)  # (T, 4, C)
         bands = [
             signal.copy_with_new_time_data(out[:, i, :]) for i in range(4)
         ]

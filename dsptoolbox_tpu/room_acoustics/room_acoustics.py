@@ -121,10 +121,25 @@ def convolve_rir_on_signal(
     assert rir.sampling_rate_hz == signal.sampling_rate_hz, (
         "The sampling rates do not match"
     )
-    x = jnp.asarray(signal.time_data.T)  # (C, T)
-    h = jnp.asarray(rir.time_data[:, 0])
-    y = fft_convolve(x, h, mode="full")
-    new_td = np.asarray(y.T)
+    from ..classes.filter_helpers import _oracle_exact_f64
+
+    if _oracle_exact_f64():
+        # float64 drop-in mode: the reference's literal scipy dispatch
+        # (`room_acoustics.py:251-255`) for bit-identical results
+        from scipy.signal import convolve, oaconvolve
+
+        ratio = signal.length_samples / rir.length_samples
+        if ratio < 15.0 or ratio < 1.0 / 15.0:
+            new_td = oaconvolve(
+                signal.time_data, rir.time_data, axes=0, mode="full"
+            )
+        else:
+            new_td = convolve(signal.time_data, rir.time_data, mode="full")
+    else:
+        x = jnp.asarray(signal.time_data.T)  # (C, T)
+        h = jnp.asarray(rir.time_data[:, 0])
+        y = fft_convolve(x, h, mode="full")
+        new_td = np.asarray(y.T)
     if keep_length:
         new_td = new_td[: len(signal), ...]
     if keep_peak_level:
@@ -215,7 +230,7 @@ def generate_synthetic_rir(
                 mo=max_order,
                 sr=sampling_rate_hz,
             )
-            rir_band = np.asarray(
+            rir_band = np.array(
                 pad_trim_axis(
                     jnp.asarray(rir_band), total_length_samples, axis=-1
                 )

@@ -215,7 +215,7 @@ class ShoeboxRoom(Room):
         if generate_plot:
             from ..plots import general_plot
 
-            p_db = np.asarray(to_db(jnp.asarray(p), True))
+            p_db = np.array(to_db(jnp.asarray(p), True))
             p_db -= np.max(p_db)
             plot = general_plot(
                 f, p_db[:, None], range_x=[f[0], f[-1]], tight_layout=True

@@ -267,7 +267,9 @@ def window_ir(
         )(td_dev)
         new_sig = signal.copy_with_new_time_data(new_time_data)
         new_sig.set_window(window_dev)
-        return new_sig, start_positions
+        # host ints: the reference returns a numpy start-position vector
+        # (`transfer_functions.py:289-293`) and its tests isinstance-check
+        return new_sig, np.asarray(start_positions)
 
     C = signal.number_of_channels
     start_positions = np.zeros(C, dtype=int)

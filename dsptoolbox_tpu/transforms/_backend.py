@@ -300,18 +300,25 @@ def dft_core(
     coarse_b = coarse.reshape(-1, chunk, n1_max)
     omega_b = omega.reshape(-1, chunk)
 
+    from .._config import default_float
+
+    real_dt = np.dtype(default_float())
+    cplx_dt = (
+        jnp.complex128 if real_dt == np.float64 else jnp.complex64
+    )
+
     n_idx = np.arange(T)
     n1 = (n_idx // B).astype(np.int32)
-    n0 = (n_idx % B).astype(np.float32)
+    n0 = (n_idx % B).astype(real_dt)
 
-    td = jnp.asarray(time_data, jnp.complex64)
+    td = jnp.asarray(time_data, cplx_dt)
     n1j = jnp.asarray(n1)
     n0j = jnp.asarray(n0)
 
     def body(carry, fa):
         coarse_c, omega_c = fa  # (chunk, N1), (chunk,)
         phase = coarse_c[:, n1j] + omega_c[:, None] * n0j[None, :]
-        M = jnp.exp((-2j * np.pi) * phase.astype(jnp.complex64))
+        M = jnp.exp((-2j * np.pi) * phase.astype(cplx_dt))
         out = jnp.einsum(
             "ft,tc->fc", M, td, precision=jax.lax.Precision.HIGHEST
         )
@@ -321,8 +328,8 @@ def dft_core(
         body,
         0,
         (
-            jnp.asarray(coarse_b, jnp.float32),
-            jnp.asarray(omega_b, jnp.float32),
+            jnp.asarray(coarse_b, real_dt),
+            jnp.asarray(omega_b, real_dt),
         ),
     )
     return chunks.reshape(-1, C)[:F]

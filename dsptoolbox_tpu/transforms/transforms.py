@@ -405,6 +405,15 @@ def chroma_stft(
     assert compression > 0, "Compression factor must be greater than zero"
     # device power spectrogram: the complex STFT never reaches the host
     t, f, power = signal._get_power_spectrogram_device()
+    if len(f) != power.shape[0]:
+        # the reference derives the frequency vector from the WINDOW
+        # length even when fft_length > window
+        # (`_spectral_methods.py:281`), which crashes its own chroma
+        # (upstream test_chroma fails in this state); use the true bin
+        # grid of the actual FFT length instead
+        f = np.fft.rfftfreq(
+            (power.shape[0] - 1) * 2, 1 / signal.sampling_rate_hz
+        )
     pitch_frequencies = pitch2frequency(tuning_a_hz)
     pitch_transformation = np.zeros((len(pitch_frequencies), len(f)))
     for ind, fn in enumerate(pitch_frequencies):

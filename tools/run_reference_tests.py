@@ -56,6 +56,35 @@ set_default_float("float64")
 # The alias: reference tests import `dsptoolbox` — serve ours instead.
 sys.modules["dsptoolbox"] = dsptoolbox_tpu
 
+
+# Submodule imports (`from dsptoolbox.classes.lattice_ladder_filter import
+# ...`, reference tests/test_filterbanks.py:338) bypass the sys.modules
+# alias and would re-execute our packages under the aliased name (circular
+# import). A meta-path finder maps every `dsptoolbox.*` module to the
+# already-imported `dsptoolbox_tpu.*` equivalent instead.
+import importlib  # noqa: E402
+import importlib.abc  # noqa: E402
+from importlib.machinery import ModuleSpec  # noqa: E402
+
+
+class _AliasLoader(importlib.abc.Loader):
+    def create_module(self, spec):
+        real_name = "dsptoolbox_tpu" + spec.name[len("dsptoolbox"):]
+        return importlib.import_module(real_name)
+
+    def exec_module(self, module):
+        pass
+
+
+class _AliasFinder(importlib.abc.MetaPathFinder):
+    def find_spec(self, name, path=None, target=None):
+        if name == "dsptoolbox" or name.startswith("dsptoolbox."):
+            return ModuleSpec(name, _AliasLoader())
+        return None
+
+
+sys.meta_path.insert(0, _AliasFinder())
+
 import pytest  # noqa: E402
 
 if __name__ == "__main__":
