@@ -1069,6 +1069,9 @@ class BeamformerMVDR(BeamformerGridded):
 
 from functools import partial as _partial
 
+# gather-buffer budget per DAS-time grid chunk (bytes)
+_DAS_TIME_CHUNK_BYTES = 64e6
+
 
 @_partial(jax.jit, static_argnames=("t_out",))
 def _das_time_chunk(xpad, shift, h, w, t_out):
@@ -1165,9 +1168,12 @@ class BeamformerDASTime(BaseBeamformer):
         )
         shift = front - s  # (M, G) host ints
 
-        # chunk the grid so the (M, Gc, total+N) gather stays ~<=64 MB
+        # chunk the grid so the (M, Gc, total+N) gather stays bounded
+        # (module constant so tests can force multi-chunk execution)
         bytes_per_point = M * (total_length + N) * np.dtype(dt).itemsize
-        g_chunk = int(max(1, min(G, 64e6 // max(1, bytes_per_point))))
+        g_chunk = int(
+            max(1, min(G, _DAS_TIME_CHUNK_BYTES // max(1, bytes_per_point)))
+        )
         n_chunks = -(-G // g_chunk)
         outs = []
         for ci in range(n_chunks):

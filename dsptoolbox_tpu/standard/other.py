@@ -47,6 +47,7 @@ def activity_detector(
     assert threshold_dbfs < 0, "Threshold must be below zero"
     assert release_time_ms >= 0, "Release time must be positive"
     assert attack_time_ms >= 0, "Attack time must be positive"
+    parent = signal  # its host mirror caches across repeated calls
     signal = signal.get_channels(channel)
     if pre_filter is not None:
         assert isinstance(pre_filter, Filter), (
@@ -79,7 +80,9 @@ def activity_detector(
     noise = signal.copy()
     detected_sig.clear_time_window()
     noise.clear_time_window()
-    td_host = signal.time_data  # single host fetch (cached when possible)
+    # fetch through the PARENT's mirror: it persists across calls, so
+    # repeated detections on the same signal skip the big host transfer
+    td_host = np.asarray(parent.time_data)[:, [channel]]
     if signal_indices.any():
         detected_sig.time_data = td_host[signal_indices, 0]
     else:

@@ -348,6 +348,23 @@ class TestTimeBeamformer:
             out_m.time_data, out_r.time_data, 1e-3, "DAS time output"
         )
 
+    def test_das_time_chunked_equals_single_chunk(
+        self, array_signal_pair, monkeypatch
+    ):
+        """Multi-chunk grid execution (tiny chunk budget) must equal the
+        one-chunk path — exercises the last-chunk edge padding + trim."""
+        from dsptoolbox_tpu.beamforming import beamforming as bfm
+
+        (ma_m, s_m), _ = array_signal_pair
+        xval = np.arange(-0.5, 0.5, 0.15)
+        g_m = bf.LineGrid(xval, "y", 0.5, 0)
+        b_m = bf.BeamformerDASTime(s_m, ma_m, g_m)
+        full = np.asarray(b_m.get_beamformer_output().time_data)
+        monkeypatch.setattr(bfm, "_DAS_TIME_CHUNK_BYTES", 1.0)
+        chunked = np.asarray(b_m.get_beamformer_output().time_data)
+        # fp32 einsum accumulation order differs per chunk width
+        np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-6)
+
 
 class TestArrayXml:
     """BASELINE config 5: array.xml geometry -> beamforming sweep."""
