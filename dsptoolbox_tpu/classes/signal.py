@@ -765,6 +765,8 @@ class Signal(MultichannelData):
         host fetch — one ~32 ms round trip per call on tunneled backends.
         """
         if return_device:
+            if force_computation:
+                self._cache.pop("spectrum_dev", None)
             f, re, im = self._get_spectrum_device()
             return f, (re if im is None else DeviceSpectralData(re, im))
         if not force_computation and "spectrum" in self._cache:
@@ -899,6 +901,8 @@ class Signal(MultichannelData):
             "channels are available"
         )
         if return_device:
+            if force_computation:
+                self._cache.pop("csm_dev", None)
             f, re, im = self._get_csm_device()
             return f, DeviceSpectralData(re, im)
         if mesh is not None and mesh.devices.size > 1:
@@ -1543,6 +1547,22 @@ class Signal(MultichannelData):
 
     def copy(self) -> "Signal":
         return deepcopy(self)
+
+    def __deepcopy__(self, memo):
+        """Deepcopy that drops the host mirror (a rebuildable cache —
+        copying it would duplicate the full time data on the host and
+        carry a stale owner link)."""
+        cls = self.__class__
+        new = cls.__new__(cls)
+        memo[id(self)] = new
+        for k, v in self.__dict__.items():
+            if k == "_host_mirror":
+                new.__dict__[k] = None
+            elif k == "_host_mirror_state":
+                new.__dict__[k] = -1
+            else:
+                new.__dict__[k] = deepcopy(v, memo)
+        return new
 
     def copy_with_new_time_data(self, new_time_data) -> "Signal":
         if not isinstance(new_time_data, (jnp.ndarray, DeviceTimeData)):
