@@ -1073,6 +1073,15 @@ from functools import partial as _partial
 _DAS_TIME_CHUNK_BYTES = 64e6
 
 
+@_partial(jax.jit, static_argnames=("front", "back"))
+def _pad_time_axis(x, front, back):
+    """Zero-pad the last axis inside one jitted program (an eager
+    `jnp.concatenate` costs a full dispatch round trip on tunneled
+    backends)."""
+    widths = [(0, 0)] * (x.ndim - 1) + [(front, back)]
+    return jnp.pad(x, widths)
+
+
 @_partial(jax.jit, static_argnames=("t_out",))
 def _das_time_chunk(xpad, shift, h, w, t_out):
     """Delay-and-sum over one grid chunk.
@@ -1093,18 +1102,27 @@ def _das_time_chunk(xpad, shift, h, w, t_out):
     return y
 
 
-@_partial(jax.jit, static_argnames=("t_out",))
-def _monopole_projection_kernel(xpad, shift, h, amp, t_out):
-    """``y[d, t] = amp[d] * sum_k h[d, k] * xpad[t + shift[d] - k]`` —
-    one source signal delayed to D destinations. xpad (Tp,); shift/amp
-    (D,); h (D, N)."""
+@_partial(jax.jit, static_argnames=("n_keep",))
+def _das_time_finish(parts, n_keep):
+    """Concatenate the grid chunks, drop the last chunk's padding and
+    transpose to ``(T, G)`` — one program, no eager ops."""
+    return jnp.concatenate(parts, axis=0)[:n_keep].T
+
+
+@_partial(jax.jit, static_argnames=("front", "back", "t_out"))
+def _monopole_projection_kernel(x, shift, h, amp, front, back, t_out):
+    """``y[t, d] = amp[d] * sum_k h[d, k] * xpad[t + shift[d] - k]`` —
+    one source signal delayed to D destinations, padding + gather +
+    transpose fused into a single program. x (T,); shift/amp (D,);
+    h (D, N)."""
+    xpad = jnp.pad(x, (front, back))
     N = h.shape[1]
     t = jnp.arange(t_out)
     idx0 = t[None, :] + shift[:, None]  # (D, T)
     y = jnp.zeros((h.shape[0], t_out), xpad.dtype)
     for k in range(N):
         y = y + h[:, k : k + 1] * jnp.take(xpad, idx0 - k)
-    return y * amp[:, None]
+    return (y * amp[:, None]).T
 
 
 class BeamformerDASTime(BaseBeamformer):
@@ -1155,17 +1173,11 @@ class BeamformerDASTime(BaseBeamformer):
         # distance, the sum divided by the mic count
         w = (ds / M).astype(dt)  # (M, G)
 
-        # pad the mic signals so every gathered index is in range
+        # pad the mic signals so every gathered index is in range (one
+        # jitted pad program — eager concatenates cost a dispatch RTT)
         front = int(max(0, s.max()) + N)
         back = int(max(0, total_length - T - s.min()) + N)
-        xpad = jnp.concatenate(
-            [
-                jnp.zeros((M, front), td.dtype),
-                td.T,
-                jnp.zeros((M, back), td.dtype),
-            ],
-            axis=1,
-        )
+        xpad = _pad_time_axis(td.T, front, back)
         shift = front - s  # (M, G) host ints
 
         # chunk the grid so the (M, Gc, total+N) gather stays bounded
@@ -1189,9 +1201,9 @@ class BeamformerDASTime(BaseBeamformer):
                     jnp.asarray(h_c),
                     jnp.asarray(w_c),
                     total_length,
-                )[: hi - lo]
+                )
             )
-        out = jnp.concatenate(outs, axis=0).T  # (total_length, G)
+        out = _das_time_finish(outs, G)  # (total_length, G)
 
         base = pad_trim(self.signal.get_channels(0), total_length)
         return base.copy_with_new_time_data(out)
@@ -1238,16 +1250,15 @@ class MonopoleSource:
         N = h.shape[1]
         front = int(max(0, s.max()) + N)
         back = int(max(0, -s.min()) + N)
-        xpad = jnp.concatenate(
-            [jnp.zeros(front, x.dtype), x, jnp.zeros(back, x.dtype)]
-        )
         out = _monopole_projection_kernel(
-            xpad,
+            x,
             jnp.asarray(front - s, jnp.int32),
             jnp.asarray(h.astype(dt)),
             jnp.asarray(amp),
+            front,
+            back,
             T,
-        ).T  # (T, M)
+        )  # (T, M)
         return self.emitted_signal.copy_with_new_time_data(out)
 
 

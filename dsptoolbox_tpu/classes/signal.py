@@ -120,6 +120,25 @@ def _cache_leaf(a):
     return np.copy(a) if isinstance(a, np.ndarray) else a
 
 
+def _deepcopy_alias_device(v, memo):
+    """Deepcopy a value tree, ALIASING immutable jax device arrays
+    instead of copying them (jax's `Array.__deepcopy__` round-trips the
+    buffer through the host on tunneled backends)."""
+    if isinstance(v, jnp.ndarray) and not isinstance(v, np.ndarray):
+        return v
+    if isinstance(v, dict):
+        return {k: _deepcopy_alias_device(x, memo) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_deepcopy_alias_device(x, memo) for x in v]
+    if isinstance(v, tuple):
+        items = [_deepcopy_alias_device(x, memo) for x in v]
+        # NamedTuples (DeviceTimeData/DeviceSpectralData) rebuild by type
+        return (
+            type(v)(*items) if hasattr(v, "_fields") else tuple(items)
+        )
+    return deepcopy(v, memo)
+
+
 class _AliasedTimeData(np.ndarray):
     """Writable host mirror of a Signal's device time data.
 
@@ -1549,9 +1568,12 @@ class Signal(MultichannelData):
         return deepcopy(self)
 
     def __deepcopy__(self, memo):
-        """Deepcopy that drops the host mirror (a rebuildable cache —
+        """Deepcopy that (a) drops the host mirror (a rebuildable cache —
         copying it would duplicate the full time data on the host and
-        carry a stale owner link)."""
+        carry a stale owner link) and (b) ALIASES jax device arrays
+        instead of copying them: they are immutable, and jax's own
+        ``__deepcopy__`` round-trips the buffer through the host
+        (~16 ms per copy of a few-MB signal on tunneled backends)."""
         cls = self.__class__
         new = cls.__new__(cls)
         memo[id(self)] = new
@@ -1561,7 +1583,7 @@ class Signal(MultichannelData):
             elif k == "_host_mirror_state":
                 new.__dict__[k] = -1
             else:
-                new.__dict__[k] = deepcopy(v, memo)
+                new.__dict__[k] = _deepcopy_alias_device(v, memo)
         return new
 
     def copy_with_new_time_data(self, new_time_data) -> "Signal":

@@ -423,6 +423,45 @@ def reference_oracles():
     return results
 
 
+_CONFIG_FNS = {
+    "1": lambda: config1_deconvolution(),
+    "2": lambda: config2_stft_welch_csm(),
+    "3": lambda: config3_filterbanks(),
+    "4": lambda: config4_rir_battery(),
+    "5": lambda: config5_beamforming(),
+}
+
+
+def _run_isolated():
+    """Run every config in its OWN subprocess.
+
+    Measured on this environment: any device→host fetch permanently
+    degrades the process's dispatch latency from ~0.02 ms to ~0.9 ms
+    (tunneled axon backend; ~30 fetches saturate it, idle does not heal
+    it). Configs that fetch per iteration therefore poison every config
+    after them in a shared process — per-config fresh processes give the
+    number a user's own fresh process would see."""
+    import subprocess
+
+    results = []
+    for n in "12345":
+        p = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__),
+             "--config", n],
+            capture_output=True, text=True, timeout=2400,
+        )
+        line = [
+            ln for ln in p.stdout.splitlines() if ln.startswith("{")
+        ]
+        if line:
+            r = json.loads(line[-1])
+        else:
+            r = {"config": n, "error": p.stderr.strip()[-400:]}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
 def main():
     if "--cpu" in sys.argv:
         # the environment's sitecustomize pins an experimental TPU backend;
@@ -432,6 +471,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if "--ref" in sys.argv:
         return reference_oracles()
+    if "--isolated" in sys.argv:
+        return _run_isolated()
+    if "--config" in sys.argv:
+        n = sys.argv[sys.argv.index("--config") + 1]
+        r = _CONFIG_FNS[n]()
+        print(json.dumps(r), flush=True)
+        return [r]
     results = []
     for fn in (
         config1_deconvolution,

@@ -293,6 +293,8 @@ def main():
     ap.add_argument("--config", type=int, default=None)
     ap.add_argument("--trace-dir", default="/tmp/dsptb_profile")
     ap.add_argument("--no-trace", action="store_true")
+    # output is always one JSON line per config; kept for CLI compat
+    ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
     which = [args.config] if args.config else sorted(CONFIGS)
