@@ -1045,13 +1045,18 @@ class Signal(MultichannelData):
         _csm = self._csm_welch_closure()
 
         def _csm_split(td):
-            f, c = _csm(td)
-            return f, c.real, c.imag
+            _, c = _csm(td)
+            return c.real, c.imag
 
-        f, re, im = run_jitted_complex(
+        re, im = run_jitted_complex(
             _csm_split, self._time_data, materialize=False
         )
-        f = np.asarray(f)
+        # freqs host-side: fetching the device-built vector would cost a
+        # full tunnel round trip per call
+        f = np.fft.rfftfreq(
+            self._spectrum_parameters["window_length_samples"],
+            1 / self.sampling_rate_hz,
+        )
         self._cache["csm_dev"] = (self._spectrum_param_key(), f, re, im)
         return f.copy(), re, im
 

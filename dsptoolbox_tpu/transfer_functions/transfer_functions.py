@@ -220,10 +220,15 @@ def window_ir(
     at_start: bool = True,
     offset_samples: int = 0,
     left_to_right_flank_length_ratio: float = 1.0,
+    return_device: bool = False,
 ):
     """Adaptive peak-aligned Tukey-like windowing
     (`transfer_functions.py:187-293`). Returns (windowed IR, start
-    positions)."""
+    positions).
+
+    ``return_device=True`` leaves the start-position vector on the
+    device (the default numpy conversion is a host fetch — the only
+    sync in a deconvolve→window chain)."""
     assert isinstance(signal, ImpulseResponse), (
         "This is only valid for an impulse response"
     )
@@ -267,6 +272,8 @@ def window_ir(
         )(td_dev)
         new_sig = signal.copy_with_new_time_data(new_time_data)
         new_sig.set_window(window_dev)
+        if return_device:
+            return new_sig, start_positions
         # host ints: the reference returns a numpy start-position vector
         # (`transfer_functions.py:289-293`) and its tests isinstance-check
         return new_sig, np.asarray(start_positions)

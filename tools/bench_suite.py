@@ -60,7 +60,9 @@ def config1_deconvolution():
         ir = dsp.transfer_functions.spectral_deconvolve(
             rec, chirp, padding=False, keep_original_length=True
         )
-        ir_w, _ = dsp.transfer_functions.window_ir(ir, 2**14)
+        ir_w, _ = dsp.transfer_functions.window_ir(
+            ir, 2**14, return_device=True
+        )
         return ir_w.time_data_jax
 
     dt = timeit(run, n_iters=20)
