@@ -114,6 +114,25 @@ def mosaic_healthy() -> bool:
 
 _PALLAS_IIR_MODE = "auto"  # "auto" (TPU only) | "on" | "off"
 
+# Zero-state filter-BANK formulation: "block" (default) or "freq".
+# Value-fetch-synced TPU v5e measurements (BASELINE.md round 3): the
+# blocked state-space path beats frequency sampling at every measured
+# (bank, T) — 26-band complex gammatone @442k: 4.3 vs 8.5 ms; 22-band
+# fractional-octave @442k: 3.5 vs 18.5 ms (narrow low bands blow up the
+# decay margin and with it the FFT length). "freq" remains available for
+# experimentation.
+_BANK_PATH = "block"
+
+
+def set_bank_path(mode: str) -> None:
+    assert mode in ("block", "freq")
+    global _BANK_PATH
+    _BANK_PATH = mode
+
+
+def bank_path() -> str:
+    return _BANK_PATH
+
 
 def set_pallas_iir(mode: str) -> None:
     """Select the blocked-IIR lead kernel: "auto" uses the Pallas

@@ -141,14 +141,17 @@ def _banked_filter_apply(
         return _banked_filter_apply_mesh(signal, bank, summed, mesh)
     x = signal.time_data_jax.T  # (C, T)
 
-    # Zero-state bank application dispatch: long signals route to exact
-    # frequency sampling (one shared FFT + band-batched multiply + iFFT,
-    # `ops.iir_freq`) — bandwidth-bound instead of a sequential block
-    # chain. Short signals or unusable pole margins use the blocked MXU
-    # path. Crossover measured on TPU v5e (BASELINE.md).
+    # Zero-state bank application dispatch: the blocked state-space path
+    # is the default — value-fetch-synced TPU v5e measurements beat the
+    # frequency-sampling formulation at every tested (bank, T); narrow
+    # bands make the freq path's decay margin (and FFT length) explode
+    # (crossover table in BASELINE.md round 3). `_config.set_bank_path`
+    # re-enables frequency sampling.
+    from .._config import bank_path
+
     T = x.shape[-1]
     freq_nfft = None
-    if T >= 4096:
+    if bank_path() == "freq" and T >= 4096:
         from ..ops.iir_freq import decay_margin, plan_nfft
 
         margins = [decay_margin(bank[b]) for b in range(bank.shape[0])]

@@ -315,20 +315,25 @@ class LRFilterBank:
                         sos_freq_response(self.sos[c][1], nfft, False)
                         for c in range(self.number_of_cross)
                     ]
-                    outs = []
+
+                    spectra = []
                     cur = X
                     for cn in range(self.number_of_cross):
                         band = cur * lp[cn]
                         cur = cur * hp[cn]
                         for ap_n in range(cn + 1, self.number_of_cross):
                             band = band * (lp[ap_n] + hp[ap_n])
-                        outs.append(
-                            jnp.fft.irfft(band, n=nfft, axis=-1)[..., :T]
-                        )
-                    outs.append(
-                        jnp.fft.irfft(cur, n=nfft, axis=-1)[..., :T]
+                        spectra.append(band)
+                    spectra.append(cur)
+                    # ONE batched inverse FFT for every band: XLA's TPU
+                    # FFT is latency-bound (~3 ms per call regardless of
+                    # size), so k+1 separate irffts cost (k+1)x one
+                    stacked = jnp.stack(spectra, axis=0)  # (B, C, F)
+                    td = jnp.fft.irfft(stacked, n=nfft, axis=-1)[..., :T]
+                    return tuple(
+                        jnp.swapaxes(td[b], 0, 1)
+                        for b in range(td.shape[0])
                     )
-                    return tuple(jnp.swapaxes(b, 0, 1) for b in outs)
                 outs = []
                 for cn in range(self.number_of_cross):
                     band, _ = sosfilt(self.sos[cn][0], x)

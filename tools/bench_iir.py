@@ -31,14 +31,32 @@ from dsptoolbox_tpu.ops.pallas_iir import sosfilt_pallas  # noqa: E402
 
 
 def timeit(fn, *a, n=20, repeats=3):
-    out = fn(*a)
-    jax.block_until_ready(out)
+    """Value-fetch-synced, distinct-input timing (see
+    tools/bench_suite._sync: block_until_ready is not a real barrier on
+    the tunneled backend, and identical (program, buffer) executions are
+    memoized — every call scales its first argument on device)."""
+    scale = jax.jit(lambda x, c: (x * c).astype(x.dtype))
+    counter = [0]
+
+    def call():
+        counter[0] += 1
+        return fn(
+            scale(a[0], 1.0 + 1e-6 * counter[0]), *a[1:]
+        )
+
+    def _value_sync(o):
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        if not isinstance(leaf, np.ndarray):
+            float(np.real(np.asarray(leaf.ravel()[0])))
+
+    out = call()
+    _value_sync(out)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fn(*a)
-        jax.block_until_ready(out)
+            out = call()
+        _value_sync(out)
         best = min(best, (time.perf_counter() - t0) / n * 1e3)
     return best
 

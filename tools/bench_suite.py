@@ -23,18 +23,37 @@ EXAMPLE = "/root/reference/example_data"
 
 
 def _sync(x):
+    """Drain the device queue by FETCHING one scalar of the last output.
+
+    `jax.block_until_ready` does NOT wait for device completion on this
+    environment's tunneled backend (measured: a 1000-RIR descriptor
+    battery 'completes' in 37 us by that sync but takes 4.6 ms by value
+    fetch); only materializing a value is a real barrier. The device
+    executes its single stream in order, so one scalar of the final
+    program's output drains everything queued before it."""
     import jax
 
-    jax.block_until_ready(x)
+    leaves = jax.tree_util.tree_leaves(x)
+    leaf = leaves[0]
+    if isinstance(leaf, np.ndarray) or np.isscalar(leaf):
+        return  # already host-materialized
+    float(jnp_ravel_first(leaf))
+
+
+def jnp_ravel_first(leaf):
+    return leaf.ravel()[0].real
 
 
 def timeit(fn, n_iters=10, warmup=2, repeats=3):
-    """Best-of-`repeats` mean over `n_iters` calls.
+    """Best-of-`repeats` mean over `n_iters` calls, value-fetch synced.
 
-    The tunneled device->host link stalls for multi-second stretches at
-    random; a single stalled batch would otherwise dominate the mean. The
-    min over repeat batches is the sustained device throughput.
+    The batch cost includes ONE device->host scalar fetch (a full tunnel
+    round trip) — amortized over `n_iters`; raise `n_iters` for
+    sub-millisecond workloads. The min over repeat batches rides out the
+    tunnel's multi-second stalls.
     """
+    import jax.numpy as jnp  # noqa: F401
+
     for _ in range(warmup):
         out = fn()
     _sync(out)
@@ -65,7 +84,7 @@ def config1_deconvolution():
         )
         return ir_w.time_data_jax
 
-    dt = timeit(run, n_iters=20)
+    dt = timeit(run, n_iters=50)
     audio_s = chirp.length_samples / chirp.sampling_rate_hz
     return {
         "config": 1,
@@ -115,7 +134,7 @@ def config2_stft_welch_csm():
         f3, C = two.get_csm(force_computation=True)
         return y.time_data_jax, sp, C
 
-    dt = timeit(run_device)
+    dt = timeit(run_device, n_iters=50)
     dt_host = timeit(run_host, n_iters=5)
     audio_s = T / fs
     return {
@@ -156,7 +175,7 @@ def config3_filterbanks():
             r.time_data_jax,
         )
 
-    dt = timeit(run, n_iters=20)
+    dt = timeit(run, n_iters=50)
     audio_s = s.length_samples / fs
     return {
         "config": 3,
@@ -185,9 +204,23 @@ def config4_rir_battery(n_rirs=1000):
     ).astype(np.float32)
     rirs[:, 0] = 1.0
     rirs_j = jnp.asarray(rirs)
+    # distinct input buffers, built ON device: the tunneled backend
+    # memoizes identical (program, argument-buffer) executions, so
+    # repeating one buffer measures the cache, not the kernel
+    scale = jax.jit(lambda a, c: a * c)
+    # one distinct buffer per CALL across warmup+all repeat batches —
+    # reusing any (program, buffer) pair within the run measures the
+    # backend's execution cache instead of the kernel
+    n_calls = 2 + 3 * 10  # timeit warmup + repeats * n_iters
+    rirs_rot = [scale(rirs_j, 1.0 + 1e-6 * i) for i in range(n_calls)]
+    jax.block_until_ready(rirs_rot)
+    counter = {"i": -1}
 
     def run():
-        return batch_descriptors(rirs_j, fs)
+        counter["i"] += 1
+        return batch_descriptors(
+            rirs_rot[counter["i"] % len(rirs_rot)], fs
+        )
 
     dt = timeit(run)
     return {

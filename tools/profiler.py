@@ -100,14 +100,33 @@ def profile_program(fn, args, label: str, trace_dir: str | None = None,
     flops = float(ca.get("flops", 0.0))
     bytes_accessed = float(ca.get("bytes accessed", 0.0))
 
-    out = jitted(*args)
-    jax.block_until_ready(out)
+    # Honest timing on the tunneled backend (see tools/bench_suite._sync):
+    # 1) block_until_ready returns before device work drains — only a
+    #    VALUE fetch is a real barrier; the single device stream executes
+    #    in order, so one scalar of the last output drains the queue.
+    # 2) the backend memoizes identical (program, argument buffer)
+    #    executions — every call gets a DISTINCT first argument, derived
+    #    on device.
+    def _value_sync(o):
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        if not isinstance(leaf, np.ndarray):
+            float(np.real(np.asarray(leaf.ravel()[0])))
+
+    scale = jax.jit(lambda a, c: (a * c).astype(a.dtype))
+    n_variants = 1 + 3 * n_iters
+    variants = [
+        (scale(args[0], 1.0 + 1e-6 * i),) + tuple(args[1:])
+        for i in range(n_variants)
+    ]
+    k = 0
+    out = jitted(*variants[k]); k += 1
+    _value_sync(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            out = jitted(*args)
-        jax.block_until_ready(out)
+            out = jitted(*variants[k]); k += 1
+        _value_sync(out)
         best = min(best, (time.perf_counter() - t0) / n_iters)
 
     report = {
