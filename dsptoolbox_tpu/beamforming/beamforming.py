@@ -88,19 +88,23 @@ class BasePoints:
         return extent
 
     def get_distances_to_point(self, point) -> np.ndarray:
-        """Euclidean distances from all points to given point(s) — one
-        device matmul (`helpers/other.py:131`)."""
-        point = np.asarray(point)
+        """Euclidean distances from all points to given point(s), host
+        numpy (`helpers/other.py:131`): geometry is a few thousand
+        points at most — a device round trip costs ~100 ms on tunneled
+        backends and the callers consume numpy anyway."""
+        point = np.asarray(point, np.float64)
         if point.ndim == 1:
             point = point[None, ...]
         assert point.shape[1] == self.coordinates.shape[1], (
             f"Invalid shapes: {point.shape}, {self.coordinates.shape}"
         )
-        # np.array: device buffers come back read-only and callers mutate
-        # (e.g. fill_diagonal in the aperture computation)
-        return np.array(
-            euclidean_distance_matrix(self.coordinates, point)
-        ).squeeze()
+        c = np.asarray(self.coordinates, np.float64)
+        sq = (
+            np.sum(c**2, axis=1, keepdims=True)
+            + np.sum(point**2, axis=1)[None, :]
+            - 2.0 * c @ point.T
+        )
+        return np.sqrt(np.clip(sq, 0.0, None)).squeeze()
 
     def plot_points(self, projection: str | None = None):
         from ..plots.plots import _plt
@@ -1073,33 +1077,45 @@ from functools import partial as _partial
 _DAS_TIME_CHUNK_BYTES = 64e6
 
 
-@_partial(jax.jit, static_argnames=("front", "back"))
-def _pad_time_axis(x, front, back):
-    """Zero-pad the last axis inside one jitted program (an eager
-    `jnp.concatenate` costs a full dispatch round trip on tunneled
-    backends)."""
-    widths = [(0, 0)] * (x.ndim - 1) + [(front, back)]
-    return jnp.pad(x, widths)
+@_partial(jax.jit, static_argnames=("L",))
+def _rfft_rows(x, L):
+    """Batched rfft of the mic rows ``(M, T) → (M, F)`` with zero
+    padding to ``L`` — one program shared by all grid chunks."""
+    return jnp.fft.rfft(x, n=L, axis=-1)
 
 
-@_partial(jax.jit, static_argnames=("t_out",))
-def _das_time_chunk(xpad, shift, h, w, t_out):
-    """Delay-and-sum over one grid chunk.
+def _delay_filter_response(h, s, L, cdtype):
+    """rfft of the sparse fractional-delay FIRs: ``H[..., f] =
+    e^{-2πi f s/L} · Σ_k h[..., k] e^{-2πi f k/L}`` — a (K, F) DFT
+    matmul on the MXU plus an elementwise phase ramp (no gathers: TPU
+    gathers run on the scalar core at ~100 ms per 16M elements)."""
+    K = h.shape[-1]
+    F = L // 2 + 1
+    f = jnp.arange(F, dtype=jnp.float32)
+    E = jnp.exp(
+        (-2j * np.pi / L)
+        * jnp.outer(jnp.arange(K, dtype=jnp.float32), f)
+    ).astype(cdtype)  # (K, F)
+    Hk = jnp.tensordot(h.astype(cdtype), E, axes=(-1, 0))  # (..., F)
+    phase = jnp.exp(
+        (-2j * np.pi / L)
+        * (s.astype(jnp.float32)[..., None] * f)
+    ).astype(cdtype)
+    return Hk * phase
 
-    ``y[g, t] = sum_m w[m, g] * sum_k h[m, g, k] * xpad[m, t + shift[m, g]
-    - k]`` as one gather of ``(M, G, t_out + N - 1)`` windows followed by
-    N slice-einsums (the k-sum). xpad (M, Tp); shift/w (M, G); h (M, G, N).
+
+@_partial(jax.jit, static_argnames=("L", "t_out"))
+def _das_time_chunk(X, s, h, w, L, t_out):
+    """Delay-and-sum over one grid chunk, frequency domain.
+
+    ``y[g, t] = sum_m w[m, g] * (h[m, g] ∗ x_m)[t - s[m, g]]`` as one
+    per-(mic, grid) response build + one einsum over mics + one batched
+    inverse FFT. X (M, F) = rfft(x, L); s/w (M, G); h (M, G, K).
     """
-    N = h.shape[2]
-    u = jnp.arange(t_out + N - 1) - (N - 1)  # conv support
-    idx = u[None, None, :] + shift[:, :, None]  # (M, G, U)
-    z = jnp.take_along_axis(xpad[:, None, :], idx, axis=2)  # (M, G, U)
-    y = jnp.zeros((h.shape[1], t_out), xpad.dtype)
-    for k in range(N):
-        y = y + jnp.einsum(
-            "mg,mgt->gt", w * h[:, :, k], z[:, :, N - 1 - k : N - 1 - k + t_out]
-        )
-    return y
+    cdtype = X.dtype
+    Hs = _delay_filter_response(h, s, L, cdtype)  # (M, G, F)
+    Y = jnp.einsum("mgf,mf->gf", w.astype(cdtype)[..., None] * Hs, X)
+    return jnp.fft.irfft(Y, n=L, axis=-1)[:, :t_out]
 
 
 @_partial(jax.jit, static_argnames=("n_keep",))
@@ -1109,19 +1125,15 @@ def _das_time_finish(parts, n_keep):
     return jnp.concatenate(parts, axis=0)[:n_keep].T
 
 
-@_partial(jax.jit, static_argnames=("front", "back", "t_out"))
-def _monopole_projection_kernel(x, shift, h, amp, front, back, t_out):
-    """``y[t, d] = amp[d] * sum_k h[d, k] * xpad[t + shift[d] - k]`` —
-    one source signal delayed to D destinations, padding + gather +
-    transpose fused into a single program. x (T,); shift/amp (D,);
-    h (D, N)."""
-    xpad = jnp.pad(x, (front, back))
-    N = h.shape[1]
-    t = jnp.arange(t_out)
-    idx0 = t[None, :] + shift[:, None]  # (D, T)
-    y = jnp.zeros((h.shape[0], t_out), xpad.dtype)
-    for k in range(N):
-        y = y + h[:, k : k + 1] * jnp.take(xpad, idx0 - k)
+@_partial(jax.jit, static_argnames=("L", "t_out"))
+def _monopole_projection_kernel(x, s, h, amp, L, t_out):
+    """``y[t, d] = amp[d] * (h[d] ∗ x)[t - s[d]]`` — one source signal
+    delayed to D destinations via one rfft + response multiply + one
+    batched irfft (TPU-native replacement for the per-tap gather form).
+    x (T,); s/amp (D,); h (D, K)."""
+    X = jnp.fft.rfft(x, n=L)
+    Hs = _delay_filter_response(h, s, L, X.dtype)  # (D, F)
+    y = jnp.fft.irfft(X[None, :] * Hs, n=L, axis=-1)[:, :t_out]
     return (y * amp[:, None]).T
 
 
@@ -1162,47 +1174,73 @@ class BeamformerDASTime(BaseBeamformer):
         total_length = T + longest_delay
         M, G = ds.shape
 
-        s, h = fractional_delay_filter_batch(
-            ((r0 - ds) / self.c * fs).ravel(), 30, 60
-        )
-        N = h.shape[1]
         dt = default_float()
-        s = s.reshape(M, G)
-        h = h.reshape(M, G, N).astype(dt)
-        # reference weighting: each delayed channel is scaled by its
-        # distance, the sum divided by the mic count
-        w = (ds / M).astype(dt)  # (M, G)
-
-        # pad the mic signals so every gathered index is in range (one
-        # jitted pad program — eager concatenates cost a dispatch RTT)
-        front = int(max(0, s.max()) + N)
-        back = int(max(0, total_length - T - s.min()) + N)
-        xpad = _pad_time_axis(td.T, front, back)
-        shift = front - s  # (M, G) host ints
-
-        # chunk the grid so the (M, Gc, total+N) gather stays bounded
-        # (module constant so tests can force multi-chunk execution)
-        bytes_per_point = M * (total_length + N) * np.dtype(dt).itemsize
-        g_chunk = int(
-            max(1, min(G, _DAS_TIME_CHUNK_BYTES // max(1, bytes_per_point)))
+        # geometry-keyed cache of the designed chunk tensors: repeated
+        # maps over the same (mics, grid) skip the Kaiser-sinc design and
+        # all per-chunk host->device uploads (round trips each)
+        key = (
+            hash(np.ascontiguousarray(ds).tobytes()),
+            float(self.c), int(fs), int(T), np.dtype(dt).name,
         )
-        n_chunks = -(-G // g_chunk)
-        outs = []
-        for ci in range(n_chunks):
-            lo, hi = ci * g_chunk, min(G, (ci + 1) * g_chunk)
-            pad = g_chunk - (hi - lo)
-            sh_c = np.pad(shift[:, lo:hi], ((0, 0), (0, pad)), mode="edge")
-            h_c = np.pad(h[:, lo:hi], ((0, 0), (0, pad), (0, 0)), mode="edge")
-            w_c = np.pad(w[:, lo:hi], ((0, 0), (0, pad)), mode="edge")
-            outs.append(
-                _das_time_chunk(
-                    xpad,
-                    jnp.asarray(sh_c, jnp.int32),
-                    jnp.asarray(h_c),
-                    jnp.asarray(w_c),
-                    total_length,
+        cached = getattr(self, "_das_time_cache", None)
+        if cached is None or cached[0] != key:
+            from ..ops.fft_conv import next_fast_len
+
+            s, h = fractional_delay_filter_batch(
+                ((r0 - ds) / self.c * fs).ravel(), 30, 60
+            )
+            N = h.shape[1]
+            s = s.reshape(M, G)
+            h = h.reshape(M, G, N).astype(dt)
+            # reference weighting: each delayed channel is scaled by its
+            # distance, the sum divided by the mic count
+            w = (ds / M).astype(dt)  # (M, G)
+            L = int(
+                next_fast_len(
+                    total_length + int(max(0, s.max())) + N + 16,
+                    real=True,
                 )
             )
+
+            # chunk the grid so the (M, Gc, F) response tensor stays
+            # bounded (module constant so tests can force multi-chunk)
+            bytes_per_point = M * (L // 2 + 1) * 8
+            g_chunk = int(
+                max(
+                    1,
+                    min(G, _DAS_TIME_CHUNK_BYTES // max(1, bytes_per_point)),
+                )
+            )
+            n_chunks = -(-G // g_chunk)
+            chunks = []
+            for ci in range(n_chunks):
+                lo, hi = ci * g_chunk, min(G, (ci + 1) * g_chunk)
+                pad = g_chunk - (hi - lo)
+                chunks.append((
+                    jnp.asarray(
+                        np.pad(s[:, lo:hi], ((0, 0), (0, pad)), mode="edge"),
+                        jnp.int32,
+                    ),
+                    jnp.asarray(
+                        np.pad(
+                            h[:, lo:hi],
+                            ((0, 0), (0, pad), (0, 0)),
+                            mode="edge",
+                        )
+                    ),
+                    jnp.asarray(
+                        np.pad(w[:, lo:hi], ((0, 0), (0, pad)), mode="edge")
+                    ),
+                ))
+            cached = (key, L, chunks)
+            self._das_time_cache = cached
+        _, L, chunks = cached
+
+        X = _rfft_rows(td.T, L)  # (M, F), one batched program
+        outs = [
+            _das_time_chunk(X, s_c, h_c, w_c, L, total_length)
+            for s_c, h_c, w_c in chunks
+        ]
         out = _das_time_finish(outs, G)  # (total_length, G)
 
         base = pad_trim(self.signal.get_channels(0), total_length)
@@ -1244,21 +1282,38 @@ class MonopoleSource:
         assert np.max(distances) / c * fs < T, (
             "Delay too large for the given signal"
         )
-        s, h = fractional_delay_filter_batch(distances / c * fs, 30, 60)
         dt = default_float()
-        amp = (1.0 / (1.0 + distances)).astype(dt)  # (M,)
-        N = h.shape[1]
-        front = int(max(0, s.max()) + N)
-        back = int(max(0, -s.min()) + N)
-        out = _monopole_projection_kernel(
-            x,
-            jnp.asarray(front - s, jnp.int32),
-            jnp.asarray(h.astype(dt)),
-            jnp.asarray(amp),
-            front,
-            back,
-            T,
-        )  # (T, M)
+        # geometry-keyed cache: repeated projections of the same source
+        # onto the same array skip the filter design AND the three
+        # host->device uploads (each upload pays a tunnel round trip)
+        key = (
+            hash(np.ascontiguousarray(distances).tobytes()),
+            float(c), int(fs), int(T), np.dtype(dt).name,
+        )
+        cached = getattr(self, "_projection_cache", None)
+        if cached is None or cached[0] != key:
+            from ..ops.fft_conv import next_fast_len
+
+            s, h = fractional_delay_filter_batch(
+                distances / c * fs, 30, 60
+            )
+            amp = (1.0 / (1.0 + distances)).astype(dt)  # (M,)
+            N = h.shape[1]
+            L = int(
+                next_fast_len(
+                    T + int(max(0, s.max())) + N + 16, real=True
+                )
+            )
+            cached = (
+                key,
+                jnp.asarray(s, jnp.int32),
+                jnp.asarray(h.astype(dt)),
+                jnp.asarray(amp),
+                L,
+            )
+            self._projection_cache = cached
+        _, s_j, h_j, amp_j, L = cached
+        out = _monopole_projection_kernel(x, s_j, h_j, amp_j, L, T)
         return self.emitted_signal.copy_with_new_time_data(out)
 
 
