@@ -187,6 +187,12 @@ def sosfilt(
 # Below this many samples the FFT's fixed cost beats its bandwidth win;
 # measured on TPU v5e (see BASELINE.md crossover table).
 _FREQ_MIN_T = 4096
+# Upper bound for the frequency-sampling single-filter path: value-fetch
+# synced v5e measurements (8th-order butter, BASELINE.md round 3) —
+# freq wins at T=16k/65k (3.3 vs 3.4/6.1 ms), blocked wins from T=262k
+# (2.8 vs 3.8 ms; 3.8 vs 9.7 ms at 1M: the padded FFT grows with the
+# decay margin while the blocked chain stays ~flat).
+_FREQ_MAX_T = 131072
 
 
 def sosfilt_zero_state(sos: np.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -201,7 +207,7 @@ def sosfilt_zero_state(sos: np.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     from .iir_block import sosfilt_block
 
     T = x.shape[-1]
-    if T >= _FREQ_MIN_T:
+    if _FREQ_MIN_T <= T <= _FREQ_MAX_T:
         from .iir_freq import plan_nfft, sosfilt_freq
 
         nfft = plan_nfft(np.asarray(sos), T)
