@@ -35,16 +35,29 @@ def append_signals(
             complex_data |= s.is_complex_signal
         total_length = len(signals[0])
         if not complex_data:
-            # device-resident path: pad/trim and concatenate without any
-            # host fetch (the setter keeps jnp inputs on the device)
-            cols = [
-                pad_trim_axis(
-                    s.time_data_jax, total_length, axis=0, in_the_end=at_end
+            # device-resident path: ONE jitted program pads/trims and
+            # concatenates every signal (eager ops would each pay a
+            # dispatch launch; no host fetch — the setter keeps jnp
+            # inputs on the device)
+            from ..classes.signal import _dev_jit
+
+            def _cat(*tds):
+                return jnp.concatenate(
+                    [
+                        pad_trim_axis(
+                            td, total_length, axis=0, in_the_end=at_end
+                        )
+                        for td in tds
+                    ],
+                    axis=1,
                 )
-                for s in signals
-            ]
+
             new_sig = signals[0].copy()
-            new_sig.time_data = jnp.concatenate(cols, axis=1)
+            new_sig.time_data = _dev_jit(
+                ("append_signals", total_length, bool(at_end),
+                 len(signals)),
+                _cat,
+            )(*[s.time_data_jax for s in signals])
             return new_sig
         cols = []
         for s in signals:

@@ -372,21 +372,34 @@ def istft(
 
     # one jitted program with real output: complex spectra never cross
     # the host boundary (required on tunneled backends). The reconstructed
-    # time data stays a device array end to end — the returned Signal holds
-    # it without a host round trip (`_assign_device_time_data`).
+    # time data stays a device array end to end — transpose and length
+    # trim run INSIDE the program (each eager op pays a dispatch launch)
+    # and the returned Signal holds the result without a host round trip
+    # (`_assign_device_time_data`).
+    target_len = (
+        int(original_signal.time_data_jax.shape[0])
+        if original_signal is not None
+        else None
+    )
+
+    def _finish(td_cf):
+        td = td_cf.T
+        if target_len is not None:
+            td = pad_trim_axis(td, target_len, axis=0)
+        return td
+
     if isinstance(stft, DeviceSpectralData):
         td = run_jitted_complex(
-            lambda re, im: _istft_core(re + 1j * im),
+            lambda re, im: _finish(_istft_core(re + 1j * im)),
             stft.real,
             stft.imag,
             materialize=False,
-        ).T
-    else:
-        td = run_jitted_complex(_istft_core, stft, materialize=False).T
-    if original_signal is not None:
-        td = pad_trim_axis(
-            td, original_signal.time_data_jax.shape[0], axis=0
         )
+    else:
+        td = run_jitted_complex(
+            lambda S: _finish(_istft_core(S)), stft, materialize=False
+        )
+    if original_signal is not None:
         return original_signal.copy_with_new_time_data(td)
     return Signal(None, time_data=td, sampling_rate_hz=sampling_rate_hz)
 
