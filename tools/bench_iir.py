@@ -44,10 +44,14 @@ def timeit(fn, *a, n=20, repeats=3):
             scale(a[0], 1.0 + 1e-6 * counter[0]), *a[1:]
         )
 
+    _first_real = jax.jit(lambda l: l.ravel()[0].real)
+
     def _value_sync(o):
         leaf = jax.tree_util.tree_leaves(o)[0]
         if not isinstance(leaf, np.ndarray):
-            float(np.real(np.asarray(leaf.ravel()[0])))
+            # jitted scalar extraction: eager .real on complex arrays is
+            # UNIMPLEMENTED on the axon backend
+            float(np.asarray(_first_real(leaf)))
 
     out = call()
     _value_sync(out)

@@ -107,10 +107,14 @@ def profile_program(fn, args, label: str, trace_dir: str | None = None,
     # 2) the backend memoizes identical (program, argument buffer)
     #    executions — every call gets a DISTINCT first argument, derived
     #    on device.
+    _first_real = jax.jit(lambda l: l.ravel()[0].real)
+
     def _value_sync(o):
         leaf = jax.tree_util.tree_leaves(o)[0]
         if not isinstance(leaf, np.ndarray):
-            float(np.real(np.asarray(leaf.ravel()[0])))
+            # jitted scalar extraction: eager .real on complex arrays is
+            # UNIMPLEMENTED on the axon backend
+            float(np.asarray(_first_real(leaf)))
 
     scale = jax.jit(lambda a, c: (a * c).astype(a.dtype))
     n_variants = 1 + 3 * n_iters
@@ -287,15 +291,21 @@ def prog_config5():
     h = rng.standard_normal((n_bins, n_grid, n_mics)) + 1j * (
         rng.standard_normal((n_bins, n_grid, n_mics))
     )
-    Cj = jnp.asarray(C.astype(np.complex64))
-    hj = jnp.asarray(h.astype(np.complex64))
+    # complex buffers cannot cross the host boundary on this backend in
+    # EITHER direction — ship real/imag parts and combine in-program
+    Cre = jnp.asarray(np.real(C).astype(np.float32))
+    Cim = jnp.asarray(np.imag(C).astype(np.float32))
+    hre = jnp.asarray(np.real(h).astype(np.float32))
+    him = jnp.asarray(np.imag(h).astype(np.float32))
 
-    def run(C, h):
+    def run(cre, cim, hre_, him_):
+        Cc = cre + 1j * cim
+        hc = hre_ + 1j * him_
         return jnp.real(
-            jnp.einsum("fgm,fmn,fgn->gf", jnp.conj(h), C, h)
+            jnp.einsum("fgm,fmn,fgn->gf", jnp.conj(hc), Cc, hc)
         )
 
-    return run, (Cj, hj), "config5: DAS quadratic form"
+    return run, (Cre, Cim, hre, him), "config5: DAS quadratic form"
 
 
 CONFIGS = {
