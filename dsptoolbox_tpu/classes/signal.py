@@ -1572,6 +1572,14 @@ class Signal(MultichannelData):
     def copy(self) -> "Signal":
         return deepcopy(self)
 
+    def __getstate__(self):
+        """Pickle without the host mirror (a rebuildable cache that would
+        double the serialized size and carry an owner cycle)."""
+        d = dict(self.__dict__)
+        d["_host_mirror"] = None
+        d["_host_mirror_state"] = -1
+        return d
+
     def __deepcopy__(self, memo):
         """Deepcopy that (a) drops the host mirror (a rebuildable cache —
         copying it would duplicate the full time data on the host and
