@@ -869,26 +869,53 @@ class BeamformerOrthogonal(BeamformerGridded):
             center_frequency_hz, octave_fraction
         )
         # batched eigendecomposition in f64 (ascending eigenvalues): the
-        # source-subspace argmax/scatter below is sensitive to
-        # eigenvector perturbations, so keep full precision here
+        # source-subspace argmax below is sensitive to eigenvector
+        # perturbations, so keep full precision here
         w, v = np.linalg.eigh(np.asarray(csm, dtype=np.complex128))
-        hj = jnp.asarray(h)  # (F, M, G)
-        vj = jnp.asarray(v)  # (F, M, M)
-        # products[f, g, e] = |h*_mg v_me|^2
-        prod = jnp.abs(
-            jnp.einsum(
-                "fmg,fme->fge", jnp.conj(hj), vj, precision=_HIGH
-            )
-        ) ** 2
-        prod = np.asarray(prod)
-        map = np.zeros((self.grid.number_of_points, len(f)))
-        for find in range(len(f)):
-            for eig in range(number_eigenvalues):
-                eig_map = prod[find, :, -eig - 1]
-                source_ind = int(np.argmax(eig_map))
-                map[source_ind, find] = (
-                    eig_map[source_ind] * w[find, -eig - 1]
+        E = int(number_eigenvalues)
+        from .._config import run_jitted_complex
+
+        def _ortho_core(hj, vj, wj):
+            # products[f, g, e] = |h*_mg v_me|^2, e ascending from the
+            # LARGEST eigenvalue (reference iterates -eig-1)
+            prod = (
+                jnp.abs(
+                    jnp.einsum(
+                        "fmg,fme->fge", jnp.conj(hj), vj, precision=_HIGH
+                    )
                 )
+                ** 2
+            )
+            sel = prod[:, :, -E:][..., ::-1]  # (F, G, E)
+            wv = wj[:, -E:][:, ::-1]  # (F, E)
+            idx = jnp.argmax(sel, axis=1)  # (F, E) source index per eig
+            vals = (
+                jnp.take_along_axis(sel, idx[:, None, :], axis=1)[:, 0, :]
+                * wv
+            )  # (F, E)
+            # the reference OVERWRITES map[source_ind, f] per eig, so when
+            # several eigenvalues pick the same grid point the last
+            # (smallest considered eigenvalue) wins: emulate the
+            # last-write-wins scatter with a per-cell max over writer ids
+            gpts = sel.shape[1]
+            onehot = idx[:, :, None] == jnp.arange(gpts)[None, None, :]
+            e_ids = jnp.arange(E, dtype=jnp.int32)[None, :, None]
+            e_last = jnp.max(
+                jnp.where(onehot, e_ids, -1), axis=1
+            )  # (F, G)
+            val_at = jnp.take_along_axis(
+                vals, jnp.clip(e_last, 0, None), axis=1
+            )
+            return jnp.where(e_last >= 0, val_at, 0.0).T  # (G, F)
+
+        map = np.asarray(
+            run_jitted_complex(
+                _ortho_core,
+                h,
+                v,
+                np.asarray(w, dtype=np.float32),
+            )
+        )
         if len(f) > 1:
             map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
         else:

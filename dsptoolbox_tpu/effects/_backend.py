@@ -186,63 +186,6 @@ def _compressor_core_traced(
     return y
 
 
-def find_attack_hold_release(
-    x: np.ndarray,
-    threshold_db: float,
-    attack_samples: int,
-    hold_samples: int,
-    release_samples: int,
-    side_chain,
-    indices_above: bool,
-):
-    """Attack/hold/release boolean segmentation (host-side scalar logic;
-    `_effects.py:218-287`)."""
-    surpass_samples = 2
-    hold_samples = max(1, hold_samples)
-    release_samples = max(1, release_samples)
-
-    if indices_above:
-
-        def trigger(x, ind1, ind2, y) -> bool:
-            return bool(np.all(x[ind1:ind2] > y))
-
-    else:
-
-        def trigger(x, ind1, ind2, y) -> bool:
-            return bool(np.all(x[ind1:ind2] < y))
-
-    if side_chain is None:
-        global_activation = np.zeros_like(x).astype(bool)
-        for i in np.arange(1, len(x)):
-            ind = max(0, i - surpass_samples)
-            if trigger(x, ind, i, threshold_db):
-                global_activation[
-                    i : i + attack_samples + hold_samples + release_samples
-                ] = True
-    else:
-        global_activation = side_chain
-    attack = np.zeros_like(x).astype(bool)
-    release = np.zeros_like(x).astype(bool)
-    temp_attack = np.zeros_like(x).astype(bool)
-    release[:-1] = np.bitwise_and(
-        global_activation[:-1], np.bitwise_not(global_activation[1:])
-    )
-    temp_attack[1:] = np.bitwise_and(
-        np.bitwise_not(global_activation[:-1]), global_activation[1:]
-    )
-    for i in np.arange(len(x)):
-        if release[i]:
-            release[i - release_samples : i] = True
-        if temp_attack[i]:
-            attack[i : i + attack_samples] = True
-    hold = (
-        global_activation.astype(int)
-        - attack.astype(int)
-        - release.astype(int)
-    ).astype(bool)
-    return attack, hold, release
-
-
 # ========= LFO ===============================================================
 def harmonic_oscillator(freq, fs, length, random_phase, smooth):
     if length is None:

@@ -325,20 +325,25 @@ def window_this_ir_tukey(
     return seg * window, window, start_sample
 
 
-def window_this_ir_centered(vec: np.ndarray, total_length: int, window_type):
-    """Peak-centered windowing of one channel
-    (`_transfer_functions.py:150-215`)."""
+def window_this_ir_centered_meta(
+    T: int, peak_ind: int, total_length: int, window_type
+):
+    """Index arithmetic for peak-centered windowing of one length-``T``
+    channel (`_transfer_functions.py:150-215`). Pure metadata twin of the
+    reference's per-channel routine: returns ``(flip, start, win_col)``
+    such that the windowed channel equals
+    ``(vec[::-1] if flip else vec)[start : start + total_length] *
+    win_col`` (zero-padded out of range), flipped back afterwards — which
+    a batched device kernel applies for all channels at once. ``win_col``
+    is zero wherever the reference's pad/trim would have written zeros, so
+    out-of-slice data values cannot leak through."""
     from scipy.signal import get_window
 
-    peak_ind = int(np.argmax(np.abs(vec)))
     half_length = total_length // 2
-    centered_even = (
-        peak_ind + half_length == len(vec) and len(vec) % 2 == 0
-    )
+    centered_even = peak_ind + half_length == T and T % 2 == 0
     flipping = peak_ind > half_length
     if flipping:
-        vec = vec[::-1]
-        peak_ind = len(vec) - peak_ind - 1
+        peak_ind = T - peak_ind - 1
     w = get_window(window_type.to_scipy_format(), half_length * 2 + 1, False)
     if peak_ind - half_length < 0:
         ind_low_td = 0
@@ -346,23 +351,25 @@ def window_this_ir_centered(vec: np.ndarray, total_length: int, window_type):
     else:
         ind_low_td = peak_ind - half_length
         ind_low_w = 0
-    if total_length - ind_low_td > len(vec):
-        vec = np.pad(vec, ((0, total_length + ind_low_td - len(vec))))
-    if peak_ind + half_length + 1 > len(vec) and not centered_even:
-        ind_up_td = len(vec)
-        ind_up_w = peak_ind + half_length + 1 - len(vec)
+    # the reference zero-pads the channel to total_length + ind_low_td
+    # when the window would run past the end
+    T_eff = (
+        total_length + ind_low_td if total_length - ind_low_td > T else T
+    )
+    if peak_ind + half_length + 1 > T_eff and not centered_even:
+        ind_up_td = T_eff
+        ind_up_w = peak_ind + half_length + 1 - T_eff
     else:
         ind_up_td = peak_ind + half_length + 1
         ind_up_w = len(w) - (1 if centered_even else 0)
     w = w[ind_low_w:ind_up_w]
-    td = vec[ind_low_td:ind_up_td] * w
-    if len(td) != total_length:
-        td = np.asarray(pad_trim_axis(jnp.asarray(td), total_length))
-        w = np.asarray(pad_trim_axis(jnp.asarray(w), total_length))
-    if flipping:
-        td = td[::-1]
-        w = w[::-1]
-    return td, w, ind_low_td
+    # length the reference's clamped slice-multiply produces before its
+    # final pad/trim to total_length
+    L0 = max(0, min(ind_up_td, T_eff) - ind_low_td)
+    win_col = np.zeros(total_length)
+    L = min(len(w), L0, total_length)
+    win_col[:L] = w[:L]
+    return flipping, ind_low_td, win_col
 
 
 def get_chirp_rate(range_hz, length_seconds: float) -> float:

@@ -387,17 +387,55 @@ def window_centered_ir(
     assert isinstance(signal, ImpulseResponse), (
         "This is only valid for an impulse response"
     )
+    from ..classes.signal import _dev_jit
+
     C = signal.number_of_channels
-    new_time_data = np.zeros((total_length_samples, C))
-    start_positions = np.zeros(C, dtype=int)
-    window = np.zeros((total_length_samples, C))
-    td = signal.time_data
-    for n in range(C):
-        new_time_data[:, n], window[:, n], start_positions[n] = (
-            bk.window_this_ir_centered(
-                td[:, n], total_length_samples, window_type
-            )
+    td_dev = signal.time_data_jax
+    T = td_dev.shape[0]
+    L = int(total_length_samples)
+    # only the per-channel peak index comes to the host (C ints); the
+    # slice/flip decisions are pure index arithmetic and the windowed
+    # slices are gathered and multiplied in one batched device program
+    peaks = np.asarray(
+        _dev_jit("absargmax0", lambda a: jnp.argmax(jnp.abs(a), axis=0))(
+            td_dev
         )
+    )
+    start_positions = np.zeros(C, dtype=int)
+    window = np.zeros((L, C))
+    win_pre = np.zeros((L, C))
+    flips = np.zeros(C, dtype=bool)
+    starts = np.zeros(C, dtype=np.int32)
+    for n in range(C):
+        flip, start, win_col = bk.window_this_ir_centered_meta(
+            T, int(peaks[n]), L, window_type
+        )
+        flips[n] = flip
+        starts[n] = start
+        start_positions[n] = start
+        win_pre[:, n] = win_col
+        window[:, n] = win_col[::-1] if flip else win_col
+
+    def _apply_centered(td, flips_j, starts_j, win):
+        import jax
+
+        length = win.shape[0]
+        td_f = jnp.where(flips_j[None, :], td[::-1], td)
+        padded = jnp.pad(td_f, ((0, 2 * length), (0, 0)))
+
+        def one(col, s):
+            return jax.lax.dynamic_slice(col, (s,), (length,))
+
+        segs = jax.vmap(one, in_axes=(1, 0), out_axes=1)(padded, starts_j)
+        segs = segs * win
+        return jnp.where(flips_j[None, :], segs[::-1], segs)
+
+    new_time_data = _dev_jit("window_centered_apply", _apply_centered)(
+        td_dev,
+        jnp.asarray(flips),
+        jnp.asarray(starts),
+        jnp.asarray(win_pre, td_dev.dtype),
+    )
     new_sig = signal.copy_with_new_time_data(new_time_data)
     new_sig.set_window(window)
     return new_sig, start_positions
