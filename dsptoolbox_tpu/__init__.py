@@ -79,6 +79,7 @@ from . import room_acoustics
 from . import tools
 from . import transfer_functions
 from . import transforms
+from .pipeline import pipeline
 
 __version__ = "0.1.0"
 
@@ -97,6 +98,7 @@ __all__ = [
     "fade",
     "modify_signal_length",
     "append_signals",
+    "pipeline",
     "append_filterbanks",
     "append_spectra",
     "fractional_delay",

@@ -38,6 +38,28 @@ def default_complex():
     return _COMPLEX
 
 
+_LAZY_HOST: bool | None = None  # None = auto (on in fp32, off in f64 mode)
+
+
+def set_lazy_host_returns(enabled: bool | None) -> None:
+    """Override lazy host returns for the default getter API.
+
+    ``True``/``False`` force the behavior; ``None`` restores the default:
+    lazy in float32 mode (TPU production path — getters return
+    :class:`~dsptoolbox_tpu.classes.lazy_array.LazyHostArray` views that
+    fetch on first host access), eager plain-numpy in float64 mode (the
+    bit-exact reference-compat mode used by the drop-in alias runner)."""
+    global _LAZY_HOST
+    _LAZY_HOST = enabled
+
+
+def lazy_host_returns() -> bool:
+    """Whether default getters return lazy device-backed host arrays."""
+    if _LAZY_HOST is not None:
+        return _LAZY_HOST
+    return _FLOAT == jnp.float32
+
+
 _MOSAIC_HEALTHY: bool | None = None
 _MOSAIC_PROBE_TIMEOUT_S = 45.0
 _MOSAIC_CACHE_TTL_S = 600.0

@@ -327,8 +327,23 @@ class Signal(MultichannelData):
                 td_imag = td_imag.reshape(-1, 1)
             if td_imag.shape[1] > td_imag.shape[0]:
                 td_imag = td_imag.T
+        import jax
+
         scale = 1.0
-        if self.constrain_amplitude:
+        if self.constrain_amplitude and isinstance(td, jax.core.Tracer):
+            # under a pipeline trace the peak is not concrete: constrain
+            # in-program (same arithmetic, no host fetch). The host-side
+            # scale-factor metadata stays 1.0 and no over-0-dBFS warning
+            # can be emitted — documented in `dsptoolbox_tpu.pipeline`.
+            def _constrain(a, b):
+                peak = jnp.max(jnp.abs(a))
+                if b is not None:
+                    peak = jnp.maximum(peak, jnp.max(jnp.abs(b)))
+                s = jnp.minimum(1.0, 1.0 / peak).astype(a.dtype)
+                return a * s, (None if b is None else b * s)
+
+            td, td_imag = _constrain(td, td_imag)
+        elif self.constrain_amplitude:
             if peak_hint is not None:
                 peak = float(peak_hint)
             elif td_imag is None:
@@ -788,6 +803,34 @@ class Signal(MultichannelData):
                 self._cache.pop("spectrum_dev", None)
             f, re, im = self._get_spectrum_device()
             return f, (re if im is None else DeviceSpectralData(re, im))
+        from .._config import lazy_host_returns
+
+        if lazy_host_returns():
+            # default API, device-backed: the spectrum stays on the device
+            # behind a LazyHostArray that fetches on first host access, so
+            # reference-identical chains never pay the round trip for
+            # intermediates (fp32 mode only; f64 compat mode stays eager)
+            from .lazy_array import LazyHostArray
+
+            if force_computation:
+                self._cache.pop("spectrum_dev", None)
+                self._cache.pop("spectrum_dev_mono", None)
+            f, re, im = self._get_spectrum_device()
+            if (
+                self.spectrum_method == SpectrumMethod.WelchPeriodogram
+                and self.number_of_channels == 1
+            ):
+                # parity: mono Welch spectra are 1-D (reference squeezes)
+                key = self._spectrum_param_key()
+                ent = self._cache.get("spectrum_dev_mono")
+                if ent is None or ent[0] != key:
+                    ent = (
+                        key,
+                        _dev_jit("mono_col0", lambda a: a[:, 0])(re),
+                    )
+                    self._cache["spectrum_dev_mono"] = ent
+                re = ent[1]
+            return f, LazyHostArray(re, im)
         if not force_computation and "spectrum" in self._cache:
             f, sp = self._cache["spectrum"]
             return f.copy(), sp.copy()
@@ -926,6 +969,18 @@ class Signal(MultichannelData):
             return f, DeviceSpectralData(re, im)
         if mesh is not None and mesh.devices.size > 1:
             return self._get_csm_mesh(mesh)
+        from .._config import lazy_host_returns
+
+        if (
+            lazy_host_returns()
+            and self.spectrum_method == SpectrumMethod.WelchPeriodogram
+        ):
+            from .lazy_array import LazyHostArray
+
+            if force_computation:
+                self._cache.pop("csm_dev", None)
+            f, re, im = self._get_csm_device()
+            return f, LazyHostArray(re, im)
         if not force_computation and "csm" in self._cache:
             f, csm = self._cache["csm"]
             return f.copy(), csm.copy()
@@ -1091,6 +1146,33 @@ class Signal(MultichannelData):
                 1 / self.sampling_rate_hz,
             )
             return t, f, DeviceSpectralData(re, im)
+        from .._config import lazy_host_returns
+
+        if lazy_host_returns():
+            from .lazy_array import LazyHostArray
+
+            if force_computation:
+                self._cache.pop("spectrogram_complex_dev", None)
+            re, im = self._get_complex_spectrogram_device()
+            p = self._spectrogram_parameters
+            overlap = int(
+                p["overlap_percent"] / 100 * p["window_length_samples"]
+                + 0.5
+            )
+            length_padded = self._time_data.shape[0] + (
+                2 * overlap if p["padding"] else 0
+            )
+            t = np.linspace(
+                0, length_padded / self.sampling_rate_hz, re.shape[1]
+            )
+            f = np.fft.rfftfreq(
+                (
+                    p["fft_length_samples"]
+                    or p["window_length_samples"]
+                ),
+                1 / self.sampling_rate_hz,
+            )
+            return t, f, LazyHostArray(re, im)
         if not force_computation and "spectrogram" in self._cache:
             t, f, S = self._cache["spectrogram"]
             return t.copy(), f.copy(), S.copy()

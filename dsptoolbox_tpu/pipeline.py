@@ -1,0 +1,252 @@
+"""Fused execution of multi-call public-API chains.
+
+Every public call in this library is its own device program; on a
+remote-attached accelerator each program launch costs ~0.5–1.7 ms, so a
+reference-style analysis chain (`get_spectrogram` → `istft` →
+`get_spectrum` → `get_csm`, cf.
+`/root/reference/dsptoolbox/classes/signal.py:861,948,1009`) pays the
+launch floor five times per iteration even when nothing touches the
+host. :func:`pipeline` removes that floor: it traces a user function of
+:class:`~dsptoolbox_tpu.Signal` objects THROUGH the public class layer
+into ONE jitted XLA program, which also lets the compiler fuse and
+schedule the chain's FFTs/matmuls together instead of as isolated
+programs.
+
+Usage::
+
+    import dsptoolbox_tpu as dsp
+
+    def chain(s):
+        t, f, S = s.get_spectrogram(force_computation=True)
+        y = dsp.transforms.istft(S, original_signal=s)
+        f2, sp = s.get_spectrum(force_computation=True)
+        two = dsp.append_signals([s, y])
+        f3, C = two.get_csm(force_computation=True)
+        return y, sp, C
+
+    run = dsp.pipeline(chain)
+    y, sp, C = run(sig)          # one device program, zero host fetches
+    np.asarray(C)                # materializes only what you read
+
+The traced function must stay on the library's device paths: anything
+that forces a concrete value (printing a sample, `float(...)`,
+data-dependent branching) fails at trace time with jax's concretization
+error. Supported return structures: (nests of) ``Signal`` /
+``ImpulseResponse``, :class:`LazyHostArray`,
+:class:`DeviceSpectralData`, jax arrays, and host constants computed
+from metadata (frequency/time vectors, scalars), which are captured at
+trace time. Inside a trace, amplitude constraining of intermediate
+signals happens in-program (no over-0-dBFS warning is emitted and the
+host scale-factor metadata stays 1).
+
+Compiled programs are cached per input signature (shape/dtype of every
+input signal), so repeated calls with same-shaped signals skip tracing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["pipeline"]
+
+
+def _flatten_result(obj, leaves, path="out"):
+    """Recursively split `obj` into device leaves + a rebuild spec."""
+    from .classes.lazy_array import LazyHostArray
+    from .classes.signal import DeviceSpectralData, Signal
+
+    if isinstance(obj, Signal):
+        idx_re = len(leaves)
+        leaves.append(obj.time_data_jax)
+        idx_im = None
+        if getattr(obj, "_time_data_imag", None) is not None:
+            idx_im = len(leaves)
+            leaves.append(obj._time_data_imag)
+        idx_win = None
+        w = getattr(obj, "window", None)
+        if isinstance(w, jax.core.Tracer):
+            # device-built analysis window (fused window_ir): ship it as
+            # a program output so the rebuilt IR keeps it
+            idx_win = len(leaves)
+            leaves.append(w)
+        return ("signal", obj, idx_re, idx_im, idx_win)
+    if isinstance(obj, LazyHostArray):
+        idx_re = len(leaves)
+        leaves.append(obj.device_real)
+        idx_im = None
+        if obj.device_imag is not None:
+            idx_im = len(leaves)
+            leaves.append(obj.device_imag)
+        return ("lazy", idx_re, idx_im)
+    if isinstance(obj, DeviceSpectralData):
+        idx_re = len(leaves)
+        leaves.append(obj.real)
+        idx_im = len(leaves)
+        leaves.append(obj.imag)
+        return ("dsd", idx_re, idx_im)
+    if isinstance(obj, jnp.ndarray) and not isinstance(obj, np.ndarray):
+        if jnp.iscomplexobj(obj):
+            idx_re = len(leaves)
+            leaves.append(obj.real)
+            idx_im = len(leaves)
+            leaves.append(obj.imag)
+            return ("complex", idx_re, idx_im)
+        idx = len(leaves)
+        leaves.append(obj)
+        return ("jnp", idx)
+    if isinstance(obj, tuple):
+        return (
+            "tuple",
+            [
+                _flatten_result(o, leaves, f"{path}[{i}]")
+                for i, o in enumerate(obj)
+            ],
+        )
+    if isinstance(obj, list):
+        return (
+            "list",
+            [
+                _flatten_result(o, leaves, f"{path}[{i}]")
+                for i, o in enumerate(obj)
+            ],
+        )
+    if isinstance(obj, dict):
+        return (
+            "dict",
+            {
+                k: _flatten_result(v, leaves, f"{path}[{k}]")
+                for k, v in obj.items()
+            },
+        )
+    if isinstance(obj, jax.core.Tracer):  # pragma: no cover - guard
+        raise TypeError(
+            f"pipeline result {path} is a raw tracer of unsupported type"
+        )
+    # host constant (freq vectors, scalars, enums, ...): captured at
+    # trace time — it must derive from metadata, not traced data
+    return ("const", obj)
+
+
+def _rebuild_signal(template, td, td_imag):
+    """New Signal/ImpulseResponse around concrete device data, carrying
+    the template's metadata. The template's own (traced) buffers are
+    never touched; amplitude re-constraining is skipped — the traced
+    program already applied it in-program."""
+    old = template.constrain_amplitude
+    template.constrain_amplitude = False
+    try:
+        if td_imag is not None:
+            from .classes.signal import DeviceTimeData
+
+            out = template.copy_with_new_time_data(
+                DeviceTimeData(td, td_imag, None)
+            )
+        else:
+            out = template.copy_with_new_time_data(td)
+    finally:
+        template.constrain_amplitude = old
+    out.constrain_amplitude = old
+    # carry a concrete (host or device, but not traced) analysis window
+    w = getattr(template, "window", None)
+    if w is not None and not isinstance(w, jax.core.Tracer):
+        try:
+            out.set_window(w)
+        except (AssertionError, AttributeError):
+            pass
+    return out
+
+
+def _rebuild(spec, leaves):
+    from .classes.lazy_array import LazyHostArray
+    from .classes.signal import DeviceSpectralData, _dev_jit
+
+    kind = spec[0]
+    if kind == "signal":
+        _, template, i_re, i_im, i_win = spec
+        out = _rebuild_signal(
+            template, leaves[i_re], None if i_im is None else leaves[i_im]
+        )
+        if i_win is not None:
+            out.set_window(leaves[i_win])
+        return out
+    if kind == "lazy":
+        _, i_re, i_im = spec
+        return LazyHostArray(
+            leaves[i_re], None if i_im is None else leaves[i_im]
+        )
+    if kind == "dsd":
+        _, i_re, i_im = spec
+        return DeviceSpectralData(leaves[i_re], leaves[i_im])
+    if kind == "complex":
+        _, i_re, i_im = spec
+        return _dev_jit("compose_complex", lambda r, i: r + 1j * i)(
+            leaves[i_re], leaves[i_im]
+        )
+    if kind == "jnp":
+        return leaves[spec[1]]
+    if kind == "tuple":
+        return tuple(_rebuild(s, leaves) for s in spec[1])
+    if kind == "list":
+        return [_rebuild(s, leaves) for s in spec[1]]
+    if kind == "dict":
+        return {k: _rebuild(s, leaves) for k, s in spec[1].items()}
+    return spec[1]  # const
+
+
+def pipeline(fn):
+    """Compile a chain of public-API calls into one device program.
+
+    ``fn`` takes one or more :class:`Signal` (or subclass) positional
+    arguments and may call any device-path public API on them. The
+    returned runner has the same signature; see the module docstring for
+    the contract. Retracing happens per distinct input signature."""
+    from .classes.signal import Signal
+
+    cache: dict = {}
+
+    def runner(*signals):
+        assert signals and all(
+            isinstance(s, Signal) for s in signals
+        ), "pipeline runners take Signal positional arguments"
+        key = tuple(
+            (
+                type(s).__name__,
+                tuple(s.time_data_jax.shape),
+                str(s.time_data_jax.dtype),
+                getattr(s, "_time_data_imag", None) is not None,
+            )
+            for s in signals
+        )
+        entry = cache.get(key)
+        if entry is None:
+            spec_box: dict = {}
+            templates = signals
+
+            def flat_fn(tds):
+                shells = []
+                for sig, (td, td_im) in zip(templates, tds):
+                    data = td if td_im is None else (td + 1j * td_im)
+                    # in-trace amplitude constraining is handled by the
+                    # tracer branch of `_assign_device_time_data`
+                    shells.append(sig.copy_with_new_time_data(data))
+                leaves: list = []
+                spec_box["spec"] = _flatten_result(
+                    fn(*shells), leaves
+                )
+                return leaves
+
+            compiled = jax.jit(flat_fn)
+            entry = cache[key] = (compiled, spec_box)
+        compiled, spec_box = entry
+        tds = tuple(
+            (s.time_data_jax, getattr(s, "_time_data_imag", None))
+            for s in signals
+        )
+        leaves = compiled(tds)
+        return _rebuild(spec_box["spec"], leaves)
+
+    runner.__name__ = f"pipeline({getattr(fn, '__name__', 'fn')})"
+    return runner

@@ -66,6 +66,61 @@ def regularization_window(
     ) * 10 ** (30 / 20)
 
 
+def regularization_window_traced(
+    first, last, n_freqs: int, f0: float, df: float, nyquist_hz: float
+):
+    """In-trace twin of :func:`regularization_window` for the AUTOMATIC
+    range (Hann flanks, the only window the auto path uses): from the
+    traced first/last-above-threshold bins to the scaled inverse window,
+    everything runs in-program so `spectral_deconvolve` stays traceable
+    under `dsp.pipeline`. The Hann half-flanks are written analytically
+    (``sin²``/``cos²`` of the periodic window the host builds via scipy);
+    ±1-bin flank placement vs the f64 host build is possible from f32
+    grid arithmetic."""
+    from .._config import default_float
+
+    dt = default_float()
+    freqs = (f0 + jnp.arange(n_freqs) * df).astype(dt)
+    fl = (f0 + first * df).astype(dt)
+    fh = (f0 + last * df).astype(dt)
+    targets = jnp.stack(
+        [
+            fl / np.sqrt(2.0),
+            fl,
+            fh,
+            jnp.minimum(fh * np.sqrt(2.0), nyquist_hz),
+        ]
+    )
+    ids = jnp.argmin(
+        jnp.abs(freqs[None, :] - targets[:, None]), axis=1
+    )
+    i0, i1, i2, i3 = ids[0], ids[1], ids[2], ids[3]
+    n = jnp.arange(n_freqs)
+    len_low = jnp.maximum(i1 - i0, 1)
+    len_high = jnp.maximum(i3 - i2, 1)
+    low = (
+        jnp.sin(jnp.pi * (n - i0).astype(dt) / (2.0 * len_low.astype(dt)))
+        ** 2
+    )
+    low = jnp.where(i1 - i0 > 0, low, 1.0)
+    high = (
+        jnp.cos(jnp.pi * (n - i2).astype(dt) / (2.0 * len_high.astype(dt)))
+        ** 2
+    )
+    high = jnp.where(i3 - i2 > 1, high, 1.0)
+    w = jnp.where(
+        n < i0,
+        0.0,
+        jnp.where(
+            n < i1,
+            low,
+            jnp.where(n < i2, 1.0, jnp.where(n < i3, high, 0.0)),
+        ),
+    )
+    eps = (1.0 - w) * np.float64(10.0 ** (30.0 / 20.0))
+    return eps.astype(dt)[:, None]
+
+
 @lru_cache(maxsize=32)
 def regularization_window_device(
     ssz_t: tuple, n_freqs: int, f0: float, df: float

@@ -89,15 +89,43 @@ def spectral_deconvolve(
     # active — the device-spectrum cache consulted below is self-validating
     # via `_spectrum_param_key` (which includes the method).
     _prev_methods = (input.spectrum_method, output.spectrum_method)
+    # the single-slot device-spectrum cache would otherwise be replaced by
+    # the FFT-method entry computed below, silently dropping a caller's
+    # cached (e.g. Welch) spectrum — snapshot and restore it
+    _prev_dev_entries = [
+        (
+            sig,
+            sig._cache.get("spectrum_dev"),
+            sig._cache.get("spectrum_dev_mono"),
+        )
+        for sig in (input, output)
+    ]
     try:
         input._spectrum_parameters["method"] = SpectrumMethod.FFT
         output._spectrum_parameters["method"] = SpectrumMethod.FFT
+        for sig in (input, output):
+            # re-seed from the previous deconvolution's stashed FFT entry
+            # (self-validating key, so a stale stash just misses)
+            stashed = sig._cache.pop("deconv_spectrum_dev", None)
+            if stashed is not None:
+                sig._cache["spectrum_dev"] = stashed
         # device-resident spectra: the division consumes them on-device;
         # only the (small, real) |denum| comes host for the regularization
         # window
         _, denum_re, denum_im = input._get_spectrum_device()
         freqs_hz, num_re, num_im = output._get_spectrum_device()
     finally:
+        for sig, dev_entry, mono_entry in _prev_dev_entries:
+            cur = sig._cache.get("spectrum_dev")
+            if cur is not None and cur is not dev_entry:
+                # keep the FFT-method entry for the next deconvolution
+                sig._cache["deconv_spectrum_dev"] = cur
+            if dev_entry is not None:
+                sig._cache["spectrum_dev"] = dev_entry
+            else:
+                sig._cache.pop("spectrum_dev", None)
+            if mono_entry is not None:
+                sig._cache["spectrum_dev_mono"] = mono_entry
         input._spectrum_parameters["method"] = _prev_methods[0]
         output._spectrum_parameters["method"] = _prev_methods[1]
     fs_hz = output.sampling_rate_hz
@@ -114,6 +142,59 @@ def spectral_deconvolve(
         # regularization range is computed ONCE — from channel 0 — and
         # every channel reuses the same window
         ssz = start_stop_hz
+        import jax as _jax
+
+        if ssz is None and isinstance(denum_re, _jax.core.Tracer):
+            # pipeline trace: no host fetch is possible, so the automatic
+            # regularization range AND its Hann window are computed
+            # in-program (`bk.regularization_window_traced`) and the whole
+            # deconvolution stays one traced expression
+            thr = float(threshold_db)
+            f0 = float(freqs_hz[0])
+            df = float(freqs_hz[1] - freqs_hz[0])
+            nyq = float(fs_hz / 2)
+            F = int(len(freqs_hz))
+
+            def _deconv_auto(nre, nim, dre, dim):
+                mag = jnp.sqrt(dre[:, 0] * dre[:, 0] + dim[:, 0] * dim[:, 0])
+                db = 20.0 * jnp.log10(
+                    jnp.clip(mag, jnp.finfo(mag.dtype).tiny, None)
+                )
+                mask = (db - jnp.max(db)) > thr
+                first = jnp.argmax(mask)
+                last = mask.shape[0] - 1 - jnp.argmax(mask[::-1])
+                eps_t = bk.regularization_window_traced(
+                    first, last, F, f0, df, nyq
+                )
+                num = nre + 1j * nim
+                den = dre + 1j * dim
+                if multichannel:
+                    den = jnp.broadcast_to(den[:, :1], num.shape)
+                return bk.spectral_deconvolve_core(num, den, length, eps_t)
+
+            new_time_data = run_jitted_complex(
+                _deconv_auto,
+                num_re,
+                num_im,
+                denum_re,
+                denum_im,
+                materialize=False,
+                key=(
+                    "deconv_core_auto", bool(multichannel), int(length),
+                    thr, F, f0, df, nyq,
+                ),
+            )
+            new_sig = ImpulseResponse(
+                None,
+                new_time_data,
+                output.sampling_rate_hz,
+                constrain_amplitude=False,
+            )
+            if padding and keep_original_length:
+                new_sig.time_data = pad_trim_axis(
+                    new_sig.time_data_jax, original_length, axis=0
+                )
+            return new_sig
         if ssz is None:
             # the first/last bin above threshold is a reduction over the
             # denominator magnitude: run it on device and fetch 2 ints

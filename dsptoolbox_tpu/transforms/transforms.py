@@ -388,6 +388,18 @@ def istft(
             td = pad_trim_axis(td, target_len, axis=0)
         return td
 
+    from ..classes.lazy_array import LazyHostArray
+
+    if isinstance(stft, LazyHostArray):
+        # default-API chains: consume the device buffers directly (zero
+        # host round trips). Once the user has materialized (and possibly
+        # mutated) the host view, that buffer is the truth instead.
+        if stft.is_materialized:
+            stft = stft.numpy()
+        elif stft.device_imag is not None:
+            stft = DeviceSpectralData(stft.device_real, stft.device_imag)
+        else:
+            stft = stft.device_real
     if isinstance(stft, DeviceSpectralData):
         td = run_jitted_complex(
             lambda re, im: _finish(_istft_core(re + 1j * im)),

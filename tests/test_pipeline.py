@@ -1,0 +1,143 @@
+"""`dsp.pipeline`: public-call chains fused into one jitted program.
+
+Verifies fused results match the unfused public API bit-closely, the
+supported return structures rebuild correctly, retracing is cached per
+input signature, and in-trace amplitude constraining matches the eager
+setter's arithmetic.
+"""
+
+import numpy as np
+import pytest
+
+import dsptoolbox_tpu as dsp
+from dsptoolbox_tpu.classes.lazy_array import LazyHostArray
+
+EXAMPLE = "/root/reference/example_data"
+
+
+@pytest.fixture
+def speech():
+    s = dsp.Signal(f"{EXAMPLE}/speech.flac")
+    s.set_spectrogram_parameters(window_length_samples=1024)
+    return s
+
+
+def _config2_chain(sig):
+    t, f, S = sig.get_spectrogram(force_computation=True)
+    y = dsp.transforms.istft(S, original_signal=sig)
+    f2, sp = sig.get_spectrum(force_computation=True)
+    two = dsp.append_signals([sig, y])
+    f3, C = two.get_csm(force_computation=True)
+    return y, sp, C
+
+
+class TestPipeline:
+    def test_config2_chain_matches_unfused(self, speech):
+        run = dsp.pipeline(_config2_chain)
+        y, sp, C = run(speech)
+        y0, sp0, C0 = _config2_chain(speech)
+        assert isinstance(y, dsp.Signal)
+        assert isinstance(sp, LazyHostArray)
+        assert isinstance(C, LazyHostArray)
+        np.testing.assert_allclose(
+            np.asarray(y.time_data_jax),
+            np.asarray(y0.time_data_jax),
+            rtol=2e-4,
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp), np.asarray(sp0), rtol=2e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(C), np.asarray(C0), rtol=2e-4, atol=1e-7
+        )
+
+    def test_signal_metadata_carried(self, speech):
+        run = dsp.pipeline(_config2_chain)
+        y, _, _ = run(speech)
+        assert y.sampling_rate_hz == speech.sampling_rate_hz
+        assert y.length_samples == speech.length_samples
+
+    def test_deconvolution_chain_with_ir_output(self):
+        chirp = dsp.Signal(f"{EXAMPLE}/chirp.wav")
+        rec = dsp.Signal(f"{EXAMPLE}/chirp.wav")
+
+        def chain(r, c):
+            ir = dsp.transfer_functions.spectral_deconvolve(
+                r, c, padding=False, keep_original_length=True
+            )
+            ir_w, _ = dsp.transfer_functions.window_ir(
+                ir, 2**14, return_device=True
+            )
+            return ir_w
+
+        run = dsp.pipeline(chain)
+        ir_w = run(rec, chirp)
+        ir_w0 = chain(rec, chirp)
+        assert isinstance(ir_w, dsp.ImpulseResponse)
+        np.testing.assert_allclose(
+            np.asarray(ir_w.time_data_jax),
+            np.asarray(ir_w0.time_data_jax),
+            rtol=5e-4,
+            atol=2e-5,
+        )
+        # the analysis window travels with the rebuilt IR
+        assert getattr(ir_w, "window", None) is not None
+
+    def test_structured_returns(self, speech):
+        def chain(sig):
+            f, sp = sig.get_spectrum(force_computation=True)
+            return {"sp": sp, "pair": (sig.time_data_jax * 2, 3.5), "f": f}
+
+        out = dsp.pipeline(chain)(speech)
+        assert isinstance(out["sp"], LazyHostArray)
+        assert out["pair"][1] == 3.5
+        assert isinstance(out["f"], np.ndarray)
+        np.testing.assert_allclose(
+            np.asarray(out["pair"][0]),
+            np.asarray(speech.time_data_jax) * 2,
+            rtol=1e-6,
+        )
+
+    def test_trace_cache_per_signature(self, speech):
+        calls = {"n": 0}
+
+        def chain(sig):
+            calls["n"] += 1
+            _, sp = sig.get_spectrum(force_computation=True)
+            return sp
+
+        run = dsp.pipeline(chain)
+        run(speech)
+        run(speech)
+        assert calls["n"] == 1  # second call reuses the compiled program
+        short = dsp.Signal(
+            None, np.asarray(speech.time_data)[: 2**15, 0],
+            speech.sampling_rate_hz,
+        )
+        run(short)
+        assert calls["n"] == 2  # new shape -> one retrace
+
+    def test_in_trace_amplitude_constraining(self):
+        loud = dsp.Signal.from_time_data(
+            np.sin(np.linspace(0, 50, 16000)) * 3.0, 16000
+        )
+        assert loud.constrain_amplitude
+
+        def chain(sig):
+            return dsp.append_signals([sig, sig])
+
+        out = dsp.pipeline(chain)(loud)
+        # eager append constrains identically
+        out0 = chain(loud)
+        np.testing.assert_allclose(
+            np.asarray(out.time_data_jax),
+            np.asarray(out0.time_data_jax),
+            rtol=1e-6,
+            atol=1e-7,
+        )
+
+    def test_rejects_non_signal_args(self):
+        run = dsp.pipeline(lambda s: s)
+        with pytest.raises(AssertionError):
+            run(np.zeros(16))

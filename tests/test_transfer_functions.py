@@ -476,15 +476,18 @@ class TestDeconvolveReviewRegressions:
             activate_cache=True,
         )
         assert exc.spectrum_method == SpectrumMethod.WelchPeriodogram
-        exc.get_spectrum()  # populate the host Welch cache
-        cached = exc._cache.get("spectrum")
+        exc.get_spectrum()  # populate the Welch cache (device-backed in
+        # lazy mode, host otherwise)
+        cached = exc._cache.get("spectrum_dev") or exc._cache.get(
+            "spectrum"
+        )
         assert cached is not None
         dsp.transfer_functions.spectral_deconvolve(rec, exc)
         assert exc.spectrum_method == SpectrumMethod.WelchPeriodogram
         assert rec.spectrum_method == SpectrumMethod.WelchPeriodogram
-        assert exc._cache.get("spectrum") is cached, (
-            "deconvolve dropped the caller's cached spectrum"
-        )
+        assert (
+            exc._cache.get("spectrum_dev") or exc._cache.get("spectrum")
+        ) is cached, "deconvolve dropped the caller's cached spectrum"
 
     def test_non_fast_length_matches_reference(self, ref):
         rng = np.random.default_rng(31)
