@@ -912,11 +912,6 @@ class Signal(MultichannelData):
         )
         return freqs.copy(), re, im
 
-    def _complex_time_data_or_real(self) -> jnp.ndarray:
-        if self.is_complex_signal:
-            return self._time_data + 1j * self._time_data_imag
-        return self._time_data
-
     def _csm_welch_closure(self):
         """Welch CSM program ``td (T, C) -> (f, (F, C, C))`` capturing only
         freezable locals (shared by the host and device CSM getters)."""

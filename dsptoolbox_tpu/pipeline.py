@@ -56,7 +56,15 @@ __all__ = ["pipeline"]
 def _flatten_result(obj, leaves, path="out"):
     """Recursively split `obj` into device leaves + a rebuild spec."""
     from .classes.lazy_array import LazyHostArray
+    from .classes.multibandsignal import MultiBandSignal
     from .classes.signal import DeviceSpectralData, Signal
+
+    if isinstance(obj, MultiBandSignal):
+        band_specs = [
+            _flatten_result(b, leaves, f"{path}.bands[{i}]")
+            for i, b in enumerate(obj.bands)
+        ]
+        return ("mbs", obj, band_specs)
 
     if isinstance(obj, Signal):
         idx_re = len(leaves)
@@ -164,6 +172,15 @@ def _rebuild(spec, leaves):
     from .classes.signal import DeviceSpectralData, _dev_jit
 
     kind = spec[0]
+    if kind == "mbs":
+        from .classes.multibandsignal import MultiBandSignal
+
+        _, template, band_specs = spec
+        return MultiBandSignal(
+            [_rebuild(s, leaves) for s in band_specs],
+            same_sampling_rate=template.same_sampling_rate,
+            info=dict(template.info),
+        )
     if kind == "signal":
         _, template, i_re, i_im, i_win = spec
         out = _rebuild_signal(

@@ -186,6 +186,18 @@ class TestWrapperProtocols:
         assert isinstance(dev, jnp.ndarray)
         assert not C.is_materialized
 
+    def test_device_spectral_data_compose(self, stereo):
+        import jax.numpy as jnp
+
+        _, dsd = stereo.get_csm(force_computation=True, return_device=True)
+        composed = dsd.complex_device()
+        assert isinstance(composed, jnp.ndarray)
+        np.testing.assert_allclose(
+            np.asarray(composed.real) + 1j * np.asarray(composed.imag),
+            dsd.to_numpy(),
+            rtol=1e-6,
+        )
+
     def test_materialize_all(self, stereo, speech):
         _, C = stereo.get_csm(force_computation=True)
         _, sp = speech.get_spectrum(force_computation=True)

@@ -137,6 +137,39 @@ class TestPipeline:
             atol=1e-7,
         )
 
+    def test_filterbank_chain_with_multiband_output(self):
+        from dsptoolbox_tpu.standard.enums import FilterBankMode
+
+        s = dsp.Signal(f"{EXAMPLE}/fuer_elise.wav")
+        fs = s.sampling_rate_hz
+        fb = dsp.filterbanks.linkwitz_riley_crossovers(
+            [250.0, 1000.0], [4, 4], sampling_rate_hz=fs
+        )
+
+        def chain(sig):
+            mb = fb.filter_signal(sig, FilterBankMode.Parallel)
+            r = dsp.resample(sig, fs // 3)
+            return mb, r
+
+        run = dsp.pipeline(chain)
+        mb, r = run(s)
+        mb0, r0 = chain(s)
+        assert isinstance(mb, dsp.MultiBandSignal)
+        assert len(mb.bands) == len(mb0.bands)
+        for b, b0 in zip(mb.bands, mb0.bands):
+            np.testing.assert_allclose(
+                np.asarray(b.time_data_jax),
+                np.asarray(b0.time_data_jax),
+                rtol=1e-4,
+                atol=1e-5,
+            )
+        np.testing.assert_allclose(
+            np.asarray(r.time_data_jax),
+            np.asarray(r0.time_data_jax),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+
     def test_rejects_non_signal_args(self):
         run = dsp.pipeline(lambda s: s)
         with pytest.raises(AssertionError):

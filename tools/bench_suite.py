@@ -75,23 +75,34 @@ def config1_deconvolution():
     chirp = dsp.Signal(f"{EXAMPLE}/chirp.wav")
     rec = dsp.Signal(f"{EXAMPLE}/chirp.wav")
 
-    def run():
+    def chain(r, c):
         ir = dsp.transfer_functions.spectral_deconvolve(
-            rec, chirp, padding=False, keep_original_length=True
+            r, c, padding=False, keep_original_length=True
         )
         ir_w, _ = dsp.transfer_functions.window_ir(
             ir, 2**14, return_device=True
         )
-        return ir_w.time_data_jax
+        return ir_w
+
+    def run():
+        return chain(rec, chirp).time_data_jax
 
     dt = timeit(run, n_iters=50)
+    fused = dsp.pipeline(chain)
+
+    def run_fused():
+        return fused(rec, chirp).time_data_jax
+
+    dt_fused = timeit(run_fused, n_iters=50)
     audio_s = chirp.length_samples / chirp.sampling_rate_hz
     return {
         "config": 1,
         "metric": "spectral_deconvolve+window_ir E2E",
-        "value": round(audio_s / dt, 1),
-        "unit": "x realtime per chip (library E2E incl. host)",
-        "seconds_per_iter": round(dt, 4),
+        "value": round(audio_s / dt_fused, 1),
+        "unit": "x realtime per chip (dsp.pipeline fused, library E2E)",
+        "seconds_per_iter": round(dt_fused, 4),
+        "unfused_x_realtime": round(audio_s / dt, 1),
+        "unfused_seconds_per_iter": round(dt, 4),
     }
 
 
@@ -101,12 +112,45 @@ def config2_stft_welch_csm():
     `transforms.istft` / `Signal.get_spectrum` / `Signal.get_csm` +
     `append_signals`) — the same call sequence as the reference oracle
     `r2()` below."""
+    import jax
+
     import dsptoolbox_tpu as dsp
 
     s = dsp.Signal(f"{EXAMPLE}/speech.flac")
     s.set_spectrogram_parameters(window_length_samples=1024)
     fs = s.sampling_rate_hz
     T = s.length_samples
+
+    def _chain(sig):
+        t, f, S = sig.get_spectrogram(force_computation=True)
+        y = dsp.transforms.istft(S, original_signal=sig)
+        f2, sp = sig.get_spectrum(force_computation=True)
+        two = dsp.append_signals([sig, y])
+        f3, C = two.get_csm(force_computation=True)
+        return y, sp, C
+
+    # distinct input buffers derived ON device (execution-memoization
+    # guard; measured to be within launch noise of the fixed-buffer run,
+    # but removes the question)
+    _scale = jax.jit(lambda a, c: a * c)
+    _rot = []
+    for i in range(2 + 3 * 50 + 8):
+        t2 = s.copy_with_new_time_data(
+            _scale(s.time_data_jax, 1.0 + 1e-6 * i)
+        )
+        t2.set_spectrogram_parameters(window_length_samples=1024)
+        _rot.append(t2)
+    _cnt = {"i": -1}
+
+    def _next_sig():
+        _cnt["i"] += 1
+        return _rot[_cnt["i"] % len(_rot)]
+
+    fused = dsp.pipeline(_chain)
+
+    def run_fused():
+        y, sp, C = fused(_next_sig())
+        return y.time_data_jax, sp, C
 
     def run_device():
         # device-resident returns (public `return_device=True` API):
@@ -122,29 +166,42 @@ def config2_stft_welch_csm():
         f3, C = two.get_csm(force_computation=True, return_device=True)
         return y.time_data_jax, sp, C.real
 
-    def run_host():
-        # default host-returning getters (reference-identical call
-        # sequence; each materialization pays the tunnel round trip)
-        t, f, S = s.get_spectrogram(
-            force_computation=True, return_device=True
-        )
-        y = dsp.transforms.istft(S, original_signal=s)
-        f2, sp = s.get_spectrum(force_computation=True)
-        two = dsp.append_signals([s, y])
-        f3, C = two.get_csm(force_computation=True)
+    def run_default():
+        # reference-identical DEFAULT call sequence. Getters return lazy
+        # device-backed arrays (fp32 mode), the library consumes the STFT
+        # on device, and nothing fetches unless the user reads a value —
+        # this is what drop-in code pays per iteration
+        y, sp, C = _chain(_next_sig())
         return y.time_data_jax, sp, C
 
+    def run_default_materialized():
+        # same chain, but every result lands fully on the host each
+        # iteration (packed single-fetch per array): the RTT-bound floor
+        from dsptoolbox_tpu.classes.lazy_array import materialize_all
+
+        y, sp, C = _chain(_next_sig())
+        sp_np, c_np = materialize_all(sp, C)
+        return float(np.asarray(y.time_data_jax[0, 0])), sp_np, c_np
+
+    dt_fused = timeit(run_fused, n_iters=50)
     dt = timeit(run_device, n_iters=50)
-    dt_host = timeit(run_host, n_iters=5)
+    dt_default = timeit(run_default, n_iters=50)
+    # materializing run LAST: its fetches permanently degrade the
+    # process's dispatch latency on this backend
+    dt_host = timeit(run_default_materialized, n_iters=5)
     audio_s = T / fs
     return {
         "config": 2,
         "metric": "STFT+ISTFT+Welch+CSM (public class API)",
-        "value": round(audio_s / dt, 1),
-        "unit": "x realtime per chip (device-resident public API)",
-        "seconds_per_iter": round(dt, 5),
-        "host_returns_x_realtime": round(audio_s / dt_host, 1),
-        "host_returns_seconds_per_iter": round(dt_host, 5),
+        "value": round(audio_s / dt_fused, 1),
+        "unit": "x realtime per chip (dsp.pipeline fused public chain)",
+        "seconds_per_iter": round(dt_fused, 5),
+        "device_resident_x_realtime": round(audio_s / dt, 1),
+        "device_resident_seconds_per_iter": round(dt, 5),
+        "default_lazy_x_realtime": round(audio_s / dt_default, 1),
+        "default_lazy_seconds_per_iter": round(dt_default, 5),
+        "host_materialized_x_realtime": round(audio_s / dt_host, 1),
+        "host_materialized_seconds_per_iter": round(dt_host, 5),
     }
 
 
@@ -165,24 +222,41 @@ def config3_filterbanks():
         [500.0, 4000.0], sampling_rate_hz=fs
     )
 
+    def _chain3(sig):
+        mb = fb.filter_signal(sig, FilterBankMode.Parallel)
+        gt_bands = gt.filter_signal(sig, FilterBankMode.Parallel)
+        r = dsp.resample(sig, fs // 3)
+        return mb, gt_bands, r
+
     def run():
-        mb = fb.filter_signal(s, FilterBankMode.Parallel)
-        gt_bands = gt.filter_signal(s, FilterBankMode.Parallel)
-        r = dsp.resample(s, fs // 3)
+        mb, gt_bands, r = _chain3(s)
         return (
             mb.bands[0].time_data_jax,
             gt_bands.bands[0].time_data_jax,
             r.time_data_jax,
         )
 
+    fused = dsp.pipeline(_chain3)
+
+    def run_fused():
+        mb, gt_bands, r = fused(s)
+        return (
+            mb.bands[0].time_data_jax,
+            gt_bands.bands[0].time_data_jax,
+            r.time_data_jax,
+        )
+
+    dt_fused = timeit(run_fused, n_iters=50)
     dt = timeit(run, n_iters=50)
     audio_s = s.length_samples / fs
     return {
         "config": 3,
         "metric": "LR4 3-way + gammatone + resample E2E",
-        "value": round(audio_s / dt, 1),
-        "unit": "x realtime per chip (library E2E incl. host)",
-        "seconds_per_iter": round(dt, 4),
+        "value": round(audio_s / dt_fused, 1),
+        "unit": "x realtime per chip (dsp.pipeline fused, library E2E)",
+        "seconds_per_iter": round(dt_fused, 4),
+        "unfused_x_realtime": round(audio_s / dt, 1),
+        "unfused_seconds_per_iter": round(dt, 4),
     }
 
 
@@ -198,9 +272,14 @@ def config4_rir_battery(n_rirs=1000):
     T = fs // 2
     rng = np.random.default_rng(0)
     t = np.arange(T) / fs
-    decays = rng.uniform(3.0, 12.0, n_rirs)
+    # decay fast enough to reach a -60 dB noise floor inside the window:
+    # the same family the reference-side oracle (`r4`) times, so the
+    # reference-vs-repo ratio is apples-to-apples (the reference's
+    # noise-floor trim NaN-crashes on floorless synthetic decays)
+    decays = rng.uniform(15.0, 40.0, n_rirs)
     rirs = (
         rng.standard_normal((n_rirs, T)) * np.exp(-decays[:, None] * t)
+        + 1e-3 * rng.standard_normal((n_rirs, T))
     ).astype(np.float32)
     rirs[:, 0] = 1.0
     rirs_j = jnp.asarray(rirs)
@@ -329,6 +408,12 @@ def reference_oracles():
     ref = _install_reference()
     results = []
 
+    def _emit(r):
+        # print as we go: a crash in a later config must not lose the
+        # earlier measurements
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
     # config 1
     chirp = ref.Signal(f"{EXAMPLE}/chirp.wav")
     rec = ref.Signal(f"{EXAMPLE}/chirp.wav")
@@ -341,7 +426,7 @@ def reference_oracles():
 
     dt = _time_host(r1)
     audio_s = chirp.time_data.shape[0] / chirp.sampling_rate_hz
-    results.append({
+    _emit({
         "config": 1, "reference_seconds_per_iter": round(dt, 4),
         "reference_x_realtime": round(audio_s / dt, 1),
     })
@@ -359,7 +444,7 @@ def reference_oracles():
 
     dt = _time_host(r2)
     audio_s = s.time_data.shape[0] / s.sampling_rate_hz
-    results.append({
+    _emit({
         "config": 2, "reference_seconds_per_iter": round(dt, 5),
         "reference_x_realtime": round(audio_s / dt, 1),
     })
@@ -382,21 +467,23 @@ def reference_oracles():
 
     dt = _time_host(r3)
     audio_s = s3.time_data.shape[0] / fs3
-    results.append({
+    _emit({
         "config": 3, "reference_seconds_per_iter": round(dt, 4),
         "reference_x_realtime": round(audio_s / dt, 1),
     })
 
-    # config 4 (time a 50-RIR slice of the 1000-RIR battery)
+    # config 4 (time a 50-RIR slice of the 1000-RIR battery; same RIR
+    # family as `config4_rir_battery` — fast decay + noise floor, which
+    # the reference's trim logic requires)
     fs4 = 16000
     T = fs4 // 2
     rng = np.random.default_rng(0)
     t4 = np.arange(T) / fs4
     n_slice = 50
-    decays = rng.uniform(3.0, 12.0, n_slice)
+    decays = rng.uniform(15.0, 40.0, n_slice)
     rirs = rng.standard_normal((n_slice, T)) * np.exp(
         -decays[:, None] * t4
-    )
+    ) + 1e-3 * rng.standard_normal((n_slice, T))
     rirs[:, 0] = 1.0
     from dsptoolbox.room_acoustics.enums import RoomAcousticsDescriptor
 
@@ -418,12 +505,22 @@ def reference_oracles():
         return out
 
     dt = _time_host(r4, n_iters=1, warmup=1)
-    results.append({
+    _emit({
         "config": 4, "reference_rirs_per_s": round(n_slice / dt, 1),
     })
 
-    # config 5
-    ma = ref.beamforming.MicArray(f"{EXAMPLE}/array.xml")
+    # config 5 (the reference MicArray takes a positions dict, not XML —
+    # reuse our XML parser for identical coordinates)
+    from dsptoolbox_tpu.beamforming import MicArray as _TpuMicArray
+
+    _ma_tpu = _TpuMicArray.from_xml(f"{EXAMPLE}/array.xml")
+    ma = ref.beamforming.MicArray(
+        {
+            "x": _ma_tpu.coordinates[:, 0],
+            "y": _ma_tpu.coordinates[:, 1],
+            "z": _ma_tpu.coordinates[:, 2],
+        }
+    )
     xval = np.arange(-0.3, 0.3, 0.02)
     yval = np.arange(-0.3, 0.3, 0.02)
     grid = ref.beamforming.Regular2DGrid(
@@ -445,7 +542,7 @@ def reference_oracles():
         return das.get_beamformer_map(2000, 3, remove_csm_diagonal=True)
 
     dt = _time_host(r5, n_iters=1, warmup=1)
-    results.append({
+    _emit({
         "config": 5,
         "reference_das_seconds_per_map": round(dt, 3),
         "reference_das_grid_points_per_s": round(
@@ -453,8 +550,6 @@ def reference_oracles():
         ),
     })
 
-    for r in results:
-        print(json.dumps(r), flush=True)
     return results
 
 
