@@ -1,0 +1,182 @@
+"""Fleet-scale throughput benchmarks with utilization accounting.
+
+Round-3's per-chip utilization numbers (0.2–1.7% fp32-effective MFU)
+were measured at interactive sizes where the fixed ~1 ms program launch
+dominates. This suite measures the honest compute story once launches
+amortize: every config at fleet scale (≥256 signals / full-batch
+descriptor and beamforming sweeps), reporting aggregate throughput,
+fp32-effective MFU and HBM utilization from XLA's cost analysis via
+`tools/profiler.profile_program` (value-fetch-synced, distinct
+device-derived buffers).
+
+Run on the real TPU:  python tools/bench_scale.py [--json-out PATH]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from profiler import _load, profile_program  # noqa: E402
+
+EXAMPLE = "/root/reference/example_data"
+
+
+def scale_config1(batch=256):
+    """256 simultaneous deconvolution+window measurements."""
+    import jax.numpy as jnp
+
+    x, fs = _load(f"{EXAMPLE}/chirp.wav")
+    T = int(x.shape[-1])
+    P = 1 << (T - 1).bit_length()
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(
+        (np.asarray(x[0])[None, :] *
+         rng.uniform(0.5, 1.0, (batch, 1))).astype(np.float32)
+    )
+    exc = jnp.fft.rfft(x[0], n=P)
+    reg = jnp.full(P // 2 + 1, 1e-3, jnp.float32)
+
+    def run(xb, exc, reg):
+        X = jnp.fft.rfft(xb, n=P, axis=-1)
+        H = jnp.conj(exc) / (jnp.abs(exc) ** 2 + reg)
+        ir = jnp.fft.irfft(X * H, n=P, axis=-1)[..., :T]
+        n = jnp.arange(T)
+        w = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * n / T)
+        return ir * w
+
+    audio_s = batch * T / fs
+    return run, (xb, exc, reg), f"scale1: {batch}x deconvolve+window", audio_s
+
+
+def scale_config2(batch=256):
+    """256 simultaneous STFT+ISTFT+Welch+CSM chains (pairs for the CSM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsptoolbox_tpu.ops.framing import reconstruct_framed_signal
+    from dsptoolbox_tpu.ops.spectral import csm_welch, stft, welch
+    from dsptoolbox_tpu.ops.windows import get_window
+    from dsptoolbox_tpu.standard.enums import Window
+
+    x, fs = _load(f"{EXAMPLE}/speech.flac")
+    T = int(x.shape[-1])
+    wl = 1024
+    win = get_window(Window.Hann, wl, symmetric=False)
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(
+        (np.asarray(x[0])[None, :] *
+         rng.uniform(0.5, 1.0, (batch, 1))).astype(np.float32)
+    )
+
+    def one(xi):  # xi (T,)
+        _, _, S = stft(
+            xi[None], sampling_rate_hz=fs, window_length_samples=wl,
+            overlap_percent=50.0,
+        )
+        frames = jnp.fft.irfft(S, n=wl, axis=-1)
+        y = reconstruct_framed_signal(
+            frames, wl // 2, win, original_signal_length=T
+        )
+        psd = welch(
+            xi[None], None, sampling_rate_hz=fs, window_length_samples=wl
+        )
+        x2 = jnp.concatenate([xi[None], y[..., :T][0][None]], axis=0)
+        _, C = csm_welch(x2, sampling_rate_hz=fs, window_length_samples=wl)
+        return y, psd, C
+
+    def run(xb):
+        return jax.vmap(one)(xb)
+
+    audio_s = batch * T / fs
+    return run, (xb,), f"scale2: {batch}x stft+istft+welch+csm", audio_s
+
+
+def scale_config4(n_rirs=16384):
+    """Full-batch descriptor sweep."""
+    import jax.numpy as jnp
+
+    from dsptoolbox_tpu.room_acoustics import batch_descriptors
+
+    fs = 16000
+    T = fs // 2
+    rng = np.random.default_rng(0)
+    t = np.arange(T) / fs
+    decays = rng.uniform(15.0, 40.0, n_rirs)
+    rirs = (
+        rng.standard_normal((n_rirs, T)) * np.exp(-decays[:, None] * t)
+        + 1e-3 * rng.standard_normal((n_rirs, T))
+    ).astype(np.float32)
+    rirs[:, 0] = 1.0
+
+    def run(r):
+        return batch_descriptors(r, fs)
+
+    return (
+        run, (jnp.asarray(rirs),),
+        f"scale4: {n_rirs}-RIR descriptor battery", None,
+    )
+
+
+def scale_config5(n_bins=513):
+    """Full-spectrum DAS sweep: every rfft bin, 64 mics, 900 points."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    n_mics, n_grid = 64, 900
+    C = rng.standard_normal((n_bins, n_mics, n_mics)) + 1j * (
+        rng.standard_normal((n_bins, n_mics, n_mics))
+    )
+    C = (C + np.conj(np.swapaxes(C, -1, -2))) / 2
+    h = rng.standard_normal((n_bins, n_grid, n_mics)) + 1j * (
+        rng.standard_normal((n_bins, n_grid, n_mics))
+    )
+    Cre = jnp.asarray(np.real(C).astype(np.float32))
+    Cim = jnp.asarray(np.imag(C).astype(np.float32))
+    hre = jnp.asarray(np.real(h).astype(np.float32))
+    him = jnp.asarray(np.imag(h).astype(np.float32))
+
+    def run(cre, cim, hre_, him_):
+        Cc = cre + 1j * cim
+        hc = hre_ + 1j * him_
+        return jnp.real(
+            jnp.einsum("fgm,fmn,fgn->gf", jnp.conj(hc), Cc, hc)
+        )
+
+    return (
+        run, (Cre, Cim, hre, him),
+        f"scale5: DAS full-spectrum {n_bins} bins x 64 mics x 900 pts",
+        None,
+    )
+
+
+def main():
+    out_path = None
+    if "--json-out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--json-out") + 1]
+    results = []
+    for build, extra in (
+        (scale_config1, lambda r, a: {"audio_s_per_s": round(a / r["seconds_per_iter"], 1)}),
+        (scale_config2, lambda r, a: {"audio_s_per_s": round(a / r["seconds_per_iter"], 1)}),
+        (scale_config4, lambda r, a: {"rirs_per_s": round(16384 / r["seconds_per_iter"], 0)}),
+        (scale_config5, lambda r, a: {"grid_pts_bins_per_s": round(900 * 513 / r["seconds_per_iter"], 0)}),
+    ):
+        fn, args, label, audio_s = build()
+        rep = profile_program(fn, args, label, trace_dir=None, n_iters=5)
+        rep.update(extra(rep, audio_s))
+        results.append(rep)
+        print(json.dumps(rep), flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()
