@@ -50,6 +50,7 @@ PAGES = [
     ("plots", "dsptoolbox_tpu.plots", "Plot builders"),
     ("io", "dsptoolbox_tpu.io", "File I/O: WAV/RF64, native FLAC, safe serialization"),
     ("parallel", "dsptoolbox_tpu.parallel", "Multi-chip sharding: meshes and parallel ops"),
+    ("pipeline", "dsptoolbox_tpu.pipeline", "Fused execution of public-call chains (one device program)"),
     ("realtime", "dsptoolbox_tpu.realtime", "Block/sample streaming filters"),
     ("ops", "dsptoolbox_tpu.ops", "Device kernels (XLA/Pallas) under the public API"),
     ("enums", "dsptoolbox_tpu.standard.enums", "Enum vocabulary"),
