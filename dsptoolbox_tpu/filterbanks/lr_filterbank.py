@@ -247,11 +247,41 @@ class LRFilterBank:
         ap_zi[1] = np.asarray(zf_h)
         return s_l + s_h
 
+    def _composite_band_responses(self, nfft: int) -> np.ndarray:
+        """Per-band composite crossover+allpass responses on the rfft
+        grid, host-f64, cached per nfft → complex64 ``(B, F)``."""
+        cache = self.__dict__.setdefault("_resp_cache", {})
+        got = cache.get(nfft)
+        if got is None:
+            from ..ops.iir_freq import sos_freq_response_host
+
+            lp = [
+                sos_freq_response_host(self.sos[c][0], nfft, False)
+                for c in range(self.number_of_cross)
+            ]
+            hp = [
+                sos_freq_response_host(self.sos[c][1], nfft, False)
+                for c in range(self.number_of_cross)
+            ]
+            spectra = []
+            cur = np.ones_like(lp[0])
+            for cn in range(self.number_of_cross):
+                band = cur * lp[cn]
+                cur = cur * hp[cn]
+                for ap_n in range(cn + 1, self.number_of_cross):
+                    band = band * (lp[ap_n] + hp[ap_n])
+                spectra.append(band)
+            spectra.append(cur)
+            got = np.stack(spectra).astype(np.complex64)
+            cache[nfft] = got
+        return got
+
     def __getstate__(self):
         # jitted programs are runtime caches: not picklable/deepcopyable
         state = self.__dict__.copy()
         state.pop("_jit_filtered", None)
         state.pop("_jit_zero_phase", None)
+        state.pop("_resp_cache", None)
         return state
 
     def _band_split_program(self, zero_phase: bool):
@@ -304,31 +334,21 @@ class LRFilterBank:
                 T = x.shape[-1]
                 nfft = _freq_nfft(T)
                 if nfft is not None:
-                    from ..ops.iir_freq import sos_freq_response
-
+                    # the per-band composite responses are
+                    # INPUT-INDEPENDENT: evaluated once on the host in
+                    # f64 (cached per nfft) and baked in as literals —
+                    # on-device evaluation cost ~9 GFLOP/call that XLA
+                    # does not constant-fold at these sizes (round-4
+                    # trace, docs/STATUS.md)
+                    resp = self._composite_band_responses(nfft)
                     X = jnp.fft.rfft(x, n=nfft, axis=-1)
-                    lp = [
-                        sos_freq_response(self.sos[c][0], nfft, False)
-                        for c in range(self.number_of_cross)
-                    ]
-                    hp = [
-                        sos_freq_response(self.sos[c][1], nfft, False)
-                        for c in range(self.number_of_cross)
-                    ]
-
-                    spectra = []
-                    cur = X
-                    for cn in range(self.number_of_cross):
-                        band = cur * lp[cn]
-                        cur = cur * hp[cn]
-                        for ap_n in range(cn + 1, self.number_of_cross):
-                            band = band * (lp[ap_n] + hp[ap_n])
-                        spectra.append(band)
-                    spectra.append(cur)
+                    resp_j = jax.lax.complex(
+                        jnp.asarray(resp.real), jnp.asarray(resp.imag)
+                    )  # (B, F)
+                    stacked = X[None, :, :] * resp_j[:, None, :]
                     # ONE batched inverse FFT for every band: XLA's TPU
-                    # FFT is latency-bound (~3 ms per call regardless of
-                    # size), so k+1 separate irffts cost (k+1)x one
-                    stacked = jnp.stack(spectra, axis=0)  # (B, C, F)
+                    # FFT dispatch is launch-bound, so k+1 separate
+                    # irffts as top-level calls cost (k+1)x one
                     td = jnp.fft.irfft(stacked, n=nfft, axis=-1)[..., :T]
                     return tuple(
                         jnp.swapaxes(td[b], 0, 1)
