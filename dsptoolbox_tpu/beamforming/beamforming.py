@@ -608,6 +608,64 @@ class BeamformerGridded(BaseBeamformer):
         self.grid = grid
         self.st_vec = steering_vector
 
+    def _finish_map(self, map_gf, f, clip_negative: bool):
+        """Common map tail: optional negative clip, Simpson integration
+        over the analysis band, grid reshape, `self.map` assignment.
+
+        In lazy fp32 mode with a device-resident ``map_gf (G, F)`` the
+        whole tail runs in one device program and the map is returned as
+        a :class:`LazyHostArray` — on this backend a warm DAS call's
+        ~30 ms is ONE map fetch, so device consumers (tracking loops
+        reading an argmax, map batches) skip the round-trip entirely.
+        The Simpson rule is applied as its exact weight vector (linear in
+        the data; weights extracted from `scipy.integrate.simpson` on
+        identity rows, so host/device paths use identical quadrature)."""
+        from .._config import lazy_host_returns
+
+        lazy = (
+            lazy_host_returns()
+            and isinstance(map_gf, jnp.ndarray)
+            and not isinstance(map_gf, np.ndarray)
+        )
+        n_f = len(f)
+        if lazy:
+            from ..classes.lazy_array import LazyHostArray
+            from ..classes.signal import _dev_jit
+
+            shape = self.grid.reconstruct_map_shape(
+                np.zeros(self.grid.number_of_points)
+            ).shape
+            if n_f > 1:
+                w = _simpson_uniform(
+                    np.eye(n_f), dx=f[1] - f[0], axis=-1
+                ).astype(np.float32)
+            else:
+                w = None
+
+            def _post(m, wv=None):
+                if clip_negative:
+                    m = jnp.maximum(m, 0.0)
+                v = m @ wv if wv is not None else m[:, 0]
+                return v.reshape(shape)
+
+            key = ("bf_map_post", bool(clip_negative), shape, n_f)
+            out = (
+                _dev_jit(key, _post)(map_gf, jnp.asarray(w))
+                if w is not None
+                else _dev_jit(key, _post)(map_gf)
+            )
+            self.map = LazyHostArray(out)
+            return self.map.copy()
+        map = np.array(map_gf)
+        if clip_negative:
+            map[map < 0] = 0
+        if n_f > 1:
+            map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
+        else:
+            map = map.squeeze()
+        self.map = self.grid.reconstruct_map_shape(map)
+        return self.map.copy()
+
     def _amp_diff_device(self):
         """Device-cached frequency-independent steering factors
         ``(amp (M, G), diff (M, G))`` — uploaded once per
@@ -720,23 +778,17 @@ class BeamformerDASFrequency(BeamformerGridded):
                 cim = cim * (scale * off)
             return _das_map_core(ampj, diffj, kj, cre, cim)
 
-        map_fg = run_jitted_complex(
+        map_gf = run_jitted_complex(
             _core,
             amp_dev,
             diff_dev,
             np.asarray(wave_numbers),
             csm_re_dev,
             csm_im_dev,
+            materialize=False,  # lazy tail: the map fetch IS the warm
+            # call's ~30 ms on this backend
         )
-        map = np.array(map_fg)
-        if remove_csm_diagonal:
-            map[map < 0] = 0
-        if len(f) > 1:
-            map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
-        else:
-            map = map.squeeze()
-        self.map = self.grid.reconstruct_map_shape(map)
-        return self.map.copy()
+        return self._finish_map(map_gf, f, bool(remove_csm_diagonal))
 
     def _get_beamformer_map_mesh(
         self, center_frequency_hz, octave_fraction, remove_csm_diagonal,
@@ -997,12 +1049,7 @@ class BeamformerMVDR(BeamformerGridded):
             f, map = self._map_device_loaded(
                 center_frequency_hz, octave_fraction, gamma
             )
-            if len(f) > 1:
-                map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
-            else:
-                map = map.squeeze(1)
-            self.map = self.grid.reconstruct_map_shape(map)
-            return self.map.copy()
+            return self._finish_map(map, f, False)
         f, csm = self._csm_slice(center_frequency_hz, octave_fraction)
         wave_numbers = f * np.pi * 2 / self.c
         # Reference-exact path: invert host-side in f64 like the
@@ -1085,15 +1132,15 @@ class BeamformerMVDR(BeamformerGridded):
             denom = jnp.real(jnp.sum(jnp.conj(hs) * x, axis=1))  # (F, G)
             return (1.0 / denom).T  # (G, F)
 
-        map = np.array(
-            run_jitted_complex(
-                _mvdr_core,
-                amp_dev,
-                diff_dev,
-                wave_numbers,
-                csm_re_dev,
-                csm_im_dev,
-            )
+        map = run_jitted_complex(
+            _mvdr_core,
+            amp_dev,
+            diff_dev,
+            wave_numbers,
+            csm_re_dev,
+            csm_im_dev,
+            materialize=False,  # the caller's `_finish_map` keeps the
+            # tail on device in lazy mode
         )
         return f, map
 

@@ -19,6 +19,6 @@ def test_no_dead_functions():
         [sys.executable, os.path.join(REPO, "tools", "dead_code_audit.py")],
         capture_output=True,
         text=True,
-        timeout=120,
+        timeout=300,  # regex pass over the whole tree; slow under -n N
     )
     assert p.returncode == 0, f"dead-code audit failed:\n{p.stdout}"
