@@ -265,10 +265,18 @@ def mfcc(
 
     # one cached device program for mel projection + dB + DCT: eagerly
     # these were ~5 dispatch round trips on tunneled backends
-    coeffs = _dev_jit("mfcc_core", _mfcc_core)(
-        jnp.asarray(np.asarray(mel_filters, np.float32)), power
-    )
-    coeffs = np.nan_to_num(np.asarray(coeffs), nan=0)
+    coeffs_dev = _dev_jit(
+        "mfcc_core", lambda m, p: jnp.nan_to_num(_mfcc_core(m, p), nan=0.0)
+    )(jnp.asarray(np.asarray(mel_filters, np.float32)), power)
+    from .._config import lazy_host_returns
+
+    if not generate_plot and lazy_host_returns():
+        # feature-extraction pipelines consume the coefficient stack
+        # downstream; defer the ~30 ms host fetch until someone reads it
+        from ..classes.lazy_array import LazyHostArray
+
+        return time_s, f_mel, LazyHostArray(coeffs_dev)
+    coeffs = np.asarray(coeffs_dev)
     if generate_plot:
         fig, ax = general_matrix_plot(
             coeffs[..., channel],
