@@ -960,20 +960,14 @@ class BeamformerOrthogonal(BeamformerGridded):
             )
             return jnp.where(e_last >= 0, val_at, 0.0).T  # (G, F)
 
-        map = np.asarray(
-            run_jitted_complex(
-                _ortho_core,
-                h,
-                v,
-                np.asarray(w, dtype=np.float32),
-            )
+        map = run_jitted_complex(
+            _ortho_core,
+            h,
+            v,
+            np.asarray(w, dtype=np.float32),
+            materialize=False,
         )
-        if len(f) > 1:
-            map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
-        else:
-            map = map.squeeze()
-        self.map = self.grid.reconstruct_map_shape(map)
-        return self.map.copy()
+        return self._finish_map(map, f, False)
 
 
 class BeamformerFunctional(BeamformerGridded):
@@ -991,30 +985,32 @@ class BeamformerFunctional(BeamformerGridded):
         f, csm, h = self._csm_and_steering(
             center_frequency_hz, octave_fraction
         )
-        # batched matrix power via SVD
+        # batched matrix power via SVD (host f64 — eigenstructure of a
+        # near-rank-deficient CSM is precision-sensitive)
         u, s, vh = np.linalg.svd(csm)
         s_pow = s ** (1 / gamma)
         csm_pow = np.einsum(
             "fmk,fk,fkn->fmn", u, s_pow, vh
         )
-        hj = jnp.asarray(h)
-        num = jnp.einsum(
-            "fmg,fmn,fng->gf",
-            jnp.conj(hj),
-            jnp.asarray(csm_pow),
-            hj,
-            precision=_HIGH,
-        ).real
-        norm = jnp.einsum(
-            "fmg,fmg->gf", jnp.conj(hj), hj, precision=_HIGH
-        ).real
-        map = np.asarray((num / norm) ** gamma * norm)
-        if len(f) > 1:
-            map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
-        else:
-            map = map.squeeze()
-        self.map = self.grid.reconstruct_map_shape(map)
-        return self.map.copy()
+        from .._config import run_jitted_complex
+
+        g_exp = float(gamma)
+
+        def _func_core(hj, cj):
+            num = jnp.einsum(
+                "fmg,fmn,fng->gf", jnp.conj(hj), cj, hj, precision=_HIGH
+            ).real
+            norm = jnp.einsum(
+                "fmg,fmg->gf", jnp.conj(hj), hj, precision=_HIGH
+            ).real
+            return (num / norm) ** g_exp * norm
+
+        # complex operands go through the split-pair helper: an eager
+        # complex upload cannot cross this backend's host boundary
+        map = run_jitted_complex(
+            _func_core, h, csm_pow, materialize=False
+        )
+        return self._finish_map(map, f, False)
 
 
 class BeamformerMVDR(BeamformerGridded):
