@@ -20,6 +20,7 @@ from .differentiable import (
     sosfreqz_host,
 )
 from .pad_trim import pad_trim_axis
+from .prefix import cumsum_mxu
 from .spectral import csm_from_spectrum, csm_welch, stft, welch
 from .windows import check_cola, get_window
 
@@ -35,6 +36,7 @@ __all__ = [
     "reconstruct_framed_signal",
     "window_envelope",
     "pad_trim_axis",
+    "cumsum_mxu",
     "welch",
     "stft",
     "csm_welch",

@@ -21,16 +21,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from ..ops.prefix import cumsum_mxu
 
 __all__ = [
     "batch_energy_decay",
     "batch_descriptors",
     "batch_reverb_times",
 ]
-
-_HIGH = jax.lax.Precision.HIGHEST
-
 
 def _start_indices(rirs: jnp.ndarray) -> jnp.ndarray:
     """Direct-sound index per row: energy peak."""
@@ -54,8 +52,10 @@ def batch_energy_decay(rirs: jnp.ndarray) -> jnp.ndarray:
     start = _start_indices(rirs)
     mask = _mask_from_start(T, start)
     e = (rirs**2) * mask
-    # backward cumulative integral
-    edc = jnp.flip(jnp.cumsum(jnp.flip(e, axis=-1), axis=-1), axis=-1)
+    # backward cumulative integral, as blocked triangular matmuls on the
+    # MXU (ops/prefix.py) — XLA's log-depth cumsum passes were the scale
+    # bottleneck of the descriptor battery (docs/scale_r4.jsonl)
+    edc = cumsum_mxu(e, reverse=True)
     total = edc[:, :1]
     edc_db = 10.0 * jnp.log10(
         jnp.maximum(edc, 1e-30) / jnp.maximum(total, 1e-30)
