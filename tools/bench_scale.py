@@ -98,6 +98,54 @@ def scale_config2(batch=256):
     return run, (xb,), f"scale2: {batch}x stft+istft+welch+csm", audio_s
 
 
+def scale_config3(channels=64):
+    """Fleet-scale filter-bank filtering: a 22-band fractional-octave-style
+    blocked-IIR bank over a 64-channel, 15 s signal in ONE program —
+    config 3's dominant kernel once launches amortize (the LR tree and
+    resampler are one rfft/irfft pair each, covered by scale1/2's FFT
+    accounting)."""
+    import jax.numpy as jnp
+    from scipy.signal import butter
+
+    from dsptoolbox_tpu.ops.iir_block import (
+        sosfilt_bank_apply,
+        sosfilt_bank_operators,
+    )
+
+    x, fs = _load(f"{EXAMPLE}/fuer_elise.wav")
+    T = int(x.shape[-1])
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(
+        (np.asarray(x[0])[None, :] *
+         rng.uniform(0.5, 1.0, (channels, 1))).astype(np.float32)
+    )
+    edges = 1000.0 * (2.0 ** (np.arange(23) / 3.0 - 10.0 / 3.0))
+    sos_bank = np.stack([
+        butter(4, [lo, min(hi, 0.499 * fs)], btype="bandpass", fs=fs,
+               output="sos")
+        for lo, hi in zip(edges[:-1], edges[1:])
+    ])
+    ops = sosfilt_bank_operators(sos_bank, T)
+    ops = {
+        k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+        for k, v in ops.items()
+    }
+
+    def run(xb, **ops_):
+        return sosfilt_bank_apply(ops_, xb)
+
+    audio_s = channels * T / fs
+
+    def runner(xb):
+        return run(xb, **ops)
+
+    return (
+        runner, (xb,),
+        f"scale3: 22-band blocked-IIR bank x {channels} ch x {T} samples",
+        audio_s,
+    )
+
+
 def scale_config4(n_rirs=16384):
     """Full-batch descriptor sweep."""
     import jax.numpy as jnp
@@ -164,6 +212,7 @@ def main():
     for build, extra in (
         (scale_config1, lambda r, a: {"audio_s_per_s": round(a / r["seconds_per_iter"], 1)}),
         (scale_config2, lambda r, a: {"audio_s_per_s": round(a / r["seconds_per_iter"], 1)}),
+        (scale_config3, lambda r, a: {"audio_s_per_s": round(a / r["seconds_per_iter"], 1)}),
         (scale_config4, lambda r, a: {"rirs_per_s": round(16384 / r["seconds_per_iter"], 0)}),
         (scale_config5, lambda r, a: {"grid_pts_bins_per_s": round(900 * 513 / r["seconds_per_iter"], 0)}),
     ):
