@@ -507,14 +507,29 @@ def _simpson_uniform(y: np.ndarray, dx: float, axis: int = -1) -> np.ndarray:
 
 def _das_map_core(ampj, diffj, kj, csm_re, csm_im):
     """DAS quadratic form with the steering tensor built on-device:
-    ``h[f,m,g] = amp[m,g] e^{-j k_f diff[m,g]}``, ``map[g,f] = h^H C h``."""
-    h = ampj[None, :, :] * jnp.exp(
-        -1j * (kj[:, None, None] * diffj[None, :, :])
-    )
-    csm_j = csm_re + 1j * csm_im
-    return jnp.einsum(
-        "fmg,fmn,fng->gf", jnp.conj(h), csm_j, h, precision=_HIGH
-    ).real
+    ``h[f,m,g] = amp[m,g] e^{-j k_f diff[m,g]}``, ``map[g,f] = h^H C h``.
+
+    Runs in packed-real block form: with ``p = [Re h; Im h]`` (2M) and
+    ``B = [[Cre, -Cim], [Cim, Cre]]`` (2M, 2M), ``Re(h^H C h) = p^T B p``
+    exactly (no Hermitian assumption needed). The 2M contraction fills
+    the MXU's 128-lane tile that the M=64-mic complex einsum half-wastes:
+    measured 8.2 -> 6.7 ms on the 513-bin full-spectrum sweep with 3.5x
+    fewer bytes accessed (`tools/bench_das_pack.py`), and the program
+    becomes all-real — no complex boundary at all."""
+    ph = kj[:, None, None] * diffj.T[None]  # (F, G, M)
+    amp_t = ampj.T[None]
+    hp = jnp.concatenate(
+        [amp_t * jnp.cos(ph), -amp_t * jnp.sin(ph)], axis=-1
+    )  # (F, G, 2M) = [Re h | Im h]
+    B = jnp.concatenate(
+        [
+            jnp.concatenate([csm_re, -csm_im], axis=-1),
+            jnp.concatenate([csm_im, csm_re], axis=-1),
+        ],
+        axis=-2,
+    )  # (F, 2M, 2M)
+    t = jnp.einsum("fgk,fkl->fgl", hp, B, precision=_HIGH)
+    return jnp.einsum("fgl,fgl->gf", hp, t, precision=_HIGH)
 
 
 class BaseBeamformer:
