@@ -8,12 +8,14 @@ finding structurally impossible to reintroduce unnoticed.
 """
 
 import os
+import pytest
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_no_dead_functions():
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "dead_code_audit.py")],

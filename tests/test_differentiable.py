@@ -75,6 +75,7 @@ class TestSosfreqzDiff:
 
 
 class TestSosfiltDiff:
+    @pytest.mark.slow
     def test_matches_scipy_sosfilt(self):
         from scipy.signal import butter
 
@@ -85,6 +86,7 @@ class TestSosfiltDiff:
         y_ref = scipy_sosfilt(sos, x.astype(np.float64), axis=-1)
         np.testing.assert_allclose(y, y_ref, rtol=5e-4, atol=5e-5)
 
+    @pytest.mark.slow
     def test_grad_wrt_coefficients_matches_finite_difference(self):
         rng = np.random.default_rng(3)
         x = jnp.asarray(rng.standard_normal(256).astype(np.float32))

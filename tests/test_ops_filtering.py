@@ -69,6 +69,7 @@ class TestIIR:
         ref = ss.sosfiltfilt(sos, X.astype(np.float64), axis=-1)
         close(sosfiltfilt(sos, jnp.asarray(X)), ref, 2e-5, "sosfiltfilt")
 
+    @pytest.mark.slow
     def test_filtfilt_ba(self, close):
         b, a = ss.butter(3, 0.35)
         ref = ss.filtfilt(b, a, X.astype(np.float64), axis=-1)

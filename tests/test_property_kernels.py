@@ -8,6 +8,7 @@ in `test_ops_filtering.py`.
 """
 
 import numpy as np
+import pytest
 import scipy.signal as sig
 from hypothesis import given, settings, strategies as st
 
@@ -34,6 +35,7 @@ def _rel_err(got, want):
     cutoff=st.floats(0.05, 0.9),
     seed=st.integers(0, 2**31 - 1),
 )
+@pytest.mark.slow
 def test_sosfilt_block_matches_scipy(order, T, block, cutoff, seed):
     rng = np.random.default_rng(seed)
     sos = sig.butter(order, cutoff, output="sos")
@@ -135,6 +137,7 @@ def test_frame_signal_matches_reference_convention(T, L, data):
     seed=st.integers(0, 2**16),
 )
 @settings(max_examples=25, deadline=None)
+@pytest.mark.slow
 def test_banked_filterbank_matches_per_filter_loop(n_bands, orders, T, seed):
     """The one-program banked Parallel path must equal filtering each
     band's cascade independently (identity-section padding is exact)."""
@@ -183,6 +186,7 @@ def test_banked_filterbank_matches_per_filter_loop(n_bands, orders, T, seed):
 # overlap-based convolution measured 3.3e-7. Bounds below carry ~4x headroom.
 
 
+@pytest.mark.slow
 def test_hour_long_iir_fp32_no_drift():
     fs = 8000
     T = fs * 3600  # one hour
@@ -205,6 +209,7 @@ def test_hour_long_iir_fp32_no_drift():
     )
 
 
+@pytest.mark.slow
 def test_hour_long_fir_convolution_fp32():
     fs = 8000
     T = fs * 3600

@@ -19,6 +19,7 @@ REF_TESTS = "/root/reference/tests"
 @pytest.mark.skipif(
     not os.path.isdir(REF_TESTS), reason="reference tests not available"
 )
+@pytest.mark.slow
 def test_reference_suite_slice():
     files = [
         f"{REF_TESTS}/test_generators.py",

@@ -297,6 +297,7 @@ class TestIRTools:
             "complex smoothing",
         )
 
+    @pytest.mark.slow
     def test_complex_smoothing_long_banded_oracle(self, ref, close):
         # full-length rir.wav → F > 4096 → the O(F·W) banded device path
         # (formerly a host fallback); oracle = the reference package
@@ -419,6 +420,7 @@ class TestIRTools:
 
 
 class TestHarmonicDistortionAnalysis:
+    @pytest.mark.slow
     def test_oracle(self, ref):
         ir_m = dsp.ImpulseResponse(f"{EXAMPLE}/rir.wav")
         ir_r = ref.ImpulseResponse(f"{EXAMPLE}/rir.wav")
