@@ -512,10 +512,14 @@ def _das_map_core(ampj, diffj, kj, csm_re, csm_im):
     Runs in packed-real block form: with ``p = [Re h; Im h]`` (2M) and
     ``B = [[Cre, -Cim], [Cim, Cre]]`` (2M, 2M), ``Re(h^H C h) = p^T B p``
     exactly (no Hermitian assumption needed). The 2M contraction fills
-    the MXU's 128-lane tile that the M=64-mic complex einsum half-wastes:
-    measured 8.2 -> 6.7 ms on the 513-bin full-spectrum sweep with 3.5x
-    fewer bytes accessed (`tools/bench_das_pack.py`), and the program
-    becomes all-real — no complex boundary at all."""
+    the MXU's 128-lane tile that the M=64-mic complex einsum half-wastes,
+    and the program is all-real — no complex boundary at all. Measured
+    on the 513-bin × 64-mic × 900-pt full-spectrum sweep
+    (`tools/bench_das_core.py`, steering build included): complex einsum
+    11.7 ms, this form 7.3 ms (1.6×). A no-concat variant with statically
+    packed (G, 2M) factors measured SLOWER (8.7 ms): cos over 2M distinct
+    phases loses to cos+sin sharing one (F, G, M) phase tensor, and the
+    concat's extra traffic overlaps with the MXU work."""
     ph = kj[:, None, None] * diffj.T[None]  # (F, G, M)
     amp_t = ampj.T[None]
     hp = jnp.concatenate(
@@ -777,10 +781,11 @@ class BeamformerDASFrequency(BeamformerGridded):
         rm_diag = bool(remove_csm_diagonal)
         from .._config import run_jitted_complex
 
-        # map[g, f] = h*_mg C_mn h_ng — one einsum on the MXU. The steering
-        # tensor is built in-program from its (M, G) factors (uploading the
-        # full (F, M, G) complex h costs ~27 MB; amp/diff are ~1 MB and
-        # cached as device arrays across maps)
+        # map[g, f] = h*_mg C_mn h_ng — packed-real quadratic forms on the
+        # MXU (`_das_map_core`). The steering tensor is built in-program
+        # from its (M, G) factors (uploading the full (F, M, G) complex h
+        # costs ~27 MB; amp/diff are ~1 MB and cached as device arrays
+        # across maps)
         amp_dev, diff_dev = self._amp_diff_device()
 
         def _core(ampj, diffj, kj, cre_full, cim_full):

@@ -191,11 +191,19 @@ def scale_config5(n_bins=513):
     him = jnp.asarray(np.imag(h).astype(np.float32))
 
     def run(cre, cim, hre_, him_):
-        Cc = cre + 1j * cim
-        hc = hre_ + 1j * him_
-        return jnp.real(
-            jnp.einsum("fgm,fmn,fgn->gf", jnp.conj(hc), Cc, hc)
+        # production packed-real block form (beamforming._das_map_core):
+        # 2M contraction fills the MXU tile the 64-mic complex einsum
+        # half-wastes (A/B in tools/bench_das_pack.py)
+        hp = jnp.concatenate([hre_, him_], axis=-1)
+        B = jnp.concatenate(
+            [
+                jnp.concatenate([cre, -cim], axis=-1),
+                jnp.concatenate([cim, cre], axis=-1),
+            ],
+            axis=-2,
         )
+        t = jnp.einsum("fgk,fkl->fgl", hp, B)
+        return jnp.einsum("fgl,fgl->gf", hp, t)
 
     return (
         run, (Cre, Cim, hre, him),
