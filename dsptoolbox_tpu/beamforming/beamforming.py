@@ -505,6 +505,24 @@ def _simpson_uniform(y: np.ndarray, dx: float, axis: int = -1) -> np.ndarray:
     return simpson(y, dx=dx, axis=axis)
 
 
+def _packed_quadratic_gf(h_re, h_im, c_re, c_im):
+    """``Re(h^H C h) -> (G, F)`` for explicit split steering ``h (F, M,
+    G)`` and matrix ``C (F, M, M)`` in the packed-real block form of
+    `_das_map_core` (2M contraction fills the 128-lane MXU tile)."""
+    hp = jnp.concatenate(
+        [jnp.swapaxes(h_re, 1, 2), jnp.swapaxes(h_im, 1, 2)], axis=-1
+    )  # (F, G, 2M)
+    B = jnp.concatenate(
+        [
+            jnp.concatenate([c_re, -c_im], axis=-1),
+            jnp.concatenate([c_im, c_re], axis=-1),
+        ],
+        axis=-2,
+    )  # (F, 2M, 2M)
+    t = jnp.einsum("fgk,fkl->fgl", hp, B, precision=_HIGH)
+    return jnp.einsum("fgl,fgl->gf", hp, t, precision=_HIGH)
+
+
 def _das_map_core(ampj, diffj, kj, csm_re, csm_im):
     """DAS quadratic form with the steering tensor built on-device:
     ``h[f,m,g] = amp[m,g] e^{-j k_f diff[m,g]}``, ``map[g,f] = h^H C h``.
@@ -888,15 +906,19 @@ class BeamformerCleanSC(BeamformerGridded):
         if remove_csm_diagonal:
             eye = np.eye(csm.shape[-1], dtype=bool)
             csm[:, eye] = 0
-        # initial map via batched einsum
+        # initial map via the packed-real quadratic form, one jitted
+        # program (complex operands split at the host boundary)
+        from .._config import run_jitted_complex
+
         map = np.array(
-            jnp.einsum(
-                "fmg,fmn,fng->gf",
-                jnp.conj(jnp.asarray(h)),
-                jnp.asarray(csm),
-                jnp.asarray(h),
-                precision=_HIGH,
-            ).real
+            run_jitted_complex(
+                lambda hj, cj: _packed_quadratic_gf(
+                    jnp.real(hj), jnp.imag(hj),
+                    jnp.real(cj), jnp.imag(cj),
+                ),
+                h,
+                csm,
+            )
         )
         for find in range(len(f)):
             map[:, find] = clean_sc_deconvolve(
@@ -1017,12 +1039,13 @@ class BeamformerFunctional(BeamformerGridded):
         g_exp = float(gamma)
 
         def _func_core(hj, cj):
-            num = jnp.einsum(
-                "fmg,fmn,fng->gf", jnp.conj(hj), cj, hj, precision=_HIGH
-            ).real
+            hre, him = jnp.real(hj), jnp.imag(hj)
+            num = _packed_quadratic_gf(
+                hre, him, jnp.real(cj), jnp.imag(cj)
+            )
             norm = jnp.einsum(
-                "fmg,fmg->gf", jnp.conj(hj), hj, precision=_HIGH
-            ).real
+                "fmg,fmg->gf", hre, hre, precision=_HIGH
+            ) + jnp.einsum("fmg,fmg->gf", him, him, precision=_HIGH)
             return (num / norm) ** g_exp * norm
 
         # complex operands go through the split-pair helper: an eager
