@@ -362,18 +362,12 @@ def parallel_das_map(
     cre = jnp.asarray(np.ascontiguousarray(csm.real), jnp.float32)
     cim = jnp.asarray(np.ascontiguousarray(csm.imag), jnp.float32)
 
+    # the single-chip packed-real core (deferred import: beamforming
+    # imports this module for its mesh path)
+    from ..beamforming.beamforming import _das_map_core
+
     def local(amp_l, diff_l, k_rep, cre_rep, cim_rep):
-        h = amp_l[None, :, :] * jnp.exp(
-            -1j * (k_rep[:, None, None] * diff_l[None, :, :])
-        )
-        csm_j = cre_rep + 1j * cim_rep
-        return jnp.einsum(
-            "fmg,fmn,fng->gf",
-            jnp.conj(h),
-            csm_j,
-            h,
-            precision=jax.lax.Precision.HIGHEST,
-        ).real
+        return _das_map_core(amp_l, diff_l, k_rep, cre_rep, cim_rep)
 
     fn = shard_map(
         local,
