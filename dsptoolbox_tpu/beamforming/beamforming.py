@@ -971,15 +971,26 @@ class BeamformerOrthogonal(BeamformerGridded):
 
         def _ortho_core(hj, vj, wj):
             # products[f, g, e] = |h*_mg v_me|^2, e ascending from the
-            # LARGEST eigenvalue (reference iterates -eig-1)
-            prod = (
-                jnp.abs(
-                    jnp.einsum(
-                        "fmg,fme->fge", jnp.conj(hj), vj, precision=_HIGH
-                    )
-                )
-                ** 2
-            )
+            # LARGEST eigenvalue (reference iterates -eig-1). Packed-real
+            # block matmul (one 2M-contraction GEMM instead of 4 M-wide
+            # complex-part GEMMs): (hre - i him)^T (vre + i vim) has
+            # re = [hre|him]·[vre; vim], im = [hre|him]·[vim; -vre]
+            hre, him = jnp.real(hj), jnp.imag(hj)
+            vre, vim = jnp.real(vj), jnp.imag(vj)
+            hp = jnp.concatenate(
+                [jnp.swapaxes(hre, 1, 2), jnp.swapaxes(him, 1, 2)],
+                axis=-1,
+            )  # (F, G, 2M)
+            v2 = jnp.concatenate(
+                [
+                    jnp.concatenate([vre, vim], axis=-1),
+                    jnp.concatenate([vim, -vre], axis=-1),
+                ],
+                axis=-2,
+            )  # (F, 2M, 2E)
+            t = jnp.einsum("fgk,fke->fge", hp, v2, precision=_HIGH)
+            n_e = vre.shape[-1]
+            prod = t[..., :n_e] ** 2 + t[..., n_e:] ** 2
             sel = prod[:, :, -E:][..., ::-1]  # (F, G, E)
             wv = wj[:, -E:][:, ::-1]  # (F, E)
             idx = jnp.argmax(sel, axis=1)  # (F, E) source index per eig
