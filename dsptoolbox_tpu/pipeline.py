@@ -39,8 +39,16 @@ trace time. Inside a trace, amplitude constraining of intermediate
 signals happens in-program (no over-0-dBFS warning is emitted and the
 host scale-factor metadata stays 1).
 
-Compiled programs are cached per input signature (shape/dtype of every
-input signal), so repeated calls with same-shaped signals skip tracing.
+Compiled programs are cached per input signature: shape/dtype of every
+input signal PLUS all host metadata that shapes the traced program —
+``sampling_rate_hz``, signal class, amplitude-constraining flags,
+spectrum/spectrogram parameter sets, and the analysis window (hashed by
+value). Host constants captured at trace time (frequency vectors,
+fs-dependent design math) are therefore always consistent with the
+inputs of the call that uses them; a same-shape signal at a different
+sampling rate triggers a fresh trace instead of silently reusing stale
+constants (cf. `/root/reference/dsptoolbox/classes/signal.py:57-104`,
+where fs is first-class constructor state).
 """
 
 from __future__ import annotations
@@ -51,6 +59,59 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["pipeline"]
+
+
+def _freeze(v):
+    """Hashable fingerprint of a metadata value (scalars, enums, nests,
+    small arrays). Used only for cache keys, never for computation."""
+    if isinstance(v, np.ndarray):
+        return ("arr", v.shape, str(v.dtype), hash(v.tobytes()))
+    if isinstance(v, jnp.ndarray):
+        a = np.asarray(v)
+        return ("arr", a.shape, str(a.dtype), hash(a.tobytes()))
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return ("seq", tuple(_freeze(x) for x in v))
+    return v
+
+
+def _window_fingerprint(sig):
+    """Value-hash of a signal's analysis window without repeated device
+    fetches: host arrays hash directly; a device-resident window (e.g.
+    from a fused ``window_ir``) is fetched ONCE and the hash is cached on
+    the owning signal keyed by the buffer's identity (the signal keeps
+    the buffer alive, so the id stays valid while cached)."""
+    w = getattr(sig, "window", None)
+    if w is None:
+        return None
+    if isinstance(w, np.ndarray):
+        return ("w", w.shape, str(w.dtype), hash(w.tobytes()))
+    cache = sig.__dict__.setdefault("_pipeline_window_fp", {})
+    fp = cache.get(id(w))
+    if fp is None:
+        a = np.asarray(w)
+        fp = ("w", a.shape, str(a.dtype), hash(a.tobytes()))
+        cache.clear()  # one window at a time per signal
+        cache[id(w)] = fp
+    return fp
+
+
+def _signal_signature(s):
+    """Everything about a Signal that can change the traced program or
+    the host constants captured during tracing."""
+    return (
+        type(s).__name__,
+        tuple(s.time_data_jax.shape),
+        str(s.time_data_jax.dtype),
+        getattr(s, "_time_data_imag", None) is not None,
+        s.sampling_rate_hz,
+        s.constrain_amplitude,
+        s.calibrated_signal,
+        _freeze(getattr(s, "_spectrum_parameters", None)),
+        _freeze(getattr(s, "_spectrogram_parameters", None)),
+        _window_fingerprint(s),
+    )
 
 
 def _flatten_result(obj, leaves, path="out"):
@@ -64,7 +125,8 @@ def _flatten_result(obj, leaves, path="out"):
             _flatten_result(b, leaves, f"{path}.bands[{i}]")
             for i, b in enumerate(obj.bands)
         ]
-        return ("mbs", obj, band_specs)
+        # metadata snapshot only — never retain the traced container
+        return ("mbs", obj.same_sampling_rate, dict(obj.info), band_specs)
 
     if isinstance(obj, Signal):
         idx_re = len(leaves)
@@ -175,11 +237,11 @@ def _rebuild(spec, leaves):
     if kind == "mbs":
         from .classes.multibandsignal import MultiBandSignal
 
-        _, template, band_specs = spec
+        _, same_sr, info, band_specs = spec
         return MultiBandSignal(
             [_rebuild(s, leaves) for s in band_specs],
-            same_sampling_rate=template.same_sampling_rate,
-            info=dict(template.info),
+            same_sampling_rate=same_sr,
+            info=dict(info),
         )
     if kind == "signal":
         _, template, i_re, i_im, i_win = spec
@@ -213,6 +275,36 @@ def _rebuild(spec, leaves):
     return spec[1]  # const
 
 
+def _sanitize_spec(spec):
+    """Drop traced buffers from retained Signal templates after the first
+    trace completed. Templates are kept only for their metadata
+    (`_rebuild_signal` never reads their data), so holding dead tracers
+    would be a pure leak — the round-4 cache retained every first-call
+    signal's full device buffers for the runner's lifetime."""
+    kind = spec[0]
+    if kind == "mbs":
+        for s in spec[3]:
+            _sanitize_spec(s)
+    elif kind == "signal":
+        template = spec[1]
+        placeholder = np.zeros((1, 1), np.float32)
+        template.__dict__.pop("_host_mirror", None)
+        template._host_mirror = None
+        template._time_data = placeholder
+        if getattr(template, "_time_data_imag", None) is not None:
+            template._time_data_imag = placeholder
+        if isinstance(
+            template.__dict__.get("window"), jax.core.Tracer
+        ):
+            del template.window
+    elif kind in ("tuple", "list"):
+        for s in spec[1]:
+            _sanitize_spec(s)
+    elif kind == "dict":
+        for s in spec[1].values():
+            _sanitize_spec(s)
+
+
 def pipeline(fn):
     """Compile a chain of public-API calls into one device program.
 
@@ -228,15 +320,7 @@ def pipeline(fn):
         assert signals and all(
             isinstance(s, Signal) for s in signals
         ), "pipeline runners take Signal positional arguments"
-        key = tuple(
-            (
-                type(s).__name__,
-                tuple(s.time_data_jax.shape),
-                str(s.time_data_jax.dtype),
-                getattr(s, "_time_data_imag", None) is not None,
-            )
-            for s in signals
-        )
+        key = tuple(_signal_signature(s) for s in signals)
         entry = cache.get(key)
         if entry is None:
             spec_box: dict = {}
@@ -263,6 +347,9 @@ def pipeline(fn):
             for s in signals
         )
         leaves = compiled(tds)
+        if not spec_box.get("sanitized"):
+            _sanitize_spec(spec_box["spec"])
+            spec_box["sanitized"] = True
         return _rebuild(spec_box["spec"], leaves)
 
     runner.__name__ = f"pipeline({getattr(fn, '__name__', 'fn')})"

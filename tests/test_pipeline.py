@@ -118,6 +118,87 @@ class TestPipeline:
         run(short)
         assert calls["n"] == 2  # new shape -> one retrace
 
+    def test_cache_keys_on_sampling_rate(self):
+        """Round-4 VERDICT confirmed bug: a 16 kHz signal run through a
+        runner previously traced at 48 kHz (same shape) returned the
+        48 kHz frequency vector. Each metadata signature must get its own
+        trace with its own host constants."""
+        rng = np.random.default_rng(7)
+        td = rng.standard_normal(2**15).astype(np.float64)
+        s48 = dsp.Signal.from_time_data(td, 48000)
+        s16 = dsp.Signal.from_time_data(td, 16000)
+
+        def chain(sig):
+            f, sp = sig.get_spectrum(force_computation=True)
+            return f, sp
+
+        run = dsp.pipeline(chain)
+        f48, sp48 = run(s48)
+        f16, sp16 = run(s16)
+        assert np.max(f48) == pytest.approx(24000.0)
+        assert np.max(f16) == pytest.approx(8000.0)  # was 24000 pre-fix
+        # and each fused result matches its own unfused result exactly
+        for sig, f, sp in ((s48, f48, sp48), (s16, f16, sp16)):
+            f0, sp0 = chain(sig)
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(f0))
+            np.testing.assert_allclose(
+                np.asarray(sp), np.asarray(sp0), rtol=1e-6, atol=1e-9
+            )
+
+    def test_cache_keys_on_spectrum_parameters(self):
+        """Changing spectrum parameters between calls must retrace, not
+        reuse the first call's window/segmentation constants."""
+        rng = np.random.default_rng(11)
+        td = rng.standard_normal(2**15).astype(np.float64)
+        sig = dsp.Signal.from_time_data(td, 24000)
+
+        def chain(s):
+            f, sp = s.get_spectrum(force_computation=True)
+            return f, sp
+
+        run = dsp.pipeline(chain)
+        f_a, sp_a = run(sig)
+        sig.set_spectrum_parameters(window_length_samples=512)
+        f_b, sp_b = run(sig)
+        f0, sp0 = chain(sig)
+        np.testing.assert_array_equal(np.asarray(f_b), np.asarray(f0))
+        np.testing.assert_allclose(
+            np.asarray(sp_b), np.asarray(sp0), rtol=1e-6, atol=1e-9
+        )
+        assert np.asarray(f_b).shape != np.asarray(f_a).shape
+
+    def test_rebuilt_output_carries_calling_signals_rate(self):
+        """Signal outputs are rebuilt from per-key templates: the 16 kHz
+        call's outputs must carry 16 kHz metadata even after a 48 kHz
+        call populated the cache."""
+        rng = np.random.default_rng(3)
+        td = rng.standard_normal(2**14).astype(np.float64)
+        run = dsp.pipeline(lambda s: dsp.append_signals([s, s]))
+        out48 = run(dsp.Signal.from_time_data(td, 48000))
+        out16 = run(dsp.Signal.from_time_data(td, 16000))
+        assert out48.sampling_rate_hz == 48000
+        assert out16.sampling_rate_hz == 16000
+
+    def test_templates_do_not_retain_traced_buffers(self):
+        """The cached rebuild templates must hold only metadata after the
+        first call — not the first call's full-size device buffers."""
+        rng = np.random.default_rng(5)
+        td = rng.standard_normal(2**15).astype(np.float64)
+        sig = dsp.Signal.from_time_data(td, 48000)
+        run = dsp.pipeline(lambda s: dsp.append_signals([s, s]))
+        run(sig)
+        cache = run.__closure__ and next(
+            c.cell_contents
+            for c in run.__closure__
+            if isinstance(c.cell_contents, dict)
+        )
+        assert cache and len(cache) == 1
+        (_, spec_box), = cache.values()
+        spec = spec_box["spec"]
+        assert spec[0] == "signal"
+        template = spec[1]
+        assert np.asarray(template._time_data).size <= 1
+
     def test_in_trace_amplitude_constraining(self):
         loud = dsp.Signal.from_time_data(
             np.sin(np.linspace(0, 50, 16000)) * 3.0, 16000
