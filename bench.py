@@ -175,6 +175,37 @@ def main():
     audio_seconds = batch * seconds_per_signal
     realtime_factor = audio_seconds / dt
 
+    # Device-kernel time per iteration (jax profiler trace over a short
+    # serial-chained batch), so HBM utilization can be reported against
+    # actual kernel occupancy as well as wall time. Best-effort: the
+    # bench must never fail because tracing does.
+    kernel_dt = None
+    try:
+        import sys
+        import tempfile
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from profiler import parse_trace
+
+        trace_iters = 5
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            with jax.profiler.trace(td):
+                for _ in range(trace_iters):
+                    x_cur, chk = step_fn(x_cur, exc, reg, chk)
+                _ = float(chk)
+            traced_wall = (time.perf_counter() - t0) / trace_iters
+            kernels = parse_trace(td, top_n=10_000)
+        total_us = sum(k["total_us"] for k in kernels)
+        if total_us > 0:
+            # raw per-iteration device-kernel self time from the profiled
+            # batch (profiling inflates absolute walls on this backend,
+            # so this is an upper-ish estimate of kernel occupancy —
+            # labeled as such in the output)
+            kernel_dt = total_us * 1e-6 / trace_iters
+    except Exception:
+        pass
+
     # MFU vs the v5e bf16 MXU peak (197 TFLOP/s); this pipeline is
     # FFT/bandwidth-dominated, so HBM utilization is the binding ceiling —
     # report both (see tools/profiler.py for the per-kernel breakdown).
@@ -191,12 +222,22 @@ def main():
                 "achieved_tflops": (
                     round(flops / dt / 1e12, 3) if flops else None
                 ),
-                # cost-model estimate clamped at the physical ceiling
-                # (XLA's byte count can double-count fused reads)
-                "hbm_utilization": (
-                    round(min(1.0, bytes_accessed / dt / peak_hbm), 4)
+                # UNCAPPED cost-model estimates, labeled by basis: bytes
+                # are XLA's cost-analysis "bytes accessed" (can
+                # double-count fused reads, so >1.0 is possible and is
+                # reported as-is rather than clamped to a fake ceiling).
+                "hbm_utilization_vs_wall_cost_model": (
+                    round(bytes_accessed / dt / peak_hbm, 4)
                     if bytes_accessed
                     else None
+                ),
+                "hbm_utilization_vs_kernel_time_cost_model": (
+                    round(bytes_accessed / kernel_dt / peak_hbm, 4)
+                    if bytes_accessed and kernel_dt
+                    else None
+                ),
+                "device_kernel_ms_per_iter_profiled": (
+                    round(kernel_dt * 1e3, 3) if kernel_dt else None
                 ),
             }
         )
