@@ -80,6 +80,7 @@ from . import tools
 from . import transfer_functions
 from . import transforms
 from .pipeline import pipeline
+from ._defer import compute_all
 
 __version__ = "0.1.0"
 
@@ -99,6 +100,7 @@ __all__ = [
     "modify_signal_length",
     "append_signals",
     "pipeline",
+    "compute_all",
     "append_filterbanks",
     "append_spectra",
     "fractional_delay",

@@ -60,6 +60,43 @@ def lazy_host_returns() -> bool:
     return _FLOAT == jnp.float32
 
 
+_DEFERRED: bool | None = None  # None = auto (follows lazy_host_returns)
+
+
+def set_deferred_execution(enabled: bool | None) -> None:
+    """Override deferred (auto-fused) dispatch of the default lazy API.
+
+    ``True``/``False`` force it; ``None`` restores the default: deferred
+    whenever lazy host returns are active. See
+    :mod:`dsptoolbox_tpu._defer` for semantics."""
+    global _DEFERRED
+    _DEFERRED = enabled
+
+
+def deferred_execution() -> bool:
+    """Whether hot producers record deferred programs instead of
+    launching one device program per public call."""
+    if _DEFERRED is not None:
+        return _DEFERRED
+    return lazy_host_returns()
+
+
+_CLEAN_SC_DEVICE: bool = True
+
+
+def set_clean_sc_on_device(enabled: bool) -> None:
+    """Dispatch override for CLEAN-SC: ``True`` (default) runs the whole
+    deconvolution — all frequency bins, initial map included — as one
+    batched device program; ``False`` restores the host per-bin loop
+    (the parity oracle)."""
+    global _CLEAN_SC_DEVICE
+    _CLEAN_SC_DEVICE = bool(enabled)
+
+
+def clean_sc_on_device() -> bool:
+    return _CLEAN_SC_DEVICE
+
+
 _MOSAIC_HEALTHY: bool | None = None
 _MOSAIC_PROBE_TIMEOUT_S = 45.0
 _MOSAIC_CACHE_TTL_S = 600.0
@@ -377,7 +414,9 @@ def run_maybe_jitted(fn, *args):
     return run_jitted_complex(fn, *args, materialize=False)
 
 
-def run_jitted_complex(fn, *args, materialize: bool = True, key=None):
+def run_jitted_complex(
+    fn, *args, materialize: bool = True, key=None, defer: bool = False
+):
     """Run ``fn(*args)`` as one jitted program whose complex results are
     returned to the host safely.
 
@@ -401,11 +440,28 @@ def run_jitted_complex(fn, *args, materialize: bool = True, key=None):
     import jax
     import jax.numpy as jnp
 
+    from ._defer import DeferredArray, force_value
+
     broken = _complex_transfer_broken()
+
+    # deferral is only sound for concrete-argument, cacheable programs:
+    # inside an outer trace (dsp.pipeline) the args are tracers and the
+    # call must inline as before
+    defer = (
+        defer
+        and deferred_execution()
+        and not any(isinstance(a, jax.core.Tracer) for a in args)
+    )
 
     split_args = []
     spec = []
     for a in args:
+        if isinstance(a, DeferredArray):
+            # pending program output: joins the deferred DAG when this
+            # call defers, otherwise computes now (safe fallback)
+            split_args.append(a if defer else force_value(a))
+            spec.append(False)
+            continue
         a_np = a if isinstance(a, jnp.ndarray) else np.asarray(a)
         if (
             broken
@@ -418,7 +474,7 @@ def run_jitted_complex(fn, *args, materialize: bool = True, key=None):
             split_args.append(a_np)
             spec.append(False)
 
-    shapes = tuple((a.shape, str(a.dtype)) for a in split_args)
+    shapes = tuple((tuple(a.shape), a.dtype) for a in split_args)
     if key is not None:
         # caller-supplied program identity: skips the closure freezer
         # (walking/hashing captured values costs ~0.5 ms per call on hot
@@ -470,8 +526,35 @@ def run_jitted_complex(fn, *args, materialize: bool = True, key=None):
         if key is not None:
             _rjc_cache_put(key, entry)
 
-    res = entry["jitted"](*split_args)
     meta = entry["meta"]
+    if defer and key is not None:
+        from ._defer import flush_values, make_node
+
+        outs = make_node(entry["jitted"], ("rjc", key), split_args)
+        if "split_out" not in meta:
+            # entry was rebuilt after cache eviction while the aval
+            # cache still had the key: populate meta with one abstract
+            # trace (no device execution)
+            from ._defer import _abstract
+
+            jax.eval_shape(
+                entry["jitted"], *[_abstract(a) for a in split_args]
+            )
+        if any(meta["split_out"]):
+            # complex outputs that must recombine host-side cannot stay
+            # deferred: compute now and fall through to the eager path
+            flush_values(*outs)
+            res = tuple(o.force() for o in outs)
+        else:
+            out_leaves = []
+            it = iter(outs)
+            for _ in meta["split_out"]:
+                out_leaves.append(next(it))
+            return jax.tree_util.tree_unflatten(
+                meta["treedef"], out_leaves
+            )
+    else:
+        res = entry["jitted"](*split_args)
     out_leaves = []
     it = iter(res)
     for is_c in meta["split_out"]:

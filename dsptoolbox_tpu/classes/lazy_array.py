@@ -32,12 +32,15 @@ def _pack_fetch(re, im):
     """One packed fetch for a complex pair: stacking on device halves the
     round-trip count vs fetching real and imag separately, and real-only
     buffers are the only thing that ever crosses the tunnel."""
+    from .._defer import force_value
     from .signal import _dev_jit
 
     import jax.numpy as jnp
 
     packed = np.asarray(
-        _dev_jit("lazy_pack_ri", lambda r, i: jnp.stack((r, i)))(re, im)
+        _dev_jit("lazy_pack_ri", lambda r, i: jnp.stack((r, i)))(
+            force_value(re), force_value(im)
+        )
     )
     return packed[0] + 1j * packed[1]
 
@@ -103,13 +106,15 @@ class LazyHostArray:
 
     def __jax_array__(self):
         """jnp consumers stay on device (complex composed in-program)."""
+        from .._defer import force_value
+
         if self._im is None:
-            return self._re
+            return force_value(self._re)
         from .signal import _dev_jit
 
         return _dev_jit(
             "compose_complex", lambda r, i: r + 1j * i
-        )(self._re, self._im)
+        )(force_value(self._re), force_value(self._im))
 
     # ----- materialization ------------------------------------------
     def numpy(self) -> np.ndarray:

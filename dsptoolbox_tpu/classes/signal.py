@@ -110,7 +110,19 @@ def _dev_jit(name, fn):
 
     got = _DEV_JIT.get(name)
     if got is None:
-        got = _DEV_JIT[name] = jax.jit(fn)
+        jitted = jax.jit(fn)
+
+        def call(*args, _jitted=jitted, **kwargs):
+            # force-boundary: pending deferred program outputs compute
+            # here (one composite launch) before entering a plain jit —
+            # keeps every _dev_jit site correct without deferral edits
+            from .._defer import DeferredArray, force_value
+
+            if any(isinstance(a, DeferredArray) for a in args):
+                args = tuple(force_value(a) for a in args)
+            return _jitted(*args, **kwargs)
+
+        got = _DEV_JIT[name] = call
     return got
 
 
@@ -125,6 +137,12 @@ def _deepcopy_alias_device(v, memo):
     instead of copying them (jax's `Array.__deepcopy__` round-trips the
     buffer through the host on tunneled backends)."""
     if isinstance(v, jnp.ndarray) and not isinstance(v, np.ndarray):
+        return v
+    from .._defer import DeferredArray
+
+    if isinstance(v, DeferredArray):
+        # deferred program outputs are immutable once computed; aliasing
+        # keeps copies in the same pending DAG instead of cloning nodes
         return v
     if isinstance(v, dict):
         return {k: _deepcopy_alias_device(x, memo) for k, x in v.items()}
@@ -301,15 +319,34 @@ class Signal(MultichannelData):
 
     @property
     def time_data_jax(self) -> jnp.ndarray:
-        """Time data ``(T, C)`` as the underlying jax device array."""
-        return self._time_data
+        """Time data ``(T, C)`` as the underlying jax device array.
+
+        If the data is a pending deferred program output (default lazy
+        mode, see :mod:`dsptoolbox_tpu._defer`), this forces the flush —
+        deferral-aware internal consumers read ``_time_data`` directly to
+        keep the chain fused."""
+        td = self._time_data
+        from .._defer import DeferredArray
+
+        if isinstance(td, DeferredArray):
+            td = td.force()
+            self._time_data = td
+            if isinstance(self._time_data_imag, DeferredArray):
+                self._time_data_imag = self._time_data_imag.force()
+        return td
 
     def _assign_device_time_data(self, data) -> None:
         """Setter fast path: the arrays never leave the device (no host
         round trip; semantics identical to the host path below)."""
+        from .._defer import DeferredArray, defer_call
+
         peak_hint = None
         if isinstance(data, DeviceTimeData):
             td, td_imag, peak_hint = data.real, data.imag, data.peak
+        elif isinstance(data, DeferredArray):
+            # pending program output (real by construction: deferred
+            # producers emit split real leaves)
+            td, td_imag = data, None
         elif jnp.iscomplexobj(data):
             td, td_imag = _dev_jit("split", lambda z: (z.real, z.imag))(data)
         else:
@@ -330,7 +367,35 @@ class Signal(MultichannelData):
         import jax
 
         scale = 1.0
-        if self.constrain_amplitude and isinstance(td, jax.core.Tracer):
+        deferred = isinstance(td, DeferredArray) or isinstance(
+            td_imag, DeferredArray
+        )
+        if self.constrain_amplitude and deferred:
+            # keep the chain fused: constrain in-program inside the
+            # deferred DAG (same arithmetic as the eager path). The host
+            # scale-factor metadata stays 1.0 and no over-0-dBFS warning
+            # can be emitted — shared semantics with `dsp.pipeline`
+            # traces, documented there and in `_defer`.
+            if td_imag is None:
+
+                def _constrain1(a):
+                    s = jnp.minimum(1.0, 1.0 / jnp.max(jnp.abs(a)))
+                    return a * s.astype(a.dtype)
+
+                td = defer_call("assign_constrain1", _constrain1, td)
+            else:
+
+                def _constrain2(a, b):
+                    peak = jnp.maximum(
+                        jnp.max(jnp.abs(a)), jnp.max(jnp.abs(b))
+                    )
+                    s = jnp.minimum(1.0, 1.0 / peak).astype(a.dtype)
+                    return a * s, b * s
+
+                td, td_imag = defer_call(
+                    "assign_constrain2", _constrain2, td, td_imag
+                )
+        elif self.constrain_amplitude and isinstance(td, jax.core.Tracer):
             # under a pipeline trace the peak is not concrete: constrain
             # in-program (same arithmetic, no host fetch). The host-side
             # scale-factor metadata stays 1.0 and no over-0-dBFS warning
@@ -372,7 +437,12 @@ class Signal(MultichannelData):
                     td_imag = mul(td_imag, s32)
         self.__amplitude_scale_factor = scale
         dt = default_float()
-        cast = _dev_jit(("cast", jnp.dtype(dt).name), lambda a: a.astype(dt))
+        if deferred:
+            cast = lambda a: a.astype(dt)  # noqa: E731 - deferred node
+        else:
+            cast = _dev_jit(
+                ("cast", jnp.dtype(dt).name), lambda a: a.astype(dt)
+            )
         self._time_data = td if td.dtype == dt else cast(td)
         self._time_data_imag = (
             None
@@ -384,9 +454,14 @@ class Signal(MultichannelData):
 
     @time_data.setter
     def time_data(self, new_time_data):
-        if isinstance(new_time_data, DeviceTimeData) or (
-            isinstance(new_time_data, jnp.ndarray)
-            and not isinstance(new_time_data, np.ndarray)
+        from .._defer import DeferredArray
+
+        if (
+            isinstance(new_time_data, (DeviceTimeData, DeferredArray))
+            or (
+                isinstance(new_time_data, jnp.ndarray)
+                and not isinstance(new_time_data, np.ndarray)
+            )
         ):
             self._assign_device_time_data(new_time_data)
             return
@@ -802,6 +877,10 @@ class Signal(MultichannelData):
             if force_computation:
                 self._cache.pop("spectrum_dev", None)
             f, re, im = self._get_spectrum_device()
+            from .._defer import force_value
+
+            # return_device contract: CONCRETE device arrays
+            re, im = force_value(re), force_value(im)
             return f, (re if im is None else DeviceSpectralData(re, im))
         from .._config import lazy_host_returns
 
@@ -824,9 +903,11 @@ class Signal(MultichannelData):
                 key = self._spectrum_param_key()
                 ent = self._cache.get("spectrum_dev_mono")
                 if ent is None or ent[0] != key:
+                    from .._defer import defer_call
+
                     ent = (
                         key,
-                        _dev_jit("mono_col0", lambda a: a[:, 0])(re),
+                        defer_call("mono_col0", lambda a: a[:, 0], re),
                     )
                     self._cache["spectrum_dev_mono"] = ent
                 re = ent[1]
@@ -883,16 +964,22 @@ class Signal(MultichannelData):
         `get_spectrum` to skip the complex host materialization (~15 MB/s
         on the tunneled backend). Welch spectra are real (imag is None);
         no mono squeeze is applied (always ``(F, C)``)."""
+        pk = self._spectrum_param_key()
         entry = self._cache.get("spectrum_dev")
-        if entry is not None and entry[0] == self._spectrum_param_key():
+        if entry is not None and entry[0] == pk:
             _, f, re, im = entry
             return f.copy(), re, im
         from .._config import run_jitted_complex
 
+        fs = self.sampling_rate_hz
         if self.spectrum_method == SpectrumMethod.WelchPeriodogram:
             _welch_sp = self._welch_spectrum_closure()
             re = run_jitted_complex(
-                _welch_sp, self._time_data, materialize=False
+                _welch_sp,
+                self._time_data,
+                materialize=False,
+                defer=True,
+                key=("sig_welch_spectrum", fs, pk),
             )
             im = None
             fft_length = self._spectrum_parameters["window_length_samples"]
@@ -904,12 +991,14 @@ class Signal(MultichannelData):
                 return sp.real, sp.imag
 
             re, im = run_jitted_complex(
-                _fft_spectrum_split, self._time_data, materialize=False
+                _fft_spectrum_split,
+                self._time_data,
+                materialize=False,
+                defer=True,
+                key=("sig_fft_spectrum", fs, pk),
             )
-        freqs = np.fft.rfftfreq(fft_length, 1 / self.sampling_rate_hz)
-        self._cache["spectrum_dev"] = (
-            self._spectrum_param_key(), freqs, re, im
-        )
+        freqs = np.fft.rfftfreq(fft_length, 1 / fs)
+        self._cache["spectrum_dev"] = (pk, freqs, re, im)
         return freqs.copy(), re, im
 
     def _csm_welch_closure(self):
@@ -961,7 +1050,10 @@ class Signal(MultichannelData):
             if force_computation:
                 self._cache.pop("csm_dev", None)
             f, re, im = self._get_csm_device()
-            return f, DeviceSpectralData(re, im)
+            from .._defer import force_value
+
+            # return_device contract: CONCRETE device arrays
+            return f, DeviceSpectralData(force_value(re), force_value(im))
         if mesh is not None and mesh.devices.size > 1:
             return self._get_csm_mesh(mesh)
         from .._config import lazy_host_returns
@@ -1099,7 +1191,12 @@ class Signal(MultichannelData):
             return c.real, c.imag
 
         re, im = run_jitted_complex(
-            _csm_split, self._time_data, materialize=False
+            _csm_split,
+            self._time_data,
+            materialize=False,
+            defer=True,
+            key=("sig_csm", self.sampling_rate_hz,
+                 self._spectrum_param_key()),
         )
         # freqs host-side: fetching the device-built vector would cost a
         # full tunnel round trip per call
@@ -1122,6 +1219,10 @@ class Signal(MultichannelData):
         device consumers skip the host fetch of the full matrix."""
         if return_device:
             re, im = self._get_complex_spectrogram_device()
+            from .._defer import force_value
+
+            # return_device contract: CONCRETE device arrays
+            re, im = force_value(re), force_value(im)
             p = self._spectrogram_parameters
             overlap = int(
                 p["overlap_percent"] / 100 * p["window_length_samples"]
@@ -1243,7 +1344,15 @@ class Signal(MultichannelData):
             return S.real, S.imag
 
         re, im = run_jitted_complex(
-            _stft_pair, self._time_data, materialize=False
+            _stft_pair,
+            self._time_data,
+            materialize=False,
+            defer=True,
+            key=(
+                "sig_stft_pair",
+                self.sampling_rate_hz,
+                tuple(sorted((k, str(v)) for k, v in p.items())),
+            ),
         )
         if self.activate_cache:
             self._cache["spectrogram_complex_dev"] = (re, im)
@@ -1672,12 +1781,22 @@ class Signal(MultichannelData):
                 new.__dict__[k] = None
             elif k == "_host_mirror_state":
                 new.__dict__[k] = -1
+            elif k == "_cache":
+                # self-validating recompute caches: walking their value
+                # trees was the dominant Python cost of hot-path copies
+                # (append_signals copies per call); a fresh dict changes
+                # no observable value
+                new.__dict__[k] = {}
             else:
                 new.__dict__[k] = _deepcopy_alias_device(v, memo)
         return new
 
     def copy_with_new_time_data(self, new_time_data) -> "Signal":
-        if not isinstance(new_time_data, (jnp.ndarray, DeviceTimeData)):
+        from .._defer import DeferredArray
+
+        if not isinstance(
+            new_time_data, (jnp.ndarray, DeviceTimeData, DeferredArray)
+        ):
             new_time_data = np.asarray(new_time_data)
         new_signal = Signal.from_time_data(
             new_time_data,

@@ -14,17 +14,34 @@ from scipy.signal import windows as _sw
 from ..standard.enums import Window
 
 
+_WINDOW_CACHE: dict = {}
+
+
 def get_window(
     window, length: int, symmetric: bool = False
 ) -> np.ndarray:
     """Window values as float64 numpy.
 
     ``window`` may be a `Window` enum member, a scipy window name/tuple, or an
-    explicit array (validated for length).
+    explicit array (validated for length). Generated windows are cached
+    per (type, length, symmetric) — scipy regeneration cost ~0.2 ms per
+    call was measurable on hot library paths — and returned as copies so
+    callers may mutate freely.
     """
-    if isinstance(window, Window):
-        return window(length, symmetric)
-    if isinstance(window, (str, tuple)):
+    if isinstance(window, (Window, str)) or (
+        isinstance(window, tuple)
+        and all(isinstance(x, (str, int, float)) for x in window)
+    ):
+        ck = (window, length, symmetric)
+        got = _WINDOW_CACHE.get(ck)
+        if got is None:
+            if isinstance(window, Window):
+                got = window(length, symmetric)
+            else:
+                got = _sw.get_window(window, length, fftbins=not symmetric)
+            _WINDOW_CACHE[ck] = got
+        return got.copy()
+    if isinstance(window, tuple):
         return _sw.get_window(window, length, fftbins=not symmetric)
     arr = np.asarray(window, dtype=np.float64)
     if arr.ndim != 1 or arr.shape[0] != length:

@@ -39,7 +39,7 @@ def append_signals(
             # concatenates every signal (eager ops would each pay a
             # dispatch launch; no host fetch — the setter keeps jnp
             # inputs on the device)
-            from ..classes.signal import _dev_jit
+            from .._defer import defer_call
 
             def _cat(*tds):
                 return jnp.concatenate(
@@ -53,11 +53,15 @@ def append_signals(
                 )
 
             new_sig = signals[0].copy()
-            new_sig.time_data = _dev_jit(
+            # deferral-aware: reads the raw (possibly pending) device
+            # data so an upstream deferred producer (e.g. istft) stays
+            # fused with this concatenation
+            new_sig.time_data = defer_call(
                 ("append_signals", total_length, bool(at_end),
                  len(signals)),
                 _cat,
-            )(*[s.time_data_jax for s in signals])
+                *[s._time_data for s in signals],
+            )
             return new_sig
         cols = []
         for s in signals:

@@ -408,16 +408,28 @@ def istft(
             stft = DeviceSpectralData(stft.device_real, stft.device_imag)
         else:
             stft = stft.device_real
+    _key = (
+        "istft",
+        sampling_rate_hz,
+        target_len,
+        tuple(sorted((k, str(v)) for k, v in parameters.items())),
+    )
     if isinstance(stft, DeviceSpectralData):
         td = run_jitted_complex(
             lambda re, im: _finish(_istft_core(re + 1j * im)),
             stft.real,
             stft.imag,
             materialize=False,
+            defer=True,
+            key=("split",) + _key,
         )
     else:
         td = run_jitted_complex(
-            lambda S: _finish(_istft_core(S)), stft, materialize=False
+            lambda S: _finish(_istft_core(S)),
+            stft,
+            materialize=False,
+            defer=True,
+            key=("whole",) + _key,
         )
     if original_signal is not None:
         return original_signal.copy_with_new_time_data(td)

@@ -33,8 +33,20 @@ def _sync(x):
     program's output drains everything queued before it."""
     import jax
 
+    from dsptoolbox_tpu import compute_all
+    from dsptoolbox_tpu.classes.lazy_array import LazyHostArray
+    from dsptoolbox_tpu._defer import DeferredArray
+
     leaves = jax.tree_util.tree_leaves(x)
+    # force any pending deferred work first (device-side, no transfer),
+    # then fetch ONE scalar — the single device stream executes in
+    # order, so this drains everything queued before it
+    compute_all(*leaves)
     leaf = leaves[0]
+    if isinstance(leaf, LazyHostArray):
+        leaf = leaf.device_real
+    if isinstance(leaf, DeferredArray):
+        leaf = leaf.force()
     if isinstance(leaf, np.ndarray) or np.isscalar(leaf):
         return  # already host-materialized
     float(jnp_ravel_first(leaf))
@@ -167,11 +179,13 @@ def config2_stft_welch_csm():
         return y.time_data_jax, sp, C.real
 
     def run_default():
-        # reference-identical DEFAULT call sequence. Getters return lazy
-        # device-backed arrays (fp32 mode), the library consumes the STFT
-        # on device, and nothing fetches unless the user reads a value —
-        # this is what drop-in code pays per iteration
+        # reference-identical DEFAULT call sequence. Getters record
+        # deferred device programs (fp32 mode); compute_all forces every
+        # result to a concrete device value each iteration (ONE composite
+        # launch — nothing is skipped, nothing fetches to the host).
+        # This is what drop-in code pays per iteration.
         y, sp, C = _chain(_next_sig())
+        dsp.compute_all(y, sp, C)
         return y.time_data_jax, sp, C
 
     def run_default_materialized():
