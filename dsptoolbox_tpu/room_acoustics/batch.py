@@ -52,10 +52,16 @@ def batch_energy_decay(rirs: jnp.ndarray) -> jnp.ndarray:
     start = _start_indices(rirs)
     mask = _mask_from_start(T, start)
     e = (rirs**2) * mask
-    # backward cumulative integral, as blocked triangular matmuls on the
-    # MXU (ops/prefix.py) — XLA's log-depth cumsum passes were the scale
-    # bottleneck of the descriptor battery (docs/scale_r4.jsonl)
-    edc = cumsum_mxu(e, reverse=True)
+    # backward cumulative integral. On accelerators: blocked triangular
+    # matmuls on the MXU (ops/prefix.py) — XLA's log-depth cumsum passes
+    # were the scale bottleneck of the descriptor battery
+    # (docs/scale_r4.jsonl). The matmul form inflates arithmetic ~L×, so
+    # on matmul-unit-less backends (the CPU oracle path) plain cumsum is
+    # the right mapping; the branch is static at trace time.
+    if jax.default_backend() == "cpu":
+        edc = jnp.cumsum(e[..., ::-1], axis=-1)[..., ::-1]
+    else:
+        edc = cumsum_mxu(e, reverse=True)
     total = edc[:, :1]
     edc_db = 10.0 * jnp.log10(
         jnp.maximum(edc, 1e-30) / jnp.maximum(total, 1e-30)
