@@ -505,13 +505,14 @@ def _simpson_uniform(y: np.ndarray, dx: float, axis: int = -1) -> np.ndarray:
     return simpson(y, dx=dx, axis=axis)
 
 
-def _packed_quadratic_gf(h_re, h_im, c_re, c_im):
-    """``Re(h^H C h) -> (G, F)`` for explicit split steering ``h (F, M,
-    G)`` and matrix ``C (F, M, M)`` in the packed-real block form of
-    `_das_map_core` (2M contraction fills the 128-lane MXU tile)."""
-    hp = jnp.concatenate(
-        [jnp.swapaxes(h_re, 1, 2), jnp.swapaxes(h_im, 1, 2)], axis=-1
-    )  # (F, G, 2M)
+def _packed_quadratic_from_hp(hp, c_re, c_im):
+    """``map[g, f] = p^T B p`` for a prebuilt packed steering factor
+    ``hp (F, G, 2M) = [Re h | Im h]`` and split matrix ``C (F, M, M)``:
+    with ``B = [[Cre, -Cim], [Cim, Cre]]``, ``Re(h^H C h) = p^T B p``
+    exactly (no Hermitian assumption needed). Shared core of
+    `_packed_quadratic_gf` and `_das_map_core` — the 2M contraction
+    fills the MXU's 128-lane tile that an M=64-mic complex einsum
+    half-wastes, and the program is all-real."""
     B = jnp.concatenate(
         [
             jnp.concatenate([c_re, -c_im], axis=-1),
@@ -521,6 +522,16 @@ def _packed_quadratic_gf(h_re, h_im, c_re, c_im):
     )  # (F, 2M, 2M)
     t = jnp.einsum("fgk,fkl->fgl", hp, B, precision=_HIGH)
     return jnp.einsum("fgl,fgl->gf", hp, t, precision=_HIGH)
+
+
+def _packed_quadratic_gf(h_re, h_im, c_re, c_im):
+    """``Re(h^H C h) -> (G, F)`` for explicit split steering ``h (F, M,
+    G)`` and matrix ``C (F, M, M)`` in the packed-real block form (see
+    `_packed_quadratic_from_hp`)."""
+    hp = jnp.concatenate(
+        [jnp.swapaxes(h_re, 1, 2), jnp.swapaxes(h_im, 1, 2)], axis=-1
+    )  # (F, G, 2M)
+    return _packed_quadratic_from_hp(hp, c_re, c_im)
 
 
 def _das_map_core(ampj, diffj, kj, csm_re, csm_im):
@@ -543,15 +554,7 @@ def _das_map_core(ampj, diffj, kj, csm_re, csm_im):
     hp = jnp.concatenate(
         [amp_t * jnp.cos(ph), -amp_t * jnp.sin(ph)], axis=-1
     )  # (F, G, 2M) = [Re h | Im h]
-    B = jnp.concatenate(
-        [
-            jnp.concatenate([csm_re, -csm_im], axis=-1),
-            jnp.concatenate([csm_im, csm_re], axis=-1),
-        ],
-        axis=-2,
-    )  # (F, 2M, 2M)
-    t = jnp.einsum("fgk,fkl->fgl", hp, B, precision=_HIGH)
-    return jnp.einsum("fgl,fgl->gf", hp, t, precision=_HIGH)
+    return _packed_quadratic_from_hp(hp, csm_re, csm_im)
 
 
 class BaseBeamformer:
@@ -902,34 +905,61 @@ class BeamformerCleanSC(BeamformerGridded):
         f, csm, h = self._csm_and_steering(
             center_frequency_hz, octave_fraction
         )
-        h_H = np.swapaxes(h, 1, 2).conjugate()
         if remove_csm_diagonal:
             eye = np.eye(csm.shape[-1], dtype=bool)
             csm[:, eye] = 0
-        # initial map via the packed-real quadratic form, one jitted
-        # program (complex operands split at the host boundary)
-        from .._config import run_jitted_complex
+        from .._config import clean_sc_on_device, run_jitted_complex
 
-        map = np.array(
-            run_jitted_complex(
-                lambda hj, cj: _packed_quadratic_gf(
-                    jnp.real(hj), jnp.imag(hj),
-                    jnp.real(cj), jnp.imag(cj),
-                ),
-                h,
-                csm,
+        if clean_sc_on_device():
+            # ONE device program per map: initial packed-real quadratic
+            # form + the full batched deconvolution loop (all bins)
+            map = np.array(
+                run_jitted_complex(
+                    lambda hj, cj: _clean_sc_device_core(
+                        _packed_quadratic_gf(
+                            jnp.real(hj), jnp.imag(hj),
+                            jnp.real(cj), jnp.imag(cj),
+                        ),
+                        cj,
+                        hj,
+                        int(maximum_iterations),
+                        bool(remove_csm_diagonal),
+                        float(safety_factor),
+                    ),
+                    h,
+                    csm,
+                    key=(
+                        "clean_sc_full",
+                        int(maximum_iterations),
+                        bool(remove_csm_diagonal),
+                        float(safety_factor),
+                    ),
+                )
             )
-        )
-        for find in range(len(f)):
-            map[:, find] = clean_sc_deconvolve(
-                map[:, find],
-                csm[find],
-                h[find],
-                h_H[find],
-                maximum_iterations,
-                remove_csm_diagonal,
-                safety_factor,
-            ).real
+        else:
+            h_H = np.swapaxes(h, 1, 2).conjugate()
+            # host oracle path: per-bin Python loop (kept for parity
+            # testing and as the measured A/B reference)
+            map = np.array(
+                run_jitted_complex(
+                    lambda hj, cj: _packed_quadratic_gf(
+                        jnp.real(hj), jnp.imag(hj),
+                        jnp.real(cj), jnp.imag(cj),
+                    ),
+                    h,
+                    csm,
+                )
+            )
+            for find in range(len(f)):
+                map[:, find] = clean_sc_deconvolve(
+                    map[:, find],
+                    csm[find],
+                    h[find],
+                    h_H[find],
+                    maximum_iterations,
+                    remove_csm_diagonal,
+                    safety_factor,
+                ).real
         if len(f) > 1:
             map = _simpson_uniform(map, dx=f[1] - f[0], axis=1)
         else:
@@ -1470,6 +1500,78 @@ def mix_sources_on_array(sources, mics: MicArray, c: float = 343) -> Signal:
         ns = s.get_signals_on_array(mics, c)
         multi.time_data = multi.time_data + ns.time_data
     return multi
+
+
+def _clean_sc_device_core(
+    map0,  # (G, F) real initial map
+    cj,  # (F, M, M) complex CSM (diagonal already removed if requested)
+    hj,  # (F, M, G) complex steering
+    maximum_iterations: int,
+    remove_diagonal_csm: bool,
+    safety_factor: float,
+):
+    """CLEAN-SC deconvolution for ALL frequency bins as one batched
+    device loop (`/root/reference/dsptoolbox/beamforming/_beamforming.py:194-297`).
+
+    The reference iterates bins on the host with a per-bin Python loop
+    and a 20-step inner fixed point; here every bin advances in lockstep
+    through a `lax.fori_loop` whose per-bin state carries an ``active``
+    mask — a bin that hits the degenerate-CSM stopping rule
+    (``||D_new||_1 >= ||D_old||_1``) keeps accumulating nothing while
+    the rest continue, which is the TPU-native shape for data-dependent
+    early exit (no dynamic trip counts inside the program). The entire
+    map — initial quadratic form included — is ONE program launch."""
+    import jax
+
+    M = cj.shape[-1]
+    eye = jnp.eye(M, dtype=map0.dtype)
+    sf = jnp.asarray(safety_factor, map0.dtype)
+
+    def one_bin(map0_g, C, h):
+        def body(_, st):
+            map_, second, D0, D1, active = st
+            i = jnp.argmax(map_)
+            p = map_[i]
+            # the reference accumulates BEFORE its stopping check, so
+            # the stop iteration still deposits its peak
+            second = second.at[i].add(jnp.where(active, p * sf, 0.0))
+            n1 = jnp.max(jnp.sum(jnp.abs(D1), axis=0))
+            n0 = jnp.max(jnp.sum(jnp.abs(D0), axis=0))
+            cont = active & (n1 < n0)
+            w = h[:, i]
+            wsq = jnp.conj(w) * w
+            D_ = (D1 @ w) / p
+
+            def fp(_, h_):
+                H = jnp.conj(h_) * h_
+                return (D_ + H * w) / jnp.sqrt(1.0 + H @ wsq)
+
+            h_ = jax.lax.fori_loop(0, 20, fp, w)
+            G_ = jnp.outer(h_, jnp.conj(h_)) * p
+            if remove_diagonal_csm:
+                G_ = G_ * (1.0 - eye)
+            corr = jnp.real(
+                jnp.einsum("mg,mn,ng->g", jnp.conj(h), G_, h)
+            )
+            map_new = jnp.where(cont, map_ - corr * sf, map_)
+            D0n = jnp.where(cont, D1, D0)
+            D1n = jnp.where(cont, D1 - sf * G_, D1)
+            return map_new, second, D0n, D1n, cont
+
+        st0 = (
+            map0_g,
+            jnp.zeros_like(map0_g),
+            C * 2.0,
+            C,
+            jnp.asarray(True),
+        )
+        out = jax.lax.fori_loop(0, maximum_iterations, body, st0)
+        return out[1]
+
+    # vmap over frequency bins: every bin is an independent deconvolution
+    return jnp.swapaxes(
+        jax.vmap(one_bin)(jnp.swapaxes(map0, 0, 1), cj, hj), 0, 1
+    )
 
 
 def clean_sc_deconvolve(

@@ -163,6 +163,40 @@ class TestFrequencyBeamformers:
         m_r = np.asarray(b_r.get_beamformer_map(2000, 0, **kwargs))
         close(m_m, m_r, 5e-3, f"{name} map")
 
+    @pytest.mark.parametrize("remove_diag", [False, True])
+    def test_clean_sc_device_matches_host_loop(
+        self, ref, array_signal_pair, remove_diag
+    ):
+        """The batched on-device CLEAN-SC (one program, lax.fori_loop
+        with masked early exit) must match the host per-bin oracle
+        loop."""
+        from dsptoolbox_tpu import _config
+
+        (ma_m, s_m), _ = array_signal_pair
+        g_m, _ = _grids(ref)
+        st = bf.SteeringVector(
+            formulation=bf.SteeringVectorType.TrueLocation
+        )
+        b = bf.BeamformerCleanSC(s_m, ma_m, g_m, st)
+        kwargs = dict(
+            maximum_iterations=10,
+            safety_factor=0.5,
+            remove_csm_diagonal=remove_diag,
+        )
+        assert _config.clean_sc_on_device()
+        m_dev = np.asarray(b.get_beamformer_map(2000, 3, **kwargs))
+        _config.set_clean_sc_on_device(False)
+        try:
+            m_host = np.asarray(b.get_beamformer_map(2000, 3, **kwargs))
+        finally:
+            _config.set_clean_sc_on_device(True)
+        np.testing.assert_allclose(
+            m_dev,
+            m_host,
+            rtol=1e-3,
+            atol=1e-5 * np.max(np.abs(m_host)),
+        )
+
     def test_orthogonal_oracle(self, ref, array_signal_pair):
         # The orthogonal beamformer scatters each eigenvalue's energy to
         # the argmax of its eigenvector map; for noise-subspace
