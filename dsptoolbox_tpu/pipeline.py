@@ -305,22 +305,62 @@ def _sanitize_spec(spec):
             _sanitize_spec(s)
 
 
-def pipeline(fn):
+def pipeline(fn, mesh=None, partition=None):
     """Compile a chain of public-API calls into one device program.
 
     ``fn`` takes one or more :class:`Signal` (or subclass) positional
     arguments and may call any device-path public API on them. The
     returned runner has the same signature; see the module docstring for
-    the contract. Retracing happens per distinct input signature."""
+    the contract. Retracing happens per distinct input signature.
+
+    ``mesh``: optional :class:`jax.sharding.Mesh`. The fused chain is
+    then compiled as ONE partitioned program over the mesh: input time
+    data is placed with ``partition`` (a ``PartitionSpec`` over the
+    ``(T, C)`` axes; default shards the channel axis over the mesh's
+    first axis name) and XLA inserts the collectives the chain needs —
+    fusion and multi-chip compose instead of being separate features.
+    Uneven channel counts fall back to replicated inputs (XLA still
+    partitions the internal ops)."""
     from .classes.signal import Signal
 
     cache: dict = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis0 = mesh.axis_names[0]
+        if partition is None:
+            partition = PartitionSpec(None, axis0)
+        mesh_key = (
+            tuple(mesh.axis_names),
+            tuple(mesh.devices.shape),
+            tuple(d.id for d in mesh.devices.flat),
+            tuple(partition),
+        )
+
+        def _axis_shards(name) -> int:
+            if name is None:
+                return 1
+            if isinstance(name, (tuple, list)):
+                return int(np.prod([mesh.shape[n] for n in name]))
+            return int(mesh.shape[name])
+
+        def _in_sharding(sig):
+            spec = partition
+            for ax, name in enumerate(tuple(partition)):
+                if sig.time_data_jax.shape[ax] % _axis_shards(name):
+                    # unshardable input: replicate (compute still
+                    # partitions) rather than failing
+                    spec = PartitionSpec()
+                    break
+            return NamedSharding(mesh, spec)
+    else:
+        mesh_key = None
 
     def runner(*signals):
         assert signals and all(
             isinstance(s, Signal) for s in signals
         ), "pipeline runners take Signal positional arguments"
-        key = tuple(_signal_signature(s) for s in signals)
+        key = (mesh_key,) + tuple(_signal_signature(s) for s in signals)
         entry = cache.get(key)
         if entry is None:
             spec_box: dict = {}
@@ -339,7 +379,19 @@ def pipeline(fn):
                 )
                 return leaves
 
-            compiled = jax.jit(flat_fn)
+            if mesh is None:
+                compiled = jax.jit(flat_fn)
+            else:
+                in_sh = tuple(
+                    (
+                        _in_sharding(s),
+                        None
+                        if getattr(s, "_time_data_imag", None) is None
+                        else _in_sharding(s),
+                    )
+                    for s in signals
+                )
+                compiled = jax.jit(flat_fn, in_shardings=(in_sh,))
             entry = cache[key] = (compiled, spec_box)
         compiled, spec_box = entry
         tds = tuple(

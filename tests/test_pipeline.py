@@ -187,10 +187,16 @@ class TestPipeline:
         sig = dsp.Signal.from_time_data(td, 48000)
         run = dsp.pipeline(lambda s: dsp.append_signals([s, s]))
         run(sig)
+        def _cell(c):
+            try:
+                return c.cell_contents
+            except ValueError:  # unbound cell (mesh-path locals)
+                return None
+
         cache = run.__closure__ and next(
-            c.cell_contents
-            for c in run.__closure__
-            if isinstance(c.cell_contents, dict)
+            v
+            for v in (_cell(c) for c in run.__closure__)
+            if isinstance(v, dict)
         )
         assert cache and len(cache) == 1
         (_, spec_box), = cache.values()
@@ -249,6 +255,66 @@ class TestPipeline:
             np.asarray(r0.time_data_jax),
             rtol=1e-4,
             atol=1e-5,
+        )
+
+    def test_mesh_pipeline_matches_single_device(self):
+        """Fuse + shard compose: the fused config-2-style chain compiled
+        over an 8-device mesh (channel-sharded inputs, XLA-inserted
+        collectives) must match the single-device fused result."""
+        import jax
+        from jax.sharding import Mesh
+
+        rng = np.random.default_rng(9)
+        td = rng.standard_normal((2**14, 8)).astype(np.float64) * 0.4
+        sig = dsp.Signal.from_time_data(td, 16000)
+        sig.set_spectrogram_parameters(window_length_samples=512)
+        sig.set_spectrum_parameters(window_length_samples=512)
+
+        def chain(s):
+            t, f, S = s.get_spectrogram(force_computation=True)
+            y = dsp.transforms.istft(S, original_signal=s)
+            f2, sp = s.get_spectrum(force_computation=True)
+            f3, C = s.get_csm(force_computation=True)
+            return y, sp, C
+
+        mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("d",))
+        run_mesh = dsp.pipeline(chain, mesh=mesh)
+        run_single = dsp.pipeline(chain)
+        y_m, sp_m, C_m = run_mesh(sig)
+        y_s, sp_s, C_s = run_single(sig)
+        np.testing.assert_allclose(
+            np.asarray(y_m.time_data_jax),
+            np.asarray(y_s.time_data_jax),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp_m), np.asarray(sp_s), rtol=1e-5, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(C_m), np.asarray(C_s), rtol=1e-5, atol=1e-8
+        )
+
+    def test_mesh_pipeline_uneven_channels_replicates(self):
+        """A channel count that does not divide the mesh must still run
+        (replicated inputs) and match."""
+        import jax
+        from jax.sharding import Mesh
+
+        rng = np.random.default_rng(10)
+        td = rng.standard_normal((2**13, 3)).astype(np.float64) * 0.4
+        sig = dsp.Signal.from_time_data(td, 16000)
+        sig.set_spectrum_parameters(window_length_samples=256)
+
+        def chain(s):
+            f, sp = s.get_spectrum(force_computation=True)
+            return sp
+
+        mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("d",))
+        sp_m = dsp.pipeline(chain, mesh=mesh)(sig)
+        sp_s = dsp.pipeline(chain)(sig)
+        np.testing.assert_allclose(
+            np.asarray(sp_m), np.asarray(sp_s), rtol=1e-5, atol=1e-8
         )
 
     def test_rejects_non_signal_args(self):
