@@ -13,6 +13,7 @@ from .batch import (  # noqa: F401
     batch_descriptors,
     batch_energy_decay,
     batch_reverb_times,
+    batch_synthetic_rirs,
 )
 from .rooms import Room, ShoeboxRoom
 
@@ -27,4 +28,5 @@ __all__ = [
     "ShoeboxRoom",
     "ReverbTime",
     "RoomAcousticsDescriptor",
+    "batch_synthetic_rirs",
 ]

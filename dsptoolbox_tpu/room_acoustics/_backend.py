@@ -205,16 +205,299 @@ def reverb(
     return factor / np.abs(p[0]), corr
 
 
+_U_VECTORS = np.array(
+    [
+        [0, 0, 0],
+        [0, 0, 1],
+        [0, 1, 0],
+        [1, 0, 0],
+        [0, 1, 1],
+        [1, 0, 1],
+        [1, 1, 0],
+        [1, 1, 1],
+    ],
+    dtype=np.float64,
+)  # (8, 3)
+
+_LATER = np.triu(np.ones((8, 8), dtype=bool), 1)
+
+
+def _host_group_images(lv, room_dim, beta_1, beta_2, s_pos, r_pos, sr, c):
+    """f64 image math for a set of lattice rows ``lv (m, 3)``: returns
+    flat (idx, vals) with the reference's duplicate-drop semantics
+    (`_room_acoustics.py:259-268`: within one cell's 8 images, numpy fancy
+    indexing makes the LAST duplicate win) already applied."""
+    pos = (
+        (1 - 2 * _U_VECTORS)[None, :, :] * s_pos
+        + (2 * lv * room_dim)[:, None, :]
+        - r_pos
+    )
+    dist = np.sqrt(np.sum(pos**2, axis=-1))  # (m, 8)
+    diff = np.abs(lv[:, None, :] - _U_VECTORS[None, :, :])
+    damp = np.prod(beta_1**diff, axis=-1) * np.prod(
+        beta_2 ** np.abs(lv), axis=-1
+    )[:, None]
+    vals = damp / (4 * np.pi * dist)
+    idx = (dist / c * sr + 0.5).astype(np.int64)  # truncation, like ref
+    eq = idx[:, :, None] == idx[:, None, :]  # (m, 8, 8)
+    dropped = (eq & _LATER).any(axis=2)  # earlier duplicate → dropped
+    vals = np.where(dropped, 0.0, vals)
+    return idx.reshape(-1), np.nan_to_num(vals.reshape(-1))
+
+
+def _generate_rir_host(
+    room_dim, beta_1, beta_2, s_pos, r_pos, sr, c, LIMIT, total_length
+) -> np.ndarray:
+    """Oracle path: f64 host image math + device scatter-add.
+
+    The sample index comes from truncating ``dist/c*sr + 0.5`` and fp32
+    distances flip bins near the .5 boundary, so this path keeps every
+    index decision in f64 — it is the parity reference for the device
+    path below. Chunked: the full (M, 8, 8) temporaries would be
+    multi-GB for long reverberation times (LIMIT ~ 80 → M ≈ 4.5M)."""
+    grid = np.arange(-LIMIT, LIMIT + 1, dtype=np.float64)
+    ll, mm, nn = np.meshgrid(grid, grid, grid, indexing="ij")
+    lvecs = np.stack(
+        [ll.reshape(-1), mm.reshape(-1), nn.reshape(-1)], axis=1
+    )
+    rir = jnp.zeros(total_length, jnp.float32)
+    CHUNK = 1 << 17
+    M = lvecs.shape[0]
+    for i0 in range(0, M, CHUNK):
+        idx, vals = _host_group_images(
+            lvecs[i0 : i0 + CHUNK], room_dim, beta_1, beta_2,
+            s_pos, r_pos, sr, c,
+        )
+        rir = rir.at[jnp.asarray(idx)].add(
+            jnp.asarray(vals, jnp.float32), mode="drop"
+        )
+    return np.asarray(rir, dtype=np.float64)
+
+
+# ---- double-single (two-float) helpers -------------------------------
+# The ISM sample index truncates ``dist/c*sr + 0.5``; plain fp32 errs by
+# up to ~2e-2 samples at image distances of hundreds of meters, flipping
+# bins vs the f64 oracle near the boundary. Instead of fetching a risky
+# mask to repair on the host (a ~35 ms tunnel round trip per call), the
+# index path runs in double-single arithmetic on the VPU: each value is
+# an (hi, lo) fp32 pair with ~2^-47 relative error, so every truncation
+# decision agrees with f64 (disagreement would need the true value
+# within ~1e-10 samples of a boundary). Error-free transforms follow
+# Dekker/Knuth (Veltkamp splitting — no FMA assumed).
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _quick_renorm(s, e):
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def _split(a):
+    c = a * np.float32(4097.0)  # 2^12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _ds_add(a, b):
+    s, e = _two_sum(a[0], b[0])
+    e = e + a[1] + b[1]
+    return _quick_renorm(s, e)
+
+
+def _ds_mul(a, b):
+    p, e = _two_prod(a[0], b[0])
+    e = e + a[0] * b[1] + a[1] * b[0]
+    return _quick_renorm(p, e)
+
+
+def _ds_sqrt(a):
+    # one ds Newton correction around the fp32 sqrt
+    y0 = jnp.sqrt(a[0])
+    y0 = jnp.where(a[0] > 0, y0, 0.0)
+    y2 = _ds_mul((y0, jnp.zeros_like(y0)), (y0, jnp.zeros_like(y0)))
+    r = _ds_add(a, (-y2[0], -y2[1]))
+    inv = jnp.where(y0 > 0, 0.5 / y0, 0.0)
+    return _quick_renorm(y0, r[0] * inv)
+
+
+def _ds_const(v):
+    hi = np.float32(v)
+    return hi, np.float32(np.float64(v) - np.float64(hi))
+
+
+_ISM_DEV_CHUNK = 1 << 15
+
+
+def _ism_program_builder(L, sr, total_length, chunk):
+    """Un-jitted device ISM for lattice limit ``L``: lattice enumeration,
+    distances, dampings, duplicate-drop and scatter-add ON DEVICE,
+    chunked with `lax.scan` to bound the (chunk, 8, 8) temporaries.
+    Damping/value math is fp32; the sample INDEX path runs in
+    double-single arithmetic (see helpers above), so index placement is
+    bit-identical to the f64 host oracle with zero host round trips.
+    Jitted directly for single RIRs and under `vmap` for fleets."""
+    import jax
+
+    n = 2 * L + 1
+    M = n**3
+    n_chunks = -(-M // chunk)
+    M_pad = n_chunks * chunk
+    u32 = jnp.asarray(_U_VECTORS, jnp.float32)
+    later = jnp.asarray(_LATER)
+    # ds constant for sr/c (the host divides by c then multiplies by sr;
+    # both approximate the same real number to >=47 bits here)
+    scale_ds = _ds_const(np.float64(sr) / 343.0)
+
+    def program(a_hi, a_lo, b_hi, b_lo, beta1, beta2):
+        # a = (1-2u)*s - r   (8, 3) ds;  b = 2*room_dim  (3,) ds
+        ids = jnp.arange(M_pad, dtype=jnp.int32)
+        i = ids // (n * n)
+        r0 = ids % (n * n)
+        lv_all = (
+            jnp.stack([i, r0 // n, r0 % n], axis=1).astype(jnp.float32)
+            - L
+        )
+        valid = ids < M
+
+        def body(rir, inp):
+            lv, vmask = inp  # (chunk, 3), (chunk,)
+            # pos_ds[m, u, ax] = a[u, ax] + lv[m, ax] * b[ax]
+            lb_hi, lb_err = _two_prod(
+                lv[:, None, :], b_hi[None, None, :]
+            )
+            lb_lo = lb_err + lv[:, None, :] * b_lo[None, None, :]
+            p_hi, p_lo = _ds_add(
+                (a_hi[None, :, :], a_lo[None, :, :]), (lb_hi, lb_lo)
+            )
+            # d2 = sum of ds squares over axis
+            d2 = (jnp.zeros_like(p_hi[..., 0]),) * 2
+            for ax in range(3):
+                sq = _ds_mul(
+                    (p_hi[..., ax], p_lo[..., ax]),
+                    (p_hi[..., ax], p_lo[..., ax]),
+                )
+                d2 = _ds_add(d2, sq)
+            dist_hi, dist_lo = _ds_sqrt(d2)  # (chunk, 8)
+            x_hi, x_lo = _ds_add(
+                _ds_mul((dist_hi, dist_lo), scale_ds),
+                (jnp.full_like(dist_hi, 0.5), jnp.zeros_like(dist_hi)),
+            )
+            fl = jnp.floor(x_hi)
+            frac = (x_hi - fl) + x_lo
+            idx = (
+                fl.astype(jnp.int32)
+                + (frac >= 1).astype(jnp.int32)
+                - (frac < 0).astype(jnp.int32)
+            )
+            # values in plain fp32 (tolerance-level, not index-critical)
+            diff = jnp.abs(lv[:, None, :] - u32[None, :, :])
+            damp = jnp.prod(beta1**diff, axis=-1) * jnp.prod(
+                beta2 ** jnp.abs(lv), axis=-1
+            )[:, None]
+            vals = damp / (4 * np.float32(np.pi) * dist_hi)
+            eq = idx[:, :, None] == idx[:, None, :]
+            dropped = (eq & later).any(axis=2)
+            keep = (~dropped) & vmask[:, None]
+            vals = jnp.nan_to_num(jnp.where(keep, vals, 0.0))
+            rir = rir.at[idx.reshape(-1)].add(
+                vals.reshape(-1), mode="drop"
+            )
+            return rir, 0
+
+        rir0 = jnp.zeros(total_length, jnp.float32)
+        rir, _ = jax.lax.scan(
+            body,
+            rir0,
+            (lv_all.reshape(n_chunks, chunk, 3),
+             valid.reshape(n_chunks, chunk)),
+        )
+        return rir
+
+    return program, M
+
+
+def _ism_device_program(L, sr, total_length, chunk=_ISM_DEV_CHUNK):
+    import jax
+
+    key = ("ism_dev", L, sr, total_length, chunk)
+    got = _ISM_PROGRAMS.get(key)
+    if got is None:
+        program, M = _ism_program_builder(L, sr, total_length, chunk)
+        got = _ISM_PROGRAMS[key] = (jax.jit(program), M)
+    return got
+
+
+def _ism_device_program_batched(L, sr, total_length, chunk=4096):
+    """Batched fleet variant: vmap over a leading (B,) axis of the
+    source/receiver-dependent ``a`` factors; room geometry and wall
+    dampings broadcast. One program generates the whole fleet."""
+    import jax
+
+    key = ("ism_dev_batched", L, sr, total_length, chunk)
+    got = _ISM_PROGRAMS.get(key)
+    if got is None:
+        program, M = _ism_program_builder(L, sr, total_length, chunk)
+        got = _ISM_PROGRAMS[key] = (
+            jax.jit(
+                jax.vmap(program, in_axes=(0, 0, None, None, None, None))
+            ),
+            M,
+        )
+    return got
+
+
+_ISM_PROGRAMS: dict = {}
+
+_ISM_DEVICE: bool | None = None  # None = auto (device off CPU)
+
+
+def set_ism_device(enabled: bool | None) -> None:
+    """Dispatch override for the image-source model: ``True`` forces the
+    fp32 device lattice (+f64 boundary repair), ``False`` forces the f64
+    host oracle, ``None`` (default) picks the device path on accelerator
+    backends."""
+    global _ISM_DEVICE
+    _ISM_DEVICE = enabled
+
+
+def _ism_use_device() -> bool:
+    if _ISM_DEVICE is not None:
+        return _ISM_DEVICE
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def generate_rir(
     room_dim, alpha, s_pos, r_pos, rt, mo, sr
-) -> np.ndarray:
-    """Image-source RIR (Brinkmann et al.) as one device scatter-add.
+):
+    """Image-source RIR (Brinkmann et al.;
+    `_room_acoustics.py:161-268`).
 
-    Replaces the reference's triple loop over image orders
-    (`_room_acoustics.py:161-268`): the whole (2L+1)³ lattice × 8 image
-    combinations is enumerated as a tensor, distances/dampings are computed
-    in one batched expression, and the RIR accumulates via ``.at[].add``.
-    """
+    Replaces the reference's triple Python loop over image orders with
+    the whole (2L+1)³ × 8 image lattice as a batched tensor expression +
+    scatter-add. On accelerator backends the entire lattice runs ON
+    DEVICE in fp32 inside one program; the few groups whose truncated
+    sample index is within `_ISM_EPS` of a boundary are recomputed
+    exactly in f64 on the host and added in a second (tiny) scatter —
+    index placement is bit-identical to the f64 oracle path by
+    construction. Returns a DEVICE array on the device path (callers
+    keep it resident); the host oracle path returns f64 numpy."""
     room_dim = np.asarray(room_dim, dtype=np.float64)
     s_pos = np.asarray(s_pos, dtype=np.float64)
     r_pos = np.asarray(r_pos, dtype=np.float64)
@@ -234,70 +517,35 @@ def generate_rir(
     LIMIT = int(np.ceil(np.sqrt(l_max @ l_max)))
     if mo is not None:
         LIMIT = LIMIT if mo > LIMIT else mo
-
     total_length = int(t_max * 5 * sr)
 
-    u_vectors = np.array(
-        [
-            [0, 0, 0],
-            [0, 0, 1],
-            [0, 1, 0],
-            [1, 0, 0],
-            [0, 1, 1],
-            [1, 0, 1],
-            [1, 1, 0],
-            [1, 1, 1],
-        ],
-        dtype=np.float64,
-    )  # (8, 3)
+    if not _ism_use_device():
+        return _generate_rir_host(
+            room_dim, beta_1, beta_2, s_pos, r_pos, sr, c, LIMIT,
+            total_length,
+        )
 
-    grid = np.arange(-LIMIT, LIMIT + 1, dtype=np.float64)
-    # lattice (M, 3) with M = (2L+1)^3
-    ll, mm, nn = np.meshgrid(grid, grid, grid, indexing="ij")
-    lvecs = np.stack(
-        [ll.reshape(-1), mm.reshape(-1), nn.reshape(-1)], axis=1
+    program, M = _ism_device_program(LIMIT, sr, total_length)
+    # ds-split inputs: a = (1-2u)*s - r (8, 3), b = 2*room_dim (3,)
+    a64 = (1 - 2 * _U_VECTORS) * s_pos - r_pos
+    b64 = 2 * room_dim
+    a_hi = a64.astype(np.float32)
+    b_hi = b64.astype(np.float32)
+    from .._defer import defer_call
+
+    # defer_call: the returned handle stays pending so the downstream
+    # ImpulseResponse assignment fuses its amplitude constraining into
+    # the flush instead of fetching a peak scalar (~35 ms RTT per call)
+    return defer_call(
+        ("ism_dev_run", LIMIT, sr, total_length),
+        lambda *args: program(*args),
+        jnp.asarray(a_hi),
+        jnp.asarray((a64 - a_hi).astype(np.float32)),
+        jnp.asarray(b_hi),
+        jnp.asarray((b64 - b_hi).astype(np.float32)),
+        jnp.asarray(beta_1, jnp.float32),
+        jnp.asarray(beta_2, jnp.float32),
     )
-
-    # Index/damping math stays host-side in f64: the sample index comes from
-    # truncating `dist/c*sr + 0.5`, and fp32 distances flip bins near the
-    # .5 boundary (observed vs the f64 oracle). The O(M·8) elementwise part
-    # is trivially cheap; the scatter-add runs on device. The lattice is
-    # processed in chunks of rows — the full (M, 8, 3)/(M, 8, 8)
-    # temporaries would be multi-GB for long reverberation times
-    # (LIMIT ~ 80 → M ≈ 4.5M cells).
-    later = np.triu(np.ones((8, 8), dtype=bool), 1)
-    rir = jnp.zeros(total_length, jnp.float32)
-    CHUNK = 1 << 17
-    M = lvecs.shape[0]
-    for i0 in range(0, M, CHUNK):
-        lv = lvecs[i0 : i0 + CHUNK]
-        # positions (m, 8, 3): (1-2u)·s + 2·l·dim - r
-        pos = (
-            (1 - 2 * u_vectors)[None, :, :] * s_pos
-            + (2 * lv * room_dim)[:, None, :]
-            - r_pos
-        )
-        dist = np.sqrt(np.sum(pos**2, axis=-1))  # (m, 8)
-        # damping (m, 8): prod(beta1^(|l-u|)) * prod(beta2^|l|)
-        diff = np.abs(lv[:, None, :] - u_vectors[None, :, :])
-        damp = np.prod(beta_1**diff, axis=-1) * np.prod(
-            beta_2 ** np.abs(lv), axis=-1
-        )[:, None]
-        vals = damp / (4 * np.pi * dist)
-        idx = (dist / c * sr + 0.5).astype(np.int64)  # truncation, like ref
-        # The reference writes each (l,m,n) cell's 8 images via numpy fancy
-        # indexing `rir[idx] += vals` (`_room_acoustics.py:259-268`):
-        # duplicate sample indices within one group of 8 do NOT accumulate
-        # — the last occurrence wins. Reproduce that buffered-scatter
-        # semantics exactly.
-        eq = idx[:, :, None] == idx[:, None, :]  # (m, 8, 8)
-        dropped = (eq & later).any(axis=2)  # earlier duplicate → dropped
-        vals = np.where(dropped, 0.0, vals)
-        rir = rir.at[jnp.asarray(idx.reshape(-1))].add(
-            jnp.nan_to_num(jnp.asarray(vals.reshape(-1), jnp.float32)),
-            mode="drop",
-        )
-    return np.asarray(rir, dtype=np.float64)
 
 
 def add_reverberant_tail_noise(

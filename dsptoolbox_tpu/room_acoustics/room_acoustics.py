@@ -202,10 +202,32 @@ def generate_synthetic_rir(
             mo=max_order,
             sr=sampling_rate_hz,
         )
-        rir = np.array(
-            pad_trim_axis(jnp.asarray(rir), total_length_samples, axis=-1)
-        )
-        np.nan_to_num(rir, copy=False, nan=0)
+        from .._defer import DeferredArray
+
+        if isinstance(rir, DeferredArray) or (
+            isinstance(rir, jnp.ndarray)
+            and not isinstance(rir, np.ndarray)
+        ):
+            # device path: stay resident (NaNs already zeroed in-program);
+            # the returned ImpulseResponse keeps device time data —
+            # pad/trim and amplitude constraining fuse into one deferred
+            # flush, and values materialize only when the user reads them
+            from .._defer import defer_call
+
+            rir = defer_call(
+                ("ism_pad_trim", total_length_samples),
+                lambda r: pad_trim_axis(
+                    r, total_length_samples, axis=-1
+                ),
+                rir,
+            )
+        else:
+            rir = np.array(
+                pad_trim_axis(
+                    jnp.asarray(rir), total_length_samples, axis=-1
+                )
+            )
+            np.nan_to_num(rir, copy=False, nan=0)
     else:
         assert hasattr(room, "detailed_absorption"), (
             "Given room has no detailed absorption dictionary"

@@ -84,6 +84,62 @@ class TestSyntheticRIR:
         )
         close(rir_m.time_data, rir_r.time_data, 5e-4, "ISM rir")
 
+    def test_ism_device_path_matches_host_oracle(self):
+        """The fp32 device lattice with double-single index arithmetic
+        must place every image in the SAME sample bin as the f64 host
+        oracle (zero support differences), with fp32-level values."""
+        from dsptoolbox_tpu.room_acoustics import _backend as bk
+
+        room = ra.ShoeboxRoom([6.07, 5.13, 3.01], t60_s=0.5)
+        for mo in (8, 14):
+            bk.set_ism_device(False)
+            host = ra.generate_synthetic_rir(
+                room, [1.23, 2.17, 1.31], [4.29, 1.17, 1.63], 44100,
+                max_order=mo,
+            )
+            bk.set_ism_device(True)
+            dev = ra.generate_synthetic_rir(
+                room, [1.23, 2.17, 1.31], [4.29, 1.17, 1.63], 44100,
+                max_order=mo,
+            )
+            bk.set_ism_device(None)
+            a = np.asarray(host.time_data)[:, 0]
+            b = np.asarray(dev.time_data)[:, 0]
+            np.testing.assert_array_equal(
+                np.nonzero(a)[0], np.nonzero(b)[0]
+            )
+            np.testing.assert_allclose(a, b, rtol=0, atol=2e-7 * np.max(np.abs(a)))
+
+    def test_batched_ism_matches_single(self):
+        from dsptoolbox_tpu.room_acoustics import batch_synthetic_rirs
+        from dsptoolbox_tpu.room_acoustics import _backend as bk
+
+        room = ra.ShoeboxRoom([4.0, 3.0, 2.5], t60_s=0.4)
+        rng = np.random.default_rng(3)
+        B = 4
+        s = rng.uniform([0.3] * 3, [3.7, 2.7, 2.2], (B, 3))
+        r = rng.uniform([0.3] * 3, [3.7, 2.7, 2.2], (B, 3))
+        rirs = np.asarray(
+            batch_synthetic_rirs(room, s, r, 16000, max_order=10)
+        )
+        assert rirs.shape == (B, 8000)
+        for b in range(B):
+            bk.set_ism_device(False)
+            single = np.asarray(
+                ra.generate_synthetic_rir(
+                    room, s[b], r[b], 16000, max_order=10
+                ).time_data
+            )[:, 0]
+            bk.set_ism_device(None)
+            nz_b, nz_s = np.nonzero(rirs[b])[0], np.nonzero(single)[0]
+            np.testing.assert_array_equal(nz_b, nz_s)
+            # single-RIR path constrains amplitude; compare up to scale
+            scale = single[nz_s[0]] / rirs[b][nz_b[0]]
+            np.testing.assert_allclose(
+                rirs[b] * scale, single,
+                rtol=0, atol=1e-5 * np.max(np.abs(single)),
+            )
+
     def test_room_properties(self, ref):
         room_m = ra.ShoeboxRoom([5.0, 4.0, 3.0], t60_s=0.6)
         room_r = ref.room_acoustics.ShoeboxRoom([5.0, 4.0, 3.0], t60_s=0.6)

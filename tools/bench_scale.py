@@ -212,6 +212,52 @@ def scale_config5(n_bins=513):
     )
 
 
+def scale_config6(n_rirs=256):
+    """Batched image-source generation: 256 RIRs in one program."""
+    import jax.numpy as jnp
+
+    import dsptoolbox_tpu as dsp
+    from dsptoolbox_tpu.room_acoustics import batch
+    from dsptoolbox_tpu.room_acoustics._backend import (
+        _U_VECTORS,
+        _ism_device_program_batched,
+    )
+
+    room = dsp.room_acoustics.ShoeboxRoom([6.0, 5.0, 3.0], t60_s=0.5)
+    rng = np.random.default_rng(0)
+    s = rng.uniform([0.3, 0.3, 0.3], [5.7, 4.7, 2.7], (n_rirs, 3))
+    r = rng.uniform([0.3, 0.3, 0.3], [5.7, 4.7, 2.7], (n_rirs, 3))
+    sr = 16000
+    # same prep as batch_synthetic_rirs, but expose the raw program so
+    # the profiler can cost-analyze exactly one compiled executable
+    room_dim = np.asarray(room.dimensions_m, np.float64)
+    beta = np.sqrt(1 - np.asarray(room.absorption_coefficient))
+    beta_1 = beta_2 = np.ones(3) * beta
+    t_max = room.t60_s * 1.1
+    l_max = 343 * t_max / 2 / room_dim
+    LIMIT = min(int(np.ceil(np.sqrt(l_max @ l_max))), 20)
+    gen_length = int(t_max * 5 * sr)
+    a64 = (1 - 2 * _U_VECTORS)[None] * s[:, None, :] - r[:, None, :]
+    b64 = 2 * room_dim
+    a_hi = a64.astype(np.float32)
+    b_hi = b64.astype(np.float32)
+    program, M = _ism_device_program_batched(LIMIT, sr, gen_length)
+    args = (
+        jnp.asarray(a_hi),
+        jnp.asarray((a64 - a_hi).astype(np.float32)),
+        jnp.asarray(b_hi),
+        jnp.asarray((b64 - b_hi).astype(np.float32)),
+        jnp.asarray(beta_1, np.float32),
+        jnp.asarray(beta_2, np.float32),
+    )
+    return (
+        program, args,
+        f"scale6: {n_rirs}-RIR batched ISM (order {LIMIT}, "
+        f"{M} lattice cells x 8 images)",
+        None,
+    )
+
+
 def main():
     out_path = None
     if "--json-out" in sys.argv:
@@ -223,6 +269,7 @@ def main():
         (scale_config3, lambda r, a: {"audio_s_per_s": round(a / r["seconds_per_iter"], 1)}),
         (scale_config4, lambda r, a: {"rirs_per_s": round(16384 / r["seconds_per_iter"], 0)}),
         (scale_config5, lambda r, a: {"grid_pts_bins_per_s": round(900 * 513 / r["seconds_per_iter"], 0)}),
+        (scale_config6, lambda r, a: {"rirs_per_s": round(256 / r["seconds_per_iter"], 1)}),
     ):
         fn, args, label, audio_s = build()
         rep = profile_program(fn, args, label, trace_dir=None, n_iters=5)
