@@ -1760,10 +1760,21 @@ class Signal(MultichannelData):
 
     def __getstate__(self):
         """Pickle without the host mirror (a rebuildable cache that would
-        double the serialized size and carry an owner cycle)."""
+        double the serialized size and carry an owner cycle). Pending
+        deferred buffers are forced first — program handles don't
+        survive a process boundary — and value caches holding deferred
+        entries are dropped."""
+        from .._defer import DeferredArray, force_value
+
         d = dict(self.__dict__)
         d["_host_mirror"] = None
         d["_host_mirror_state"] = -1
+        if isinstance(d.get("_time_data"), DeferredArray):
+            d["_time_data"] = force_value(d["_time_data"])
+        if isinstance(d.get("_time_data_imag"), DeferredArray):
+            d["_time_data_imag"] = force_value(d["_time_data_imag"])
+        if d.get("_cache"):
+            d["_cache"] = {}
         return d
 
     def __deepcopy__(self, memo):

@@ -194,6 +194,19 @@ class TestDeferredChain:
             np.asarray(sp), np.asarray(sp0), rtol=2e-4, atol=1e-6
         )
 
+    def test_pickle_of_deferred_signal(self, speech):
+        """Pending program handles don't survive a process boundary:
+        pickling forces and round-trips the concrete values."""
+        import pickle
+
+        t, f, S = speech.get_spectrogram(force_computation=True)
+        y = dsp.transforms.istft(S, original_signal=speech)
+        assert isinstance(y._time_data, DeferredArray)
+        y2 = pickle.loads(pickle.dumps(y))
+        np.testing.assert_allclose(
+            np.asarray(y2.time_data), np.asarray(y.time_data)
+        )
+
     def test_disable_override_restores_eager(self, speech):
         _config.set_deferred_execution(False)
         try:
