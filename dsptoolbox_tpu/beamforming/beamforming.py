@@ -1250,7 +1250,9 @@ def _delay_filter_response(h, s, L, cdtype):
         (-2j * np.pi / L)
         * jnp.outer(jnp.arange(K, dtype=jnp.float32), f)
     ).astype(cdtype)  # (K, F)
-    Hk = jnp.tensordot(h.astype(cdtype), E, axes=(-1, 0))  # (..., F)
+    Hk = jnp.tensordot(
+        h.astype(cdtype), E, axes=(-1, 0), precision=_HIGH
+    )  # (..., F)
     phase = jnp.exp(
         (-2j * np.pi / L)
         * (s.astype(jnp.float32)[..., None] * f)
@@ -1268,7 +1270,9 @@ def _das_time_chunk(X, s, h, w, L, t_out):
     """
     cdtype = X.dtype
     Hs = _delay_filter_response(h, s, L, cdtype)  # (M, G, F)
-    Y = jnp.einsum("mgf,mf->gf", w.astype(cdtype)[..., None] * Hs, X)
+    Y = jnp.einsum(
+        "mgf,mf->gf", w.astype(cdtype)[..., None] * Hs, X, precision=_HIGH
+    )
     return jnp.fft.irfft(Y, n=L, axis=-1)[:, :t_out]
 
 
@@ -1544,14 +1548,18 @@ def _clean_sc_device_core(
 
             def fp(_, h_):
                 H = jnp.conj(h_) * h_
-                return (D_ + H * w) / jnp.sqrt(1.0 + H @ wsq)
+                return (D_ + H * w) / jnp.sqrt(
+                    1.0 + jnp.dot(H, wsq, precision=_HIGH)
+                )
 
             h_ = jax.lax.fori_loop(0, 20, fp, w)
             G_ = jnp.outer(h_, jnp.conj(h_)) * p
             if remove_diagonal_csm:
                 G_ = G_ * (1.0 - eye)
             corr = jnp.real(
-                jnp.einsum("mg,mn,ng->g", jnp.conj(h), G_, h)
+                jnp.einsum(
+                    "mg,mn,ng->g", jnp.conj(h), G_, h, precision=_HIGH
+                )
             )
             map_new = jnp.where(cont, map_ - corr * sf, map_)
             D0n = jnp.where(cont, D1, D0)

@@ -6,6 +6,7 @@ framing run on device; integrations/reductions vectorize over channels.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,7 +48,12 @@ def _simpson(y: jnp.ndarray, x: np.ndarray, axis: int = 0) -> jnp.ndarray:
     with static sample points (weights baked at trace time)."""
     w = _simpson_weights(np.asarray(x))
     y = jnp.moveaxis(y, axis, 0)
-    out = jnp.tensordot(jnp.asarray(w, y.dtype), y, axes=(0, 0))
+    out = jnp.tensordot(
+        jnp.asarray(w, y.dtype),
+        y,
+        axes=(0, 0),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return out
 
 

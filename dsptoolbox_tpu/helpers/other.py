@@ -7,6 +7,7 @@ numpy (host-side); batch math is jax.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .gain_and_level import to_db
@@ -71,7 +72,7 @@ def euclidean_distance_matrix(x, y):
     sq = (
         jnp.sum(x**2, axis=1, keepdims=True)
         + jnp.sum(y**2, axis=1)[None, :]
-        - 2 * x @ y.T
+        - 2 * jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST)
     )
     return jnp.sqrt(jnp.clip(sq, min=0.0))
 

@@ -158,8 +158,9 @@ def sosfreqz_diff(
     z = jnp.stack([jnp.ones_like(z1), z1, z1 * z1], axis=-1)  # (F, 3)
     b = sos[..., :3].astype(jnp.complex64)
     a = sos[..., 3:].astype(jnp.complex64)
-    num = jnp.einsum("...sc,fc->...sf", b, z)
-    den = jnp.einsum("...sc,fc->...sf", a, z)
+    _hi = jax.lax.Precision.HIGHEST  # default = bf16 MXU passes on TPU
+    num = jnp.einsum("...sc,fc->...sf", b, z, precision=_hi)
+    den = jnp.einsum("...sc,fc->...sf", a, z, precision=_hi)
     return jnp.prod(num / den, axis=-2)
 
 

@@ -63,8 +63,15 @@ def fft_convolve(
     ):
         xb = x.reshape((-1, 1, T))  # (N, C=1, T)
         hb = jnp.flip(h, -1).reshape((1, 1, K)).astype(xb.dtype)
+        # HIGHEST keeps the MXU conv in full fp32 — the default is a
+        # single bf16 pass (~1e-2 relative error) which poisoned the
+        # resample/envelope/FIR golden outputs in the round-5 TPU smoke.
         y = jax.lax.conv_general_dilated(
-            xb, hb, window_strides=(1,), padding=[(K - 1, K - 1)]
+            xb,
+            hb,
+            window_strides=(1,),
+            padding=[(K - 1, K - 1)],
+            precision=jax.lax.Precision.HIGHEST,
         )
         y = y.reshape(x.shape[:-1] + (n_full,))
         if mode == "full":

@@ -670,11 +670,13 @@ def complex_smoothing_core(
         tuple(np.asarray(window_y).tolist()),
     )
     Wj = jnp.asarray(W, dtype=spectrum.real.dtype)
+    _hi = jax.lax.Precision.HIGHEST  # default = bf16 MXU passes on TPU
     if jnp.iscomplexobj(spectrum):
         return (
-            Wj @ spectrum.real + 1j * (Wj @ spectrum.imag)
+            jnp.matmul(Wj, spectrum.real, precision=_hi)
+            + 1j * jnp.matmul(Wj, spectrum.imag, precision=_hi)
         ).astype(spectrum.dtype)
-    return Wj @ spectrum
+    return jnp.matmul(Wj, spectrum, precision=_hi)
 
 
 def fdw_core(

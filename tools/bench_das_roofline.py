@@ -136,6 +136,20 @@ def main():
         np.max(np.abs(a - b)) / np.max(np.abs(a))
     )
 
+    # F2. Precision.HIGH (3-pass bf16x3) quadratic + error vs HIGHEST
+    _HI3 = jax.lax.Precision.HIGH
+
+    @jax.jit
+    def quad_high(hp, Bm):
+        t = jnp.einsum("fgk,fkl->fgl", hp, Bm, precision=_HI3)
+        return jnp.einsum("fgl,fgl->gf", hp, t, precision=_HI3)
+
+    report["F2_quadratic_high_ms"] = timeit(quad_high, (hp, Bm)) * 1e3
+    c = np.asarray(quad_high(hp, Bm))
+    report["F2_high_rel_err"] = float(
+        np.max(np.abs(a - c)) / np.max(np.abs(a))
+    )
+
     # G. full core at default precision
     from dsptoolbox_tpu.beamforming import beamforming as bfmod
 
@@ -159,6 +173,27 @@ def main():
         jax.jit(core_default), (ampj, diffj, kj, cre, cim)
     ) * 1e3
 
+    # G2. full core at Precision.HIGH (steering + B build + quad_high)
+    def core_high(ampj, diffj, kj, cre, cim):
+        ph = kj[:, None, None] * diffj.T[None]
+        amp_t = ampj.T[None]
+        hpv = jnp.concatenate(
+            [amp_t * jnp.cos(ph), -amp_t * jnp.sin(ph)], axis=-1
+        )
+        Bv = jnp.concatenate(
+            [
+                jnp.concatenate([cre, -cim], axis=-1),
+                jnp.concatenate([cim, cre], axis=-1),
+            ],
+            axis=-2,
+        )
+        t = jnp.einsum("fgk,fkl->fgl", hpv, Bv, precision=_HI3)
+        return jnp.einsum("fgl,fgl->gf", hpv, t, precision=_HI3)
+
+    report["G2_full_core_high_ms"] = timeit(
+        jax.jit(core_high), (ampj, diffj, kj, cre, cim)
+    ) * 1e3
+
     # cost-model accounting for the prebuilt quadratic form
     peak_fp32_eff = 197e12 / 6
     flops = 2 * F * G * (2 * M) * (2 * M) + 2 * F * G * (2 * M)
@@ -174,6 +209,17 @@ def main():
         * 100,
         2,
     )
+    report["mfu_full_core_high_pct"] = round(
+        flops
+        / (report["G2_full_core_high_ms"] * 1e-3)
+        / peak_fp32_eff
+        * 100,
+        2,
+    )
+    # HBM-traffic floor for the prebuilt quadratic (read hp+B, write map;
+    # t fused or not is the question the D-vs-E split answers)
+    bytes_min = 4 * (F * G * 2 * M + F * 2 * M * 2 * M + G * F)
+    report["hbm_floor_ms_819GBps"] = round(bytes_min / 819e9 * 1e3, 4)
     for k, v in report.items():
         if isinstance(v, float):
             report[k] = round(v, 4)

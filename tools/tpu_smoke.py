@@ -219,6 +219,25 @@ def main():
         dsp.generators.noise(0.25, 16000, seed=0), [0, 0.4, 0.5]
     )
     sig = src.get_signals_on_array(ma)
+    # seeded per-mic noise floor: a lone monopole gives a rank-1 CSM whose
+    # near-zero singular values sit at backend-noise scale — Functional's
+    # s**(1/gamma) then amplifies CPU-vs-TPU fp32 differences without
+    # bound. 1% uncorrelated noise pins the noise subspace far above
+    # fp32 noise on both backends (same conditioning physics as the H1
+    # excitation floor above).
+    _mic_noise = dsp.generators.noise(
+        sig.length_samples / sig.sampling_rate_hz,
+        sig.sampling_rate_hz,
+        number_of_channels=sig.number_of_channels,
+        seed=11,
+    )
+    sig = dsp.Signal(
+        None,
+        np.asarray(sig.time_data)
+        + 0.01
+        * np.asarray(_mic_noise.time_data)[: sig.length_samples],
+        sig.sampling_rate_hz,
+    )
     g = bfm.Regular2DGrid(
         np.arange(-0.2, 0.2, 0.2), np.arange(-0.4, 0.5, 0.2),
         ["x", "y"], value3=0.5,
@@ -265,7 +284,14 @@ def main():
     fx_in = dsp.pad_trim(
         dsp.resample(dsp.Signal(f"{EXAMPLE}/speech.flac"), 16000), 2**14
     )
-    cho = dsp.effects.Chorus(depths_ms=4, base_delays_ms=12).apply(fx_in)
+    # deterministic modulator: the class default LFO uses random_phase
+    # (reference parity, `_effects.py:313`), which can never match a
+    # committed golden
+    cho = dsp.effects.Chorus(
+        depths_ms=4,
+        base_delays_ms=12,
+        modulators=dsp.effects.LFO(2.0, "harmonic"),
+    ).apply(fx_in)
     gc.check("fx_chorus", cho.time_data, rtol=1e-2, atol=1e-4)
     dd = dsp.effects.DigitalDelay(delay_time_ms=120, feedback=0.3).apply(
         fx_in
@@ -417,17 +443,22 @@ def main():
           "weighting/pinking/matched/Thiran/gauss/ARMA")
 
     # ---- transfer functions breadth
+    # compare in-band only (≤2x the 2 kHz lowpass cutoff): H2 divides by
+    # S_yx, which rolls off -80 dB/decade above the cutoff — out-of-band
+    # bins are noise-over-noise ratios that diverge between backends by
+    # construction (H1's conditioning floor fixes S_xx, not S_yy)
+    _h2_band = slice(1, int(4000 / (exc.sampling_rate_hz / 1024)))
     h2 = tf.compute_transfer_function(
         lp.filter_signal(exc), exc, 1024,
         mode=tf.TransferFunctionType.H2,
     )
-    gc.check("h2_estimator", np.asarray(h2.spectral_data)[1:-1],
+    gc.check("h2_estimator", np.asarray(h2.spectral_data)[_h2_band],
              rtol=1e-2, atol=5e-3)
     h3 = tf.compute_transfer_function(
         lp.filter_signal(exc), exc, 1024,
         mode=tf.TransferFunctionType.H3,
     )
-    gc.check("h3_estimator", np.asarray(h3.spectral_data)[1:-1],
+    gc.check("h3_estimator", np.asarray(h3.spectral_data)[_h2_band],
              rtol=1e-2, atol=5e-3)
     gd = tf.group_delay(rir)
     gc.check("group_delay", np.asarray(gd[1]), rtol=1e-2, atol=1e-4)
