@@ -193,6 +193,23 @@ def bank_path() -> str:
     return _BANK_PATH
 
 
+_PALLAS_DAS_MODE = "auto"  # "auto" (TPU only) | "on" | "off"
+
+
+def set_pallas_das(mode: str) -> None:
+    """Select the DAS-map kernel: "auto" uses the fused Pallas
+    steering+quadratic kernel (`ops.pallas_das`) on healthy TPU backends
+    in fp32 mode, "on" forces it (interpret mode off-TPU — testing
+    only), "off" always uses the XLA packed-quadratic path."""
+    global _PALLAS_DAS_MODE
+    assert mode in ("auto", "on", "off"), mode
+    _PALLAS_DAS_MODE = mode
+
+
+def pallas_das_mode() -> str:
+    return _PALLAS_DAS_MODE
+
+
 def set_pallas_iir(mode: str) -> None:
     """Select the blocked-IIR lead kernel: "auto" uses the Pallas
     time-tiled kernel on TPU backends when the regime favours it (see
