@@ -72,14 +72,49 @@ class ParallelFilter(RealtimeFilter):
         self.n_fir = len(self._fir_coefficients)
         return self
 
+    @staticmethod
+    def _host_f64_spectrum(ir):
+        """IR spectrum for the LS fit, computed host-side in f64.
+
+        The fit solves an ill-conditioned lstsq (fitted SOS numerators
+        reach ~1e4 with cross-section cancellation), so a backend's fp32
+        rfft rounding visibly moves the solution. The reference feeds it
+        f64 numpy (`classes/signal.py:906`); mirror that exactly for the
+        default FFT-spectrum configuration and fall back to the
+        signal's own getter for non-default (Welch/smoothed/physical)
+        setups."""
+        from ..standard.enums import SpectrumMethod
+
+        p = getattr(ir, "_spectrum_parameters", {})
+        scaling = ir.spectrum_scaling
+        if (
+            ir.spectrum_method == SpectrumMethod.FFT
+            and p.get("smoothing", 0) == 0
+            and not scaling.has_physical_units()
+        ):
+            from scipy.fft import next_fast_len
+
+            td = np.asarray(ir.time_data, np.float64)
+            n = (
+                next_fast_len(ir.length_samples, True)
+                if p.get("pad_to_fast_length", True)
+                else ir.length_samples
+            )
+            sp = np.fft.rfft(
+                td.real, axis=0, n=n, norm=scaling.fft_norm()
+            )
+            freqs = np.fft.rfftfreq(n, 1.0 / ir.sampling_rate_hz)
+            return freqs, sp
+        freqs, sp = ir.get_spectrum()
+        return np.asarray(freqs), np.asarray(sp)
+
     def fit_to_ir(self, ir):
         """Frequency-domain LS fit of SOS numerators + FIR correction
         (`parallel_filter.py:140-235`)."""
         assert ir.number_of_channels == 1, (
             "This is only valid for a single-channel IR"
         )
-        freqs, spectrum_channels = ir.get_spectrum()
-        spectrum_channels = np.asarray(spectrum_channels)
+        freqs, spectrum_channels = self._host_f64_spectrum(ir)
         freqs = freqs[1:]
         spectrum_channels = spectrum_channels[1:]
         fs_hz = ir.sampling_rate_hz

@@ -259,6 +259,31 @@ class TestParallelFilter:
         err = np.linalg.norm(rec - ir_td) / np.linalg.norm(ir_td)
         assert err < 0.5, err
 
+    def test_fit_uses_host_f64_spectrum(self):
+        """The LS fit is ill-conditioned (SOS numerators reach ~1e4 with
+        cancellation); it must consume a host f64 spectrum, not the
+        backend's fp32 device rfft — otherwise the solution differs
+        between CPU and TPU (round-5 golden-smoke failure)."""
+        b, a = sig.butter(2, 0.2)
+        ir_td = sig.lfilter(b, a, np.eye(1, 256).squeeze())
+        ir = dsp.ImpulseResponse(None, ir_td[:, None], FS)
+        # default FFT-spectrum configuration -> host path (never touches
+        # the device getter)
+        ir.get_spectrum = None  # would raise if the fit called it
+        freqs, sp = rt.ParallelFilter._host_f64_spectrum(ir)
+        assert sp.dtype == np.complex128
+        from scipy.fft import next_fast_len
+
+        n = next_fast_len(256, True)
+        stored = np.asarray(ir.time_data, np.float64)[:, 0]
+        np.testing.assert_allclose(
+            sp[:, 0], np.fft.rfft(stored, n=n), rtol=0, atol=0
+        )
+        poles = np.array([0.6 + 0.4j, 0.3 + 0.1j])
+        f = rt.ParallelFilter(poles, n_fir=16, sampling_rate_hz=FS)
+        f.fit_to_ir(ir)
+        assert f._sos.dtype == np.float64
+
 
 class TestExponentialAverage:
     def test_smooths(self, noise):

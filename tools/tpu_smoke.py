@@ -651,11 +651,15 @@ def main():
         dsp.ImpulseResponse(None, np.eye(1, 256).squeeze()[:, None],
                             16000)
     ).time_data, rtol=1e-2, atol=1e-6)
-    pf = rt2.ParallelFilter(poles, n_fir=16, sampling_rate_hz=16000)
+    # a pole basis MATCHED to the target IR (its own butter poles): an
+    # unmatched basis drives the LS fit to ~1e4-magnitude cancelling SOS
+    # numerators, and the fp32 parallel battery then amplifies backend
+    # rounding by that factor — conditioning, not a kernel bug (the fit
+    # itself is host f64 and backend-identical since round 5)
+    pf_poles = np.roots(ssig2.butter(2, 0.2)[1])
+    pf_poles = pf_poles[pf_poles.imag >= 0]
+    pf = rt2.ParallelFilter(pf_poles, n_fir=16, sampling_rate_hz=16000)
     pf.fit_to_ir(ir_k)
-    # atol 1e-4*max like the other recursive rt checks: the fitted pole
-    # bank's fp32 recursion reorders between backends; 1e-6 flags ~2e-6
-    # absolute-of-max discrepancies at near-zero response samples
     gc.check("rt_parallel_filter", pf.filter_signal(
         dsp.ImpulseResponse(None, np.eye(1, 256).squeeze()[:, None],
                             16000)
