@@ -212,6 +212,43 @@ def scale_config5(n_bins=513):
     )
 
 
+def scale_config5b(n_bins=513):
+    """Production round-5 DAS path: the fused Pallas steering+quadratic
+    kernel (`ops/pallas_das.py`) on the same 513-bin x 64-mic x 900-pt
+    sweep as scale5 — steering build INCLUDED (scale5's einsum form takes
+    the steering tensor as a prebuilt input)."""
+    import jax.numpy as jnp
+
+    from dsptoolbox_tpu.ops.pallas_das import das_map_fused
+
+    rng = np.random.default_rng(0)
+    n_mics, n_grid = 64, 900
+    C = rng.standard_normal((n_bins, n_mics, n_mics)) + 1j * (
+        rng.standard_normal((n_bins, n_mics, n_mics))
+    )
+    C = (C + np.conj(np.swapaxes(C, -1, -2))) / 2
+    amp = rng.standard_normal((n_mics, n_grid)).astype(np.float32)
+    diff = rng.uniform(0.5, 3.0, (n_mics, n_grid)).astype(np.float32)
+    k = np.linspace(1.0, 400.0, n_bins).astype(np.float32)  # uniform ramp
+    args = (
+        jnp.asarray(np.real(C).astype(np.float32)),
+        jnp.asarray(np.imag(C).astype(np.float32)),
+        jnp.asarray(amp),
+        jnp.asarray(diff),
+        jnp.asarray(k),
+    )
+
+    def run(cre, cim, a, d, kk):
+        return das_map_fused(a, d, kk, cre, cim, uniform_grid=True)
+
+    return (
+        run, args,
+        f"scale5b: fused Pallas DAS (steering in-kernel) {n_bins} bins "
+        "x 64 mics x 900 pts",
+        None,
+    )
+
+
 def scale_config6(n_rirs=256):
     """Batched image-source generation: 256 RIRs in one program."""
     import jax.numpy as jnp
@@ -269,6 +306,7 @@ def main():
         (scale_config3, lambda r, a: {"audio_s_per_s": round(a / r["seconds_per_iter"], 1)}),
         (scale_config4, lambda r, a: {"rirs_per_s": round(16384 / r["seconds_per_iter"], 0)}),
         (scale_config5, lambda r, a: {"grid_pts_bins_per_s": round(900 * 513 / r["seconds_per_iter"], 0)}),
+        (scale_config5b, lambda r, a: {"grid_pts_bins_per_s": round(900 * 513 / r["seconds_per_iter"], 0)}),
         (scale_config6, lambda r, a: {"rirs_per_s": round(256 / r["seconds_per_iter"], 1)}),
     ):
         fn, args, label, audio_s = build()
