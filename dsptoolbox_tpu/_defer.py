@@ -230,10 +230,6 @@ def _freeze_index(key) -> tuple:
     raise TypeError(f"dynamic index {key!r}")
 
 
-def is_deferred(x) -> bool:
-    return isinstance(x, DeferredArray)
-
-
 def force_value(x):
     """Concrete value for a possibly-deferred array (passthrough
     otherwise)."""

@@ -193,8 +193,3 @@ def das_map_fused(
         ),
     )(k2, dk2, amp2, diff2, csm_re, csm_im)
     return out[:F, :G].T  # (G, F)
-
-
-def das_map_fused_reference(ampj, diffj, kj, csm_re, csm_im):
-    """Interpret-mode oracle wrapper (CPU testing)."""
-    return das_map_fused(ampj, diffj, kj, csm_re, csm_im, interpret=True)
